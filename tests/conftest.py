@@ -1,0 +1,26 @@
+"""Test configuration.
+
+Tests run on CPU in float64 for parity with the reference test suite
+(which asserts identities at 1e-8..1e-12 in double precision, see
+/root/reference/tests). Multi-device tests use 8 virtual CPU devices via
+XLA_FLAGS, mirroring how the reference's distributed paths *should* have
+been tested (SURVEY.md section 4).
+
+Environment must be set before jax is imported anywhere.
+"""
+
+import os
+
+# Force CPU even when a TPU plugin env (JAX_PLATFORMS=axon) is present —
+# sitecustomize may already have imported jax, so use jax.config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "true")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
