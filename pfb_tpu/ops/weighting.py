@@ -1,0 +1,115 @@
+"""uv-cell sampling density and Briggs/robust imaging weights.
+
+TPU-native equivalents of the reference's numba kernels
+(pfb/utils/weighting.py:43-171): the per-row scatter/gather loops become
+one vectorised XLA scatter-add over all (row, chan, stencil) triples and
+a vectorised gather.
+
+Grid convention copied exactly from the reference (weighting.py:48-55):
+    u_cell = 1/(nx*cellx);  umax = |-1/(2 cellx) - u_cell/2|
+    ug = (u*f/c + umax)/u_cell
+ES-kernel stencil k=6, beta=2.3 (weighting.py:46,93-97,105-107).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfb_tpu.ops.dft import LIGHTSPEED
+
+
+def _es_kernel(x, beta, k):
+    """exp(beta*k*(sqrt((1-x)(1+x)) - 1)) on |x|<=1, 0 outside
+    (reference: weighting.py:105-107)."""
+    arg = jnp.maximum((1.0 - x) * (1.0 + x), 0.0)
+    val = jnp.exp(beta * k * (jnp.sqrt(arg) - 1.0))
+    return jnp.where(jnp.abs(x) <= 1.0, val, 0.0)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "k"))
+def compute_counts(uvw, freq, mask, nx, ny, cellx, celly, k=6):
+    """Grid the sampling density onto the uv grid with the ES kernel
+    (k=6) or nearest-neighbour (k=0)
+    (reference: pfb/utils/weighting.py:43-103)."""
+    dtype = jnp.result_type(uvw.dtype, jnp.float32)
+    u_cell = 1.0 / (nx * cellx)
+    umax = jnp.abs(-1.0 / cellx / 2.0 - u_cell / 2.0)
+    v_cell = 1.0 / (ny * celly)
+    vmax = jnp.abs(-1.0 / celly / 2.0 - v_cell / 2.0)
+
+    normfreq = freq / LIGHTSPEED
+    ug = (uvw[:, 0:1] * normfreq[None, :] + umax) / u_cell  # (row, chan)
+    vg = (uvw[:, 1:2] * normfreq[None, :] + vmax) / v_cell
+    m = mask.astype(dtype)
+
+    counts = jnp.zeros((nx, ny), dtype)
+    if k:
+        ko2 = k // 2
+        u_idx = jnp.round(ug).astype(jnp.int32)
+        v_idx = jnp.round(vg).astype(jnp.int32)
+        offs = jnp.arange(-ko2, ko2)
+        # x offsets: (row, chan, k)
+        x_idx = u_idx[..., None] + offs
+        xval = _es_kernel((x_idx - ug[..., None] + 0.5) / ko2, 2.3, k)
+        y_idx = v_idx[..., None] + offs
+        yval = _es_kernel((y_idx - vg[..., None] + 0.5) / ko2, 2.3, k)
+        # outer product over the stencil: (row, chan, k, k)
+        vals = (m[..., None, None] * xval[..., :, None] *
+                yval[..., None, :])
+        xi = jnp.broadcast_to(x_idx[..., :, None], vals.shape)
+        yi = jnp.broadcast_to(y_idx[..., None, :], vals.shape)
+        counts = counts.at[xi.reshape(-1), yi.reshape(-1)].add(
+            vals.reshape(-1), mode="drop")
+    else:
+        u_idx = jnp.floor(ug).astype(jnp.int32)
+        v_idx = jnp.floor(vg).astype(jnp.int32)
+        counts = counts.at[u_idx.reshape(-1), v_idx.reshape(-1)].add(
+            m.reshape(-1), mode="drop")
+    return counts
+
+
+@partial(jax.jit, static_argnames=("nx", "ny"))
+def counts_to_weights(counts, uvw, freq, nx, ny, cellx, celly, robust):
+    """Counts -> per-visibility imaging weights. robust > -2 applies
+    Briggs weighting 1/(1 + counts*ssq) with
+    ssq = (5*10^-robust)^2 / ((counts^2).sum()/counts.sum())
+    (reference: pfb/utils/weighting.py:130-171)."""
+    dtype = counts.dtype
+    u_cell = 1.0 / (nx * cellx)
+    umax = jnp.abs(-1.0 / cellx / 2.0 - u_cell / 2.0)
+    v_cell = 1.0 / (ny * celly)
+    vmax = jnp.abs(-1.0 / celly / 2.0 - v_cell / 2.0)
+
+    def briggs(c):
+        numsqrt = 5.0 * 10.0 ** (-robust)
+        avgW = jnp.sum(c**2) / jnp.sum(c)
+        ssq = numsqrt * numsqrt / avgW
+        return 1.0 + c * ssq
+
+    counts_mod = jax.lax.cond(jnp.asarray(robust) > -2.0, briggs,
+                              lambda c: c, counts)
+
+    normfreq = freq / LIGHTSPEED
+    u_idx = jnp.floor(
+        (uvw[:, 0:1] * normfreq[None, :] + umax) / u_cell).astype(jnp.int32)
+    v_idx = jnp.floor(
+        (uvw[:, 1:2] * normfreq[None, :] + vmax) / v_cell).astype(jnp.int32)
+    c = counts_mod[jnp.clip(u_idx, 0, nx - 1), jnp.clip(v_idx, 0, ny - 1)]
+    w = jnp.where(c != 0, 1.0 / jnp.where(c == 0, 1.0, c), 0.0)
+    return jnp.where(jnp.any(counts != 0), w, jnp.zeros_like(w)).astype(dtype)
+
+
+def filter_extreme_counts(counts, level=10.0):
+    """Clamp near-empty uv cells to median/level to avoid upweighting
+    them (reference: pfb/utils/weighting.py:186-215). Host-side numpy
+    (needs a data-dependent median over nonzeros)."""
+    counts = np.asarray(counts).copy()
+    ix, iy = np.where(counts > 0)
+    if ix.size == 0:
+        return counts
+    cnts = counts[ix, iy]
+    med = np.median(cnts)
+    counts[ix, iy] = np.maximum(cnts, med / level)
+    return counts

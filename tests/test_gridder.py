@@ -1,0 +1,167 @@
+"""Measurement operator tests: R/R.H adjointness, PSF normalisation,
+uv-counts vs histogram (upstream tests/test_weighting.py:64-81), Briggs
+weights, and dirty-image flux recovery at source pixels (upstream
+test_polproducts.py semantics, rtol 1e-4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from pfb_tpu.ops.dft import LIGHTSPEED, dirty2vis_dft, vis2dirty_dft
+from pfb_tpu.ops.gridder import hessian_slice, image_data_products
+from pfb_tpu.ops.weighting import compute_counts, counts_to_weights
+from pfb_tpu.utils.simulation import (image_size_for, point_source_model,
+                                      simulate_obs)
+
+
+@pytest.fixture(scope="module")
+def obs():
+    return simulate_obs(nant=7, ntime=8, nchan=3, seed=1)
+
+
+def test_adjointness(obs):
+    """<R x, y> == <x, R.H y> with weights 1: the defining property the
+    spotless residual-consistency test relies on
+    (upstream test_spotless.py:322-325)."""
+    nx, cell = image_size_for(obs, fov_deg=0.2)
+    nx = min(nx, 64)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(nx, nx))
+    yr = rng.normal(size=(obs.uvw.shape[0], obs.freq.size))
+    yi = rng.normal(size=yr.shape)
+    y = yr + 1j * yi
+
+    Rx = np.asarray(dirty2vis_dft(jnp.asarray(obs.uvw),
+                                  jnp.asarray(obs.freq),
+                                  jnp.asarray(x), cell, cell))
+    RHy = np.asarray(vis2dirty_dft(jnp.asarray(obs.uvw),
+                                   jnp.asarray(obs.freq),
+                                   jnp.asarray(y), nx=nx, ny=nx,
+                                   cellx=cell, celly=cell))
+    # adjointness over the real inner product Re<a, b>:
+    # Re<R x, y> = <x, R.H y> with the e^{-i}/e^{+i} kernel pair
+    lhs = np.sum(Rx.real * yr + Rx.imag * yi)
+    rhs = np.sum(x * RHy)
+    assert_allclose(lhs, rhs, rtol=1e-10)
+
+
+def test_psf_peak_equals_wsum(obs):
+    """Gridding unit visibilities gives PSF with peak = wsum at centre."""
+    nx, cell = image_size_for(obs, fov_deg=0.2)
+    nx = min(nx, 64)
+    nrow, nchan = obs.uvw.shape[0], obs.freq.size
+    vis = jnp.ones((nrow, nchan), jnp.complex128)
+    wgt = jnp.asarray(np.random.default_rng(1).random((nrow, nchan)))
+    psf = np.asarray(vis2dirty_dft(jnp.asarray(obs.uvw),
+                                   jnp.asarray(obs.freq), vis, wgt=wgt,
+                                   nx=nx, ny=nx, cellx=cell, celly=cell))
+    assert_allclose(psf[nx // 2, nx // 2], float(wgt.sum()), rtol=1e-12)
+    assert np.abs(psf).max() == psf[nx // 2, nx // 2]
+
+
+def test_dirty_recovers_point_source_flux(obs):
+    """Model vis of point sources -> weighted dirty/wsum recovers flux at
+    the source pixel to ~1e-4 (upstream test_polproducts.py:265-269)."""
+    nx, cell = image_size_for(obs, fov_deg=0.15)
+    nx = min(nx, 128)
+    # single source: with few synthetic baselines, multiple sources
+    # contaminate each other through PSF sidelobes; one source makes the
+    # pixel flux exact for the DFT path
+    model, Ix, Iy = point_source_model(nx, nx, obs.freq, nsource=1,
+                                       seed=2, margin=8)
+    uvw = jnp.asarray(obs.uvw)
+    freq = jnp.asarray(obs.freq)
+    nrow, nchan = obs.uvw.shape[0], obs.freq.size
+
+    # per-channel degrid (each channel has its own model slice)
+    vis = np.zeros((nrow, nchan), dtype=np.complex128)
+    for c in range(nchan):
+        vis[:, c:c + 1] = np.asarray(dirty2vis_dft(
+            uvw, freq[c:c + 1], jnp.asarray(model[c]), cell, cell))
+
+    # natural weights; normalise per channel
+    for c in range(nchan):
+        dirty = np.asarray(vis2dirty_dft(
+            uvw, freq[c:c + 1], jnp.asarray(vis[:, c:c + 1]),
+            nx=nx, ny=nx, cellx=cell, celly=cell))
+        wsum = nrow
+        # n-term correction (images are I/n, reference test_klean.py:252)
+        l = (np.arange(nx) - nx // 2) * cell
+        ll, mm = np.meshgrid(l, l, indexing="ij")
+        eps = ll**2 + mm**2
+        n = 1 - eps / (np.sqrt(1 - eps) + 1)
+        for s in range(1):
+            flux = dirty[Ix[s], Iy[s]] / wsum * n[Ix[s], Iy[s]]
+            assert_allclose(flux, model[c, Ix[s], Iy[s]], rtol=2e-4)
+
+
+def test_counts_vs_histogram(obs):
+    """k=0 counts == np.histogram2d on the uv coordinates (upstream
+    tests/test_weighting.py:64-81)."""
+    nx = 64
+    cell = 1.0 / (4 * np.abs(obs.uvw[:, :2]).max() * obs.freq.max()
+                  / LIGHTSPEED)
+    mask = np.ones((obs.uvw.shape[0], obs.freq.size), np.uint8)
+    counts = np.asarray(compute_counts(
+        jnp.asarray(obs.uvw), jnp.asarray(obs.freq), jnp.asarray(mask),
+        nx, nx, cell, cell, k=0))
+
+    u_cell = 1 / (nx * cell)
+    umax = abs(-1 / cell / 2 - u_cell / 2)
+    ulam = obs.uvw[:, 0:1] * obs.freq[None, :] / LIGHTSPEED
+    vlam = obs.uvw[:, 1:2] * obs.freq[None, :] / LIGHTSPEED
+    # histogram with the same binning
+    edges = umax + u_cell * np.arange(nx + 1)
+    hist, _, _ = np.histogram2d(ulam.ravel() + 2 * umax,
+                                vlam.ravel() + 2 * umax,
+                                bins=[edges, edges])
+    assert_allclose(counts, hist)
+    assert counts.sum() == obs.uvw.shape[0] * obs.freq.size
+
+
+def test_briggs_weights_change_resolution(obs):
+    nx = 64
+    cell = 1.0 / (4 * np.abs(obs.uvw[:, :2]).max() * obs.freq.max()
+                  / LIGHTSPEED)
+    mask = np.ones((obs.uvw.shape[0], obs.freq.size), np.uint8)
+    counts = compute_counts(jnp.asarray(obs.uvw), jnp.asarray(obs.freq),
+                            jnp.asarray(mask), nx, nx, cell, cell, k=6)
+    w_uniformish = np.asarray(counts_to_weights(
+        counts, jnp.asarray(obs.uvw), jnp.asarray(obs.freq), nx, nx,
+        cell, cell, -2.0))
+    w_natural = np.asarray(counts_to_weights(
+        counts, jnp.asarray(obs.uvw), jnp.asarray(obs.freq), nx, nx,
+        cell, cell, 2.0))
+    assert (w_uniformish > 0).all()
+    # robust=+2 ~ natural: nearly flat; robust=-2 ~ uniform: 1/counts
+    assert w_natural.std() / w_natural.mean() < \
+        w_uniformish.std() / w_uniformish.mean()
+
+
+def test_image_data_products_residual_consistency(obs):
+    """residual(model) == dirty - hessian(model): R/R.H consistency, the
+    core invariant of the major cycle (upstream test_spotless.py:322-325)."""
+    nx, cell = image_size_for(obs, fov_deg=0.15)
+    nx = min(nx, 64)
+    model, _, _ = point_source_model(nx, nx, obs.freq[:1], nsource=2,
+                                     seed=3, margin=8)
+    model = model[0]
+    uvw = jnp.asarray(obs.uvw)
+    freq = jnp.asarray(obs.freq[:1])
+    nrow = obs.uvw.shape[0]
+    vis = dirty2vis_dft(uvw, freq, jnp.asarray(model), cell, cell)
+    wgt = jnp.ones((nrow, 1))
+    mask = jnp.ones((nrow, 1), jnp.uint8)
+
+    out = image_data_products(uvw, freq, vis, wgt, mask, None,
+                              nx, nx, 2 * nx, 2 * nx, cell, cell,
+                              model=jnp.asarray(model) * 0.5)
+    hess = hessian_slice(jnp.asarray(model) * 0.5, uvw, freq, wgt, mask,
+                         cell, cell)
+    assert_allclose(np.asarray(out["RESIDUAL"]),
+                    np.asarray(out["DIRTY"]) - np.asarray(hess),
+                    atol=1e-8)
+    # PSF peak equals wsum
+    assert_allclose(np.asarray(out["PSF"])[2 * nx // 2, 2 * nx // 2],
+                    np.asarray(out["WSUM"])[0], rtol=1e-12)
