@@ -49,3 +49,31 @@ def on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover - no backend at all
         return False
+
+
+def to_device(x, dtype=None):
+    """numpy -> device array, building complex from two real uploads:
+    some TPU runtimes (the axon relay) cannot transfer complex dtypes in
+    either direction."""
+    import numpy as np
+
+    x = np.asarray(x)
+    if np.iscomplexobj(x) and on_tpu():
+        cdtype = dtype or complex_for(jnp.asarray(x.real).dtype)
+        rdtype = jnp.finfo(cdtype).dtype
+        re = jnp.asarray(np.ascontiguousarray(x.real), rdtype)
+        im = jnp.asarray(np.ascontiguousarray(x.imag), rdtype)
+        return jax.lax.complex(re, im)
+    return jnp.asarray(x) if dtype is None else jnp.asarray(x, dtype)
+
+
+def to_host(x):
+    """Device array -> numpy, splitting complex into real/imag on device
+    first: some TPU runtimes (the axon relay) cannot transfer complex
+    dtypes device->host at all."""
+    import numpy as np
+
+    x = jnp.asarray(x)
+    if jnp.iscomplexobj(x):
+        return np.asarray(x.real) + 1j * np.asarray(x.imag)
+    return np.asarray(x)

@@ -1,0 +1,117 @@
+"""Minimal measurement-set container.
+
+The reference reads CASA Measurement Sets through dask-ms/casacore
+(pfb/workers/init.py:236). Neither exists here, so observations live in
+a single .npz with the same column names an MS main table would have:
+
+    DATA (nrow, nchan, ncorr) complex
+    UVW (nrow, 3), TIME (nrow,), ANTENNA1/2 (nrow,)
+    FLAG (nrow, nchan, ncorr) bool, WEIGHT_SPECTRUM (nrow, nchan, ncorr)
+    FREQ (nchan,), RA, DEC (phase centre, rad), POLTYPE ('linear'|'circular')
+
+plus optional MODEL_DATA / CORRECTED_DATA columns. Real-MS ingestion can
+be added behind the same interface when casacore is available.
+"""
+
+from pathlib import Path
+
+import numpy as np
+
+
+def write_ms(path, **columns):
+    np.savez(path, **columns)
+
+
+def read_ms(path):
+    path = str(path)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    with np.load(path, allow_pickle=False) as f:
+        return {k: f[k] for k in f.files}
+
+
+def update_ms_column(path, name, values):
+    ms = read_ms(path)
+    ms[name] = values
+    p = str(path)
+    if not p.endswith(".npz"):
+        p = p + ".npz"
+    np.savez(p, **ms)
+
+
+def simulate_ms(path, nant=7, ntime=8, nchan=4, nsource=10, fov_deg=1.0,
+                seed=420, gains=False, ncorr=2, pol="linear",
+                duration_h=1.0, extent=1000.0, noise=0.0):
+    """Simulate an observation with point sources (and optionally smooth
+    gain corruptions) and write it as an npz MS. Returns
+    (model_cube, Ix, Iy, nx, cell_rad, jones) — the ground truth the
+    e2e tests assert against (mirrors upstream test_klean.py:71-175)."""
+    import jax.numpy as jnp
+
+    from pfb_tpu.ops.dft import dirty2vis_dft
+    from pfb_tpu.utils.simulation import (image_size_for,
+                                          point_source_model, simulate_obs)
+
+    obs = simulate_obs(nant=nant, ntime=ntime, nchan=nchan, seed=seed,
+                       duration_h=duration_h, extent=extent)
+    nx, cell_rad = image_size_for(obs, fov_deg=fov_deg, srf=2.0)
+    model, Ix, Iy = point_source_model(nx, nx, obs.freq, nsource=nsource,
+                                       seed=seed)
+    nrow = obs.uvw.shape[0]
+
+    from pfb_tpu.config import to_host
+    vis = np.zeros((nrow, nchan), dtype=np.complex128)
+    for c in range(nchan):
+        vis[:, c:c + 1] = to_host(dirty2vis_dft(
+            jnp.asarray(obs.uvw), jnp.asarray(obs.freq[c:c + 1]),
+            jnp.asarray(model[c]), cell_rad, cell_rad))
+
+    data = np.zeros((nrow, nchan, ncorr), dtype=np.complex128)
+    data[..., 0] = vis
+    data[..., -1] = vis
+
+    rng = np.random.default_rng(seed)
+    utime = np.unique(obs.time)
+    tbin_map = np.searchsorted(utime, obs.time)
+    if gains:
+        # smooth random diag gains (GP-flavoured, like upstream
+        # test_klean.py:96-119 but with simple smooth draws)
+        t = np.linspace(0, 1, ntime)
+        nu = np.linspace(0, 1, nchan)
+        jones = np.zeros((ntime, nant, nchan, 1, 2), dtype=np.complex128)
+        for p in range(nant):
+            for c in range(2):
+                amp = 1.0 + 0.1 * (
+                    np.sin(2 * np.pi * (t[:, None] + rng.random())) *
+                    np.cos(2 * np.pi * (nu[None, :] + rng.random())))
+                phase = 0.3 * np.sin(
+                    2 * np.pi * (t[:, None] * rng.random() + nu[None, :] *
+                                 rng.random() + rng.random()))
+                jones[:, p, :, 0, c] = amp * np.exp(1j * phase)
+        gp = jones[tbin_map, obs.ant1, :, 0, :]
+        gq = jones[tbin_map, obs.ant2, :, 0, :]
+        data[..., 0] = gp[..., 0] * np.conj(gq[..., 0]) * data[..., 0]
+        data[..., -1] = gp[..., 1] * np.conj(gq[..., 1]) * data[..., -1]
+    else:
+        jones = None
+
+    if noise:
+        data += noise * (rng.standard_normal(data.shape) +
+                         1j * rng.standard_normal(data.shape))
+
+    write_ms(path,
+             DATA=data,
+             UVW=obs.uvw,
+             TIME=obs.time,
+             ANTENNA1=obs.ant1,
+             ANTENNA2=obs.ant2,
+             FLAG=np.zeros(data.shape, bool),
+             WEIGHT_SPECTRUM=np.ones(data.shape),
+             FREQ=obs.freq,
+             RA=np.array(obs.ra),
+             DEC=np.array(obs.dec),
+             POLTYPE=np.array(pol))
+    if jones is not None:
+        np.savez(str(path) + ".gains.npz", jones=jones, gain_time=utime,
+                 gain_freq=obs.freq)
+    return model, Ix, Iy, nx, cell_rad, jones

@@ -1,0 +1,133 @@
+"""grid worker: xds -> dds (dirty/PSF/PSFHAT/weights per (time, band)).
+
+TPU-native equivalent of pfb/workers/grid.py:124-588: image sizing from
+uv_max (cell = cell_N / super_resolution_factor, even 5-smooth npix),
+ES-kernel uv counts -> Briggs robust weights, and the one-pass
+image_data_products per dataset. Beam evaluation currently attaches a
+unit beam (katbeam-equivalent models pending).
+"""
+
+import numpy as np
+
+from pfb_tpu.ops.dft import LIGHTSPEED
+from pfb_tpu.ops.fft import good_even_size
+from pfb_tpu.ops.gridder import image_data_products
+from pfb_tpu.ops.weighting import compute_counts, filter_extreme_counts
+from pfb_tpu.utils import dstore
+
+
+def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
+          nband=None, field_of_view=None, cell_size=None, nx=None,
+          ny=None, super_resolution_factor=2.0, robustness=None,
+          psf=True, psf_oversize=2.0, residual=True, weight=True,
+          filter_extreme_counts_flag=False, filter_level=10.0,
+          l2reweight_dof=None, overwrite=True, write=True,
+          backend="dft", x0=0.0, y0=0.0, **kw):
+    """Returns the list of dds datasets (and writes
+    ``{output_filename}_{PRODUCT}_{suffix}.dds`` unless write=False)."""
+    if xdsi is None:
+        xds = dstore.read_store(f"{output_filename}_{product.upper()}.xds")
+    else:
+        xds = xdsi
+
+    freqs_out = np.unique([ds["freq_out"] for ds in xds])
+    times_out = np.unique([ds["time_out"] for ds in xds])
+    nband_in = freqs_out.size
+    if nband is not None and nband != nband_in:
+        raise NotImplementedError(
+            "channel re-binning (concat_chan) not implemented yet; "
+            f"got nband={nband} but {nband_in} input bands")
+    nband = nband_in
+
+    # image size from uv_max (reference grid.py:226-264)
+    uv_max = max(np.abs(ds["UVW"][:, :2]).max() for ds in xds)
+    max_freq = max(ds["FREQ"].max() for ds in xds)
+    cell_N = 1.0 / (2 * uv_max * max_freq / LIGHTSPEED)
+    if cell_size is not None:
+        cell_rad = cell_size * np.pi / 60 / 60 / 180
+        if cell_N / cell_rad < 1:
+            raise ValueError("Requested cell size too large.")
+    else:
+        cell_rad = cell_N / super_resolution_factor
+
+    if nx is None:
+        fov = field_of_view * 3600
+        cell_arcsec = cell_rad * 60 * 60 * 180 / np.pi
+        npix = good_even_size(int(fov / cell_arcsec))
+        nx = ny = npix
+    else:
+        ny = ny if ny is not None else nx
+
+    nx_psf = good_even_size(int(psf_oversize * nx))
+    ny_psf = good_even_size(int(psf_oversize * ny))
+
+    import jax.numpy as jnp
+
+    real_type = xds[0]["WEIGHT"].dtype
+
+    dds = []
+    for ds in xds:
+        bandid = int(np.where(freqs_out == ds["freq_out"])[0][0])
+        timeid = int(np.where(times_out == ds["time_out"])[0][0])
+        from pfb_tpu.config import to_device
+        uvw = jnp.asarray(ds["UVW"])
+        freq = jnp.asarray(ds["FREQ"])
+        vis = to_device(ds["VIS"])
+        wgt = jnp.asarray(ds["WEIGHT"])
+        mask = jnp.asarray(ds["MASK"])
+
+        if robustness is not None:
+            counts = compute_counts(uvw, freq, mask, nx, ny,
+                                    cell_rad, cell_rad)
+            if filter_extreme_counts_flag:
+                counts = jnp.asarray(filter_extreme_counts(
+                    np.asarray(counts), level=filter_level))
+        else:
+            counts = None
+
+        model = ds.get("MODEL")
+        out = image_data_products(
+            uvw, freq, vis, wgt, mask, counts, nx, ny, nx_psf, ny_psf,
+            cell_rad, cell_rad, model=model, robustness=robustness,
+            x0=x0, y0=y0, l2reweight_dof=l2reweight_dof, do_psf=psf,
+            do_weight=weight, do_residual=residual, backend=backend)
+
+        out_ds = {
+            "ra": ds["ra"], "dec": ds["dec"], "x0": x0, "y0": y0,
+            "cell_rad": cell_rad, "bandid": bandid, "timeid": timeid,
+            "freq_out": ds["freq_out"], "time_out": ds["time_out"],
+            "robustness": robustness, "product": product,
+            "super_resolution_factor": super_resolution_factor,
+            "field_of_view": field_of_view, "nx": nx, "ny": ny,
+            "nx_psf": nx_psf, "ny_psf": ny_psf,
+            "FREQ": np.asarray(ds["FREQ"]),
+            "UVW": np.asarray(ds["UVW"]),
+            "MASK": np.asarray(ds["MASK"]),
+            "BEAM": np.ones((nx, ny), real_type),
+            "DIRTY": np.asarray(out["DIRTY"]),
+            "WSUM": np.asarray(out["WSUM"]),
+        }
+        if psf:
+            out_ds["PSF"] = np.asarray(out["PSF"])
+            # PSFHAT is complex; keep device->host copy off the TPU
+            # complex-transfer path by storing real/imag views
+            ph = out["PSFHAT"]
+            out_ds["PSFHAT_real"] = np.asarray(ph.real)
+            out_ds["PSFHAT_imag"] = np.asarray(ph.imag)
+        if weight:
+            out_ds["WEIGHT"] = np.asarray(out["WEIGHT"])
+        if "RESIDUAL" in out:
+            out_ds["RESIDUAL"] = np.asarray(out["RESIDUAL"])
+        if counts is not None:
+            out_ds["COUNTS"] = np.asarray(counts)
+        dds.append(out_ds)
+
+    if write and output_filename is not None:
+        name = f"{output_filename}_{product.upper()}_{suffix}.dds"
+        dstore.write_store(name, dds, overwrite=overwrite)
+    return dds
+
+
+def psfhat_of(ds):
+    """Reassemble the complex PSFHAT of a dds dataset."""
+    return ds["PSFHAT_real"] + 1j * ds["PSFHAT_imag"]

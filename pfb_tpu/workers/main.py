@@ -1,0 +1,119 @@
+"""pfb-tpu CLI.
+
+Equivalent of the reference console script (pfb/workers/main.py:1-13 +
+scabha clickify): one click group with a sub-command per worker, options
+generated from the YAML schemas in pfb_tpu/parser/.
+"""
+
+import click
+
+from pfb_tpu.parser.schemas import defaults_for, schema
+
+_DTYPES = {"str": str, "int": int, "float": float, "bool": bool}
+
+
+def _clickify(worker):
+    """Decorate a command with options from the worker's schema."""
+    spec = getattr(schema, worker)
+
+    def deco(fn):
+        for key, field in reversed(list(spec.get("inputs", {}).items())):
+            opt = f"--{key}"
+            names = [opt]
+            if field.get("abbreviation"):
+                names.append(f"-{field['abbreviation']}")
+            dtype = _DTYPES.get(field.get("dtype", "str"), str)
+            if dtype is bool:
+                fn = click.option(opt + "/--no-" + key,
+                                  default=field.get("default", False),
+                                  help=field.get("info", ""))(fn)
+            else:
+                fn = click.option(*names, type=dtype,
+                                  default=field.get("default"),
+                                  required=field.get("required", False),
+                                  show_default=True,
+                                  help=field.get("info", ""))(fn)
+        return fn
+
+    return deco
+
+
+@click.group()
+def cli():
+    """pfb-tpu: TPU-native radio-interferometric imaging suite."""
+
+
+@cli.command()
+@_clickify("init")
+def init(**kw):
+    """Create a Stokes visibility store from an MS."""
+    from pfb_tpu.workers.init import _init
+    args = defaults_for("init")
+    args.update({k: v for k, v in kw.items() if v is not None})
+    _init(write=True, **args)
+
+
+@cli.command()
+@_clickify("grid")
+def grid(**kw):
+    """Grid visibilities to dirty/PSF image products."""
+    from pfb_tpu.workers.grid import _grid
+    args = defaults_for("grid")
+    args.update({k: v for k, v in kw.items() if v is not None})
+    args["filter_extreme_counts_flag"] = args.pop(
+        "filter_extreme_counts", False)
+    _grid(write=True, **args)
+
+
+@cli.command()
+@_clickify("klean")
+def klean(**kw):
+    """Modified single-scale CLEAN."""
+    from pfb_tpu.workers.klean import _klean
+    args = defaults_for("klean")
+    args.update({k: v for k, v in kw.items() if v is not None})
+    _klean(write=True, **args)
+
+
+@cli.command()
+@_clickify("spotless")
+def spotless(**kw):
+    """SARA wavelet-sparsity deconvolution."""
+    from pfb_tpu.workers.spotless import _spotless
+    args = defaults_for("spotless")
+    args.update({k: v for k, v in kw.items() if v is not None})
+    _spotless(write=True, **args)
+
+
+@cli.command()
+@_clickify("model2comps")
+def model2comps(**kw):
+    """Fit the model cube to a continuous parametrisation."""
+    from pfb_tpu.workers.model2comps import _model2comps
+    args = defaults_for("model2comps")
+    args.update({k: v for k, v in kw.items() if v is not None})
+    _model2comps(**args)
+
+
+@cli.command()
+@_clickify("degrid")
+def degrid(**kw):
+    """Render the component model to model visibilities."""
+    from pfb_tpu.workers.degrid import _degrid
+    args = defaults_for("degrid")
+    args.update({k: v for k, v in kw.items() if v is not None})
+    _degrid(write=True, **args)
+
+
+@cli.command()
+@_clickify("restore")
+def restore(**kw):
+    """Write restored FITS image products."""
+    from pfb_tpu.workers.restore import _restore
+    args = defaults_for("restore")
+    args.update({k: v for k, v in kw.items() if v is not None})
+    _restore(**args)
+
+
+if __name__ == "__main__":
+    cli()

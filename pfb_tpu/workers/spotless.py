@@ -1,0 +1,187 @@
+"""spotless worker: SARA wavelet-sparsity deconvolution (the PFB core).
+
+TPU-native equivalent of pfb/workers/spotless.py:57-426: image-space
+PSF-Hessian, power-method spectral norm, SARA dictionary, per-major-
+iteration primal-dual backward step with positivity, exact vis-space
+residual, l1-reweighting from iteration l1reweight_from, divergence
+guard and MODEL/DUAL/RESIDUAL/MODEL_BEST writeback for resume.
+"""
+
+from functools import partial
+
+import numpy as np
+
+from pfb_tpu.ops.gridder import hessian_dds
+from pfb_tpu.ops.psf import make_psf_convolve
+from pfb_tpu.ops.psi import make_psi, psi_dot, psi_hdot
+from pfb_tpu.opt.power_method import power_method
+from pfb_tpu.opt.primal_dual import primal_dual
+from pfb_tpu.utils import dstore
+from pfb_tpu.utils.misc import fitcleanbeam
+from pfb_tpu.workers.cubes import dds2cubes
+
+
+def _spotless(ddsi=None, output_filename=None, product="I",
+              suffix="main", nband=None, niter=5, tol=5e-4,
+              rmsfactor=1.0, init_factor=0.5, gamma=1.0, bases="self,db1,db2",
+              nlevels=3, l1reweight_from=5, alpha=4.0, hessnorm=None,
+              pm_tol=1e-5, pm_maxit=100, pd_tol=1e-5, pd_maxit=500,
+              positivity=1, epsilon=1e-7, backend="dft", write=True,
+              band_chunk=None, verbose=1, **kw):
+    """Returns (model, residual_cube). Writes back into the dds store."""
+    import jax.numpy as jnp
+
+    dds_name = None
+    if ddsi is None:
+        dds_name = f"{output_filename}_{product.upper()}_{suffix}.dds"
+        dds = dstore.read_store(dds_name)
+    else:
+        dds = ddsi
+        if output_filename is not None:
+            dds_name = f"{output_filename}_{product.upper()}_{suffix}.dds"
+            if not dstore.store_exists(dds_name):
+                dstore.write_store(dds_name, dds)
+
+    freqs_out = np.unique([ds["freq_out"] for ds in dds])
+    nband = freqs_out.size if nband is None else nband
+    nx, ny = dds[0]["DIRTY"].shape
+    ny_psf = dds[0]["PSF"].shape[-1]
+
+    dirty, model, residual, psf, psfhat, beam, wsums, dual = dds2cubes(
+        dds, nband, apparent=False)
+    wsum = wsums.sum()
+    psf_mfs = psf.sum(axis=0)
+    assert (psf_mfs.max() - 1.0) < 2 * epsilon  # reference spotless.py:149
+    if residual is None:
+        residual = dirty.copy()
+    residual_mfs = residual.sum(axis=0)
+
+    iter0 = int(dds[0].get("niters", 0))
+
+    from pfb_tpu.config import to_device
+    psfhat_j = to_device(psfhat)
+    psf_convolve = make_psf_convolve(psfhat_j, ny_psf,
+                                     band_chunk=band_chunk)
+
+    if hessnorm is None:
+        hessnorm, _ = power_method(psf_convolve, (nband, nx, ny),
+                                   tol=pm_tol, maxit=pm_maxit,
+                                   dtype=dirty.dtype)
+        hessnorm = float(hessnorm) * 1.05  # reference spotless.py:193
+    if verbose:
+        print(f"spotless: hessnorm = {hessnorm:.3e}")
+
+    bases_t = tuple(bases.split(","))
+    nbasis = len(bases_t)
+    psi = make_psi(nx, ny, bases_t, nlevels)
+    psiH = partial(psi_dot, psi=psi)
+    psiF = partial(psi_hdot, psi=psi)
+
+    # pixels per beam from the fitted clean beam
+    # (reference spotless.py:205-211)
+    GaussPar = fitcleanbeam(psf_mfs[None], level=0.5, pixsize=1.0)[0]
+    pix_per_beam = GaussPar[0] * GaussPar[1] * np.pi / 4
+    if verbose:
+        print(f"spotless: pixels per beam = {pix_per_beam:.2f}")
+
+    # rms in coefficient space (reference spotless.py:213-223)
+    fsel = wsums > 0
+
+    def coeff_rms(img_cube):
+        tmp = img_cube.copy()
+        tmp[fsel] *= wsum / wsums[fsel, None, None]
+        coeffs = np.asarray(psiH(jnp.asarray(tmp / pix_per_beam)))
+        return np.std(coeffs.sum(axis=0), axis=(-1, -2))[:, None, None]
+
+    rms_comps = coeff_rms(residual)
+
+    if dual is None or dual.shape[1] != nbasis:
+        dual = np.zeros((nband, nbasis, psi.Nymax, psi.Nxmax),
+                        dirty.dtype)
+    l1weight = jnp.ones((nbasis, psi.Nymax, psi.Nxmax), dirty.dtype)
+
+    rms = np.std(residual_mfs)
+    rmax = np.abs(residual_mfs).max()
+    best_rms, best_rmax = rms, rmax
+    best_model = model.copy()
+    diverge_count = 0
+    if verbose:
+        print(f"spotless iter {iter0}: peak residual = {rmax:.3e}, "
+              f"rms = {rms:.3e}")
+
+    dual_j = jnp.asarray(dual)
+    for k in range(iter0, iter0 + niter):
+        modelp = model.copy()
+        data = jnp.asarray(residual) + psf_convolve(jnp.asarray(model))
+
+        def grad21(x, data=data):
+            return psf_convolve(x) - data
+
+        rf = init_factor * rmsfactor if k == iter0 else rmsfactor
+
+        # l1 reweighting closure, active from l1reweight_from
+        # (reference spotless.py:357-371 and misc.py:1070-1080)
+        if k + 1 - iter0 >= l1reweight_from:
+            rms_comps_j = jnp.asarray(rms_comps)
+
+            def reweighter(x):
+                mcomps = jnp.abs(jnp.sum(psiH(x), axis=0))
+                return (1 + rmsfactor) / \
+                    (1 + mcomps**alpha / rms_comps_j**alpha)
+        else:
+            reweighter = None
+
+        model_j, dual_j, l1weight, pd_iters = primal_dual(
+            jnp.asarray(model), dual_j, rf * rms, psiH, psiF, hessnorm,
+            l1weight, grad21, reweighter=reweighter, nu=nbasis,
+            tol=pd_tol, maxit=pd_maxit, positivity=positivity,
+            gamma=gamma)
+        model = np.asarray(model_j)
+
+        conv = np.asarray(hessian_dds(model_j, dds, wsum,
+                                      use_beam=False, backend=backend))
+        residual = dirty - conv
+        residual_mfs = residual.sum(axis=0)
+
+        rmsp = rms
+        rms = np.std(residual_mfs)
+        rmax = np.abs(residual_mfs).max()
+        eps = np.linalg.norm(model - modelp) / np.linalg.norm(model)
+        if rms < best_rms:
+            best_rms, best_rmax = rms, rmax
+            best_model = model.copy()
+
+        if verbose:
+            print(f"spotless iter {k + 1}: peak residual = {rmax:.3e}, "
+                  f"rms = {rms:.3e}, eps = {eps:.3e} "
+                  f"(pd iters {int(pd_iters)})")
+
+        if k + 1 - iter0 >= l1reweight_from:
+            rms_comps = coeff_rms(residual)
+
+        if write and dds_name is not None:
+            dual_np = np.asarray(dual_j)
+            for i, ds in enumerate(dds):
+                b = ds["bandid"]
+                arrays = {"RESIDUAL": residual[b] * wsum,
+                          "MODEL": model[b],
+                          "DUAL": dual_np[b],
+                          "MODEL_BEST": best_model[b]}
+                attrs = {"niters": k + 1, "best_rms": float(best_rms),
+                         "best_rmax": float(best_rmax),
+                         "parametrisation": "id"}
+                dstore.update_ds(dds_name, i, arrays, attrs)
+                ds.update(arrays)
+                ds.update(attrs)
+
+        if eps < tol:
+            if verbose:
+                print(f"spotless: converged after {k + 1} iterations")
+            break
+        if rms > rmsp:
+            diverge_count += 1
+            if diverge_count > 3:
+                print("spotless: algorithm diverging, terminating")
+                break
+
+    return model, residual
