@@ -1,0 +1,113 @@
+"""Benchmark: PSF-Hessian matvec throughput at the BASELINE.json target
+(4096^2 x 8 bands, float32) plus PCG iteration rate, on whatever
+accelerator is attached.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+vs_baseline is the measured fraction of the HBM-roofline
+("speed-of-light") time for the matvec on this chip: the op is
+bandwidth-bound, moving ~5 full padded cubes (pad write, fft read+write
+as complex, ifft read+write) of 8 x 8192^2 float32 = 2.15 GB each
+(~12.9 GB) against the chip's nominal HBM bandwidth (819 GB/s on TPU
+v5e). 1.0 would mean the FFT convolve saturates HBM.
+
+The reference publishes no benchmark numbers (BASELINE.md), so there is
+no upstream figure to normalise against.
+
+Timing note: block_until_ready does not block on the axon TPU relay —
+synchronisation is forced with a scalar readback (see
+.claude/skills/verify/SKILL.md).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    from pfb_tpu.ops.fft import make_psfhat
+    from pfb_tpu.ops.psf import make_psf_convolve
+    from pfb_tpu.opt.pcg import pcg_bands
+
+    platform = jax.devices()[0].platform
+    on_accel = platform != "cpu"
+
+    if on_accel:
+        nband, nx = 8, 4096
+        band_chunk = 2
+    else:  # CPU smoke fallback so the bench always emits a line
+        nband, nx = 4, 512
+        band_chunk = None
+    nxp = 2 * nx
+
+    def sync(x):
+        return float(jnp.sum(x))
+
+    psf = jnp.zeros((nband, nxp, nxp), jnp.float32)
+    psf = psf.at[:, nx, nx].set(0.5)
+    # decaying sidelobe structure so the FFT sees a dense spectrum
+    psfhat = make_psfhat(psf, band_chunk=band_chunk)
+    del psf
+    hess = make_psf_convolve(psfhat, nxp, band_chunk=band_chunk)
+
+    x = jnp.full((nband, nx, nx), 1e-3, jnp.float32)
+    sync(hess(x))  # compile + warm
+
+    # ---- matvec throughput ----
+    best = np.inf
+    for _ in range(3):
+        n = 5
+        z = x
+        t0 = time.perf_counter()
+        for _ in range(n):
+            z = hess(z)
+        sync(z)
+        dt = (time.perf_counter() - t0) / n
+        best = min(best, dt)
+    matvecs_per_s = 1.0 / best
+
+    # roofline: ~5 padded-cube passes of HBM traffic
+    bytes_moved = 5 * nband * nxp * nxp * 4
+    hbm_bw = 819e9 if platform == "tpu" else 100e9  # v5e nominal
+    sol_time = bytes_moved / hbm_bw
+    vs_baseline = sol_time / best  # fraction of speed-of-light
+
+    # ---- PCG iteration rate (fixed 20 iterations) ----
+    b = hess(x)
+    niter = 20
+
+    def run_pcg():
+        return pcg_bands(lambda v: hess(v), b, x0=jnp.zeros_like(b),
+                         tol=0.0, maxit=niter, minit=niter,
+                         backtrack=False)
+    sync(run_pcg())  # compile
+    t0 = time.perf_counter()
+    sync(run_pcg())
+    pcg_iters_per_s = niter / (time.perf_counter() - t0)
+
+    result = {
+        "metric": f"psf_hessian_matvecs_per_s@{nx}^2x{nband}b_f32",
+        "value": round(matvecs_per_s, 3),
+        "unit": "matvec/s",
+        "vs_baseline": round(vs_baseline, 4),
+        "platform": platform,
+        "matvec_ms": round(best * 1e3, 2),
+        "pcg_iters_per_s": round(pcg_iters_per_s, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

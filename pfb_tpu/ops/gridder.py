@@ -78,7 +78,9 @@ def image_data_products(uvw, freq, vis, wgt, mask, counts,
                        cellx=cellx, celly=celly, x0=x0, y0=y0)
 
     if do_psf:
-        psf_vis = jnp.ones_like(vis)
+        # real-valued unit visibilities (imag = 0); avoids materialising
+        # a complex constant, which some TPU runtimes cannot transfer
+        psf_vis = jnp.ones(vis.shape, jnp.finfo(vis.dtype).dtype)
         if x0 or y0:
             # PSF visibilities at the shifted phase centre: transform of
             # a unit delta at (x0, y0) (reference gridder.py:659-687)

@@ -1,0 +1,375 @@
+"""ES-kernel w-stacking (de)gridder — the FFT-based measurement
+operator for large visibility counts.
+
+A from-scratch TPU-native implementation of the semantics the reference
+gets from ducc0.wgridder (pfb/operators/gridder.py:10): type-1/type-2
+NUFFT on an oversampled uv grid using the "exponential of semicircle"
+kernel
+
+    C(x) = exp(beta * k * (sqrt(1 - x^2) - 1)),  |x| <= 1
+
+with w-stacking for the non-coplanar term: visibilities are spread along
+a third (w) axis with the same kernel, each w-plane is transformed and
+phased by exp(+/- 2 pi i w (n-1)), and the final image is corrected by
+the kernel's Fourier transform ("grid correction") in l, m and n-1.
+
+Conventions identical to pfb_tpu.ops.dft (the exact oracle):
+    degrid: vis = sum_lm I(l,m) exp(-2 pi i (u l + v m + w (n-1)) f/c)
+    grid:   I   = sum_rc  wgt mask Re[vis exp(+2 pi i (...))]
+with pixel centres l_i = (i - nx//2) cell.
+
+The scatter/gather is XLA scatter-add over (row*chan, k, k) stencils,
+chunked over rows to bound memory. A Pallas kernel can replace the
+scatter without changing this interface.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from pfb_tpu.ops.dft import LIGHTSPEED, nterm
+
+
+def kernel_params(epsilon):
+    """(support k, beta) for a target accuracy at oversampling 2.0.
+
+    Calibrated against the DFT oracle (tests/test_wgridder.py): at
+    sigma=2, beta=2.3 the max relative error follows
+    ~10^(-0.73 k + 1.1), so k = (log10(1/eps) + 1.5) / 0.73.
+    """
+    k = int(np.ceil((-np.log10(epsilon) + 1.5) / 0.73))
+    k = max(4, min(18, k))
+    k += k % 2  # even support
+    return k, 2.3
+
+
+def es_kernel(x, beta, k):
+    arg = jnp.maximum(1.0 - x * x, 0.0)
+    return jnp.where(jnp.abs(x) <= 1.0,
+                     jnp.exp(beta * k * (jnp.sqrt(arg) - 1.0)), 0.0)
+
+
+def _es_kernel_ft(theta, beta, k, nquad=64):
+    """Continuous Fourier transform of the ES kernel (support [-k/2,
+    k/2] grid cells): c_hat(theta) = int C(2x/k) e^{2 pi i x theta} dx,
+    computed by Gauss-Legendre quadrature (real, even)."""
+    # integrate over x in [0, k/2], doubled (even kernel)
+    xq, wq = np.polynomial.legendre.leggauss(nquad)
+    xq = 0.5 * (xq + 1.0) * (k / 2.0)  # [0, k/2]
+    wq = wq * (k / 4.0)
+    xq = jnp.asarray(xq)
+    wq = jnp.asarray(wq)
+    cx = es_kernel(xq / (k / 2.0), beta, k)
+    # theta (...,) -> (..., nquad)
+    ph = 2.0 * jnp.pi * theta[..., None] * xq
+    return 2.0 * jnp.sum(wq * cx * jnp.cos(ph), axis=-1)
+
+
+def _grid_setup(nx, ny, cellx, celly, sigma):
+    N_x = int(sigma * nx)
+    N_y = int(sigma * ny)
+    # make even for clean rolls
+    N_x += N_x % 2
+    N_y += N_y % 2
+    return N_x, N_y
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny",
+                                   "row_chunk", "nw", "do_wgridding"))
+def _spread(uvw, freq, vis_w, nx, ny, cellx, celly, k, beta, Nx, Ny,
+            row_chunk, do_wgridding, nw, w0, dw):
+    """Scatter visibilities onto the (nw, Nx, Ny) oversampled grid
+    stack. vis_w = wgt * mask * vis (complex)."""
+    nrow, nchan = vis_w.shape
+    scale = freq / LIGHTSPEED
+
+    nchunk = -(-nrow // row_chunk)
+    npad = nchunk * row_chunk - nrow
+    uvw_p = jnp.pad(uvw, ((0, npad), (0, 0)))
+    vr = jnp.pad(vis_w.real, ((0, npad), (0, 0)))
+    vi = jnp.pad(vis_w.imag, ((0, npad), (0, 0)))
+
+    ko2 = k // 2
+    offs = jnp.arange(-ko2 + 1, ko2 + 1)  # k offsets around rounded pos
+
+    def chunk_fn(carry, args):
+        gr, gi = carry
+        uvw_c, vr_c, vi_c = args
+        # continuous grid positions (cycles per pixel * N)
+        ul = uvw_c[:, 0:1] * scale[None, :] * cellx * Nx  # (R, nchan)
+        vl = uvw_c[:, 1:2] * scale[None, :] * celly * Ny
+        wl = uvw_c[:, 2:3] * scale[None, :]
+
+        u0 = jnp.round(ul).astype(jnp.int32)
+        v0 = jnp.round(vl).astype(jnp.int32)
+        xi = u0[..., None] + offs  # (R, nchan, k)
+        yi = v0[..., None] + offs
+        cu = es_kernel((xi - ul[..., None]) / ko2, beta, k)
+        cv = es_kernel((yi - vl[..., None]) / ko2, beta, k)
+
+        xim = jnp.mod(xi, Nx)
+        yim = jnp.mod(yi, Ny)
+
+        if do_wgridding:
+            wpos = (wl - w0) / dw  # (R, nchan)
+            p0 = jnp.round(wpos).astype(jnp.int32)
+            woffs = offs
+            pi = p0[..., None] + woffs  # (R, nchan, k)
+            cw = es_kernel((pi - wpos[..., None]) / ko2, beta, k)
+            pic = jnp.clip(pi, 0, nw - 1)
+            # combined stencil (R, nchan, k, k, k) would be huge;
+            # loop the w support in Python (k is small & static)
+            for t in range(k):
+                cwt = cw[..., t]
+                pit = pic[..., t]
+                val = (cwt[..., None, None] * cu[..., :, None] *
+                       cv[..., None, :])
+                vr_s = val * vr_c[..., None, None]
+                vi_s = val * vi_c[..., None, None]
+                pidx = jnp.broadcast_to(pit[..., None, None],
+                                        vr_s.shape).reshape(-1)
+                xidx = jnp.broadcast_to(xim[..., :, None],
+                                        vr_s.shape).reshape(-1)
+                yidx = jnp.broadcast_to(yim[..., None, :],
+                                        vr_s.shape).reshape(-1)
+                gr = gr.at[pidx, xidx, yidx].add(vr_s.reshape(-1),
+                                                 mode="drop")
+                gi = gi.at[pidx, xidx, yidx].add(vi_s.reshape(-1),
+                                                 mode="drop")
+        else:
+            val = cu[..., :, None] * cv[..., None, :]
+            vr_s = val * vr_c[..., None, None]
+            vi_s = val * vi_c[..., None, None]
+            xidx = jnp.broadcast_to(xim[..., :, None],
+                                    vr_s.shape).reshape(-1)
+            yidx = jnp.broadcast_to(yim[..., None, :],
+                                    vr_s.shape).reshape(-1)
+            zidx = jnp.zeros_like(xidx)
+            gr = gr.at[zidx, xidx, yidx].add(vr_s.reshape(-1),
+                                             mode="drop")
+            gi = gi.at[zidx, xidx, yidx].add(vi_s.reshape(-1),
+                                             mode="drop")
+        return (gr, gi), None
+
+    rdtype = vis_w.real.dtype
+    grid0 = (jnp.zeros((nw, Nx, Ny), rdtype),
+             jnp.zeros((nw, Nx, Ny), rdtype))
+    (gr, gi), _ = lax.scan(
+        chunk_fn, grid0,
+        (uvw_p.reshape(nchunk, row_chunk, 3),
+         vr.reshape(nchunk, row_chunk, nchan),
+         vi.reshape(nchunk, row_chunk, nchan)))
+    return gr, gi
+
+
+def _w_params(uvw, freq, nm1_min, sigma, k):
+    """w-stacking plane setup (host side, needs concrete values)."""
+    wvals = np.abs(np.asarray(uvw[:, 2]))[:, None] * \
+        (np.asarray(freq)[None, :] / LIGHTSPEED)
+    wmax = wvals.max()
+    wmin = -wmax  # symmetric since |exp phase| depends on sign
+    # actual signed range:
+    wsigned = np.asarray(uvw[:, 2])[:, None] * \
+        (np.asarray(freq)[None, :] / LIGHTSPEED)
+    wmin = wsigned.min()
+    wmax = wsigned.max()
+    dnmax = abs(nm1_min)  # max |n-1| on the image
+    if dnmax == 0 or wmax == wmin:
+        return 1, float(wmin), 1.0
+    dw = 1.0 / (2.0 * sigma * dnmax)
+    nw = int(np.ceil((wmax - wmin) / dw)) + k + 1
+    w0 = wmin - (k / 2.0) * dw
+    return nw, float(w0), float(dw)
+
+
+def vis2dirty_wgrid(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
+                    cellx, celly, x0=0.0, y0=0.0, epsilon=1e-7,
+                    do_wgridding=True, sigma=2.0, row_chunk=2048,
+                    divide_by_n=False):
+    """R.H: visibilities -> dirty image via w-stacked ES gridding."""
+    if x0 or y0:
+        raise NotImplementedError(
+            "shifted phase centre: use the dft backend")
+    k, beta = kernel_params(epsilon)
+    Nx, Ny = _grid_setup(nx, ny, cellx, celly, sigma)
+    rdtype = jnp.finfo(vis.dtype).dtype
+
+    w = jnp.ones(vis.shape, rdtype) if wgt is None else wgt
+    if mask is not None:
+        w = w * mask
+    vis_w = vis * w
+
+    # n-1 over the image (host-side scalars for plane setup)
+    l = (np.arange(nx) - nx // 2) * cellx
+    m = (np.arange(ny) - ny // 2) * celly
+    eps_max = l.max() ** 2 + m.max() ** 2
+    nm1_min = -eps_max / (np.sqrt(max(1.0 - eps_max, 0.0)) + 1.0)
+
+    if do_wgridding:
+        nw, w0, dw = _w_params(np.asarray(uvw), np.asarray(freq),
+                               nm1_min, sigma, k)
+    else:
+        nw, w0, dw = 1, 0.0, 1.0
+
+    gr, gi = _spread(uvw, freq, vis_w, nx, ny, cellx, celly, k,
+                     beta, Nx, Ny, row_chunk, do_wgridding and nw > 1,
+                     nw, w0, dw)
+    return _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny,
+                          do_wgridding and nw > 1, nw, w0, dw,
+                          divide_by_n)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny", "nw",
+                                   "do_w", "divide_by_n"))
+def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
+                   nw, w0, dw, divide_by_n):
+    rdtype = gr.dtype
+    grid = lax.complex(gr, gi)
+    # inverse DFT: sum_p G(p) e^{+2 pi i p s / N}; index s = i - nx//2
+    img_full = jnp.fft.ifft2(grid, axes=(-2, -1)) * (Nx * Ny)
+    img = jnp.roll(img_full, (nx // 2, ny // 2), axis=(-2, -1))
+    img = img[..., :nx, :ny]
+
+    # l, m and grid corrections
+    li = (jnp.arange(nx) - nx // 2)
+    mi = (jnp.arange(ny) - ny // 2)
+    cx = _es_kernel_ft(li / Nx, beta, k).astype(rdtype)
+    cy = _es_kernel_ft(mi / Ny, beta, k).astype(rdtype)
+
+    ll = li * cellx
+    mm = mi * celly
+    llg, mmg = jnp.meshgrid(ll, mm, indexing="ij")
+    nm1 = nterm(llg, mmg).astype(rdtype)
+
+    if do_w:
+        # per-plane phase e^{+2 pi i w_p (n-1)} and w-axis correction
+        wp = w0 + dw * jnp.arange(nw)
+        ph = 2.0 * jnp.pi * wp[:, None, None] * nm1[None]
+        img = jnp.sum(img * lax.complex(jnp.cos(ph), jnp.sin(ph)),
+                      axis=0)
+        cw = _es_kernel_ft(nm1 * dw, beta, k).astype(rdtype)
+        img = img / cw
+    else:
+        img = img[0]
+
+    out = img.real / (cx[:, None] * cy[None, :])
+    if divide_by_n:
+        out = out / (nm1 + 1.0)
+    return out
+
+
+def dirty2vis_wgrid(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
+                    epsilon=1e-7, do_wgridding=True, sigma=2.0,
+                    row_chunk=2048, divide_by_n=False, **kw):
+    """R: image -> visibilities (adjoint chain of vis2dirty_wgrid with
+    the conjugate kernel: e^{-2 pi i(...)})."""
+    if x0 or y0:
+        raise NotImplementedError(
+            "shifted phase centre: use the dft backend")
+    nx, ny = image.shape
+    k, beta = kernel_params(epsilon)
+    Nx, Ny = _grid_setup(nx, ny, cellx, celly, sigma)
+
+    l = (np.arange(nx) - nx // 2) * cellx
+    m = (np.arange(ny) - ny // 2) * celly
+    eps_max = l.max() ** 2 + m.max() ** 2
+    nm1_min = -eps_max / (np.sqrt(max(1.0 - eps_max, 0.0)) + 1.0)
+    if do_wgridding:
+        nw, w0, dw = _w_params(np.asarray(uvw), np.asarray(freq),
+                               nm1_min, sigma, k)
+    else:
+        nw, w0, dw = 1, 0.0, 1.0
+
+    grids = _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny,
+                           do_wgridding and nw > 1, nw, w0, dw,
+                           divide_by_n)
+    return _interp(grids, uvw, freq, cellx, celly, k, beta, Nx, Ny,
+                   row_chunk, do_wgridding and nw > 1, nw, w0, dw)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny", "nw",
+                                   "do_w", "divide_by_n"))
+def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
+                   nw, w0, dw, divide_by_n):
+    rdtype = image.dtype
+    li = (jnp.arange(nx) - nx // 2)
+    mi = (jnp.arange(ny) - ny // 2)
+    cx = _es_kernel_ft(li / Nx, beta, k).astype(rdtype)
+    cy = _es_kernel_ft(mi / Ny, beta, k).astype(rdtype)
+    ll = li * cellx
+    mm = mi * celly
+    llg, mmg = jnp.meshgrid(ll, mm, indexing="ij")
+    nm1 = nterm(llg, mmg).astype(rdtype)
+
+    img = image / (cx[:, None] * cy[None, :])
+    if divide_by_n:
+        img = img / (nm1 + 1.0)
+
+    if do_w:
+        cw = _es_kernel_ft(nm1 * dw, beta, k).astype(rdtype)
+        img = img / cw
+        wp = w0 + dw * jnp.arange(nw)
+        ph = -2.0 * jnp.pi * wp[:, None, None] * nm1[None]
+        stack = img[None] * lax.complex(jnp.cos(ph), jnp.sin(ph))
+    else:
+        stack = lax.complex(img, jnp.zeros_like(img))[None]
+
+    # embed at s = i - nx//2 (inverse of the roll+crop) and forward DFT:
+    # G(p) = sum_s f(s) e^{-2 pi i p s / N}
+    full = jnp.zeros((stack.shape[0], Nx, Ny), stack.dtype)
+    full = full.at[:, :nx, :ny].set(stack)
+    full = jnp.roll(full, (-(nx // 2), -(ny // 2)), axis=(-2, -1))
+    return jnp.fft.fft2(full, axes=(-2, -1))
+
+
+@partial(jax.jit, static_argnames=("k", "Nx", "Ny", "row_chunk", "nw",
+                                   "do_w"))
+def _interp(grids, uvw, freq, cellx, celly, k, beta, Nx, Ny, row_chunk,
+            do_w, nw, w0, dw):
+    nrow = uvw.shape[0]
+    nchan = freq.shape[0]
+    scale = freq / LIGHTSPEED
+    ko2 = k // 2
+    offs = jnp.arange(-ko2 + 1, ko2 + 1)
+
+    nchunk = -(-nrow // row_chunk)
+    npad = nchunk * row_chunk - nrow
+    uvw_p = jnp.pad(uvw, ((0, npad), (0, 0)))
+
+    def chunk_fn(uvw_c):
+        ul = uvw_c[:, 0:1] * scale[None, :] * cellx * Nx
+        vl = uvw_c[:, 1:2] * scale[None, :] * celly * Ny
+        wl = uvw_c[:, 2:3] * scale[None, :]
+        u0 = jnp.round(ul).astype(jnp.int32)
+        v0 = jnp.round(vl).astype(jnp.int32)
+        xi = u0[..., None] + offs
+        yi = v0[..., None] + offs
+        cu = es_kernel((xi - ul[..., None]) / ko2, beta, k)
+        cv = es_kernel((yi - vl[..., None]) / ko2, beta, k)
+        xim = jnp.mod(xi, Nx)
+        yim = jnp.mod(yi, Ny)
+
+        if do_w:
+            wpos = (wl - w0) / dw
+            p0 = jnp.round(wpos).astype(jnp.int32)
+            pi = p0[..., None] + offs
+            cw = es_kernel((pi - wpos[..., None]) / ko2, beta, k)
+            pic = jnp.clip(pi, 0, nw - 1)
+            acc = None
+            for t in range(k):
+                patch = grids[pic[..., t][..., None, None],
+                              xim[..., :, None], yim[..., None, :]]
+                contrib = jnp.sum(
+                    patch * (cu[..., :, None] * cv[..., None, :]),
+                    axis=(-2, -1)) * cw[..., t]
+                acc = contrib if acc is None else acc + contrib
+            return acc
+        patch = grids[0][xim[..., :, None], yim[..., None, :]]
+        return jnp.sum(patch * (cu[..., :, None] * cv[..., None, :]),
+                       axis=(-2, -1))
+
+    vis = lax.map(chunk_fn, uvw_p.reshape(nchunk, row_chunk, 3))
+    return vis.reshape(nchunk * row_chunk, nchan)[:nrow]

@@ -155,10 +155,11 @@ def pcg_bands(A, b, x0=None, M=None, tol=1e-5, maxit=500, minit=100,
     r = A(x0) - b
     y = M(r)
     p = -y
-    nband = b.shape[0]
     dt = jnp.result_type(b.dtype, jnp.float32)
-    eps0 = jnp.ones((nband, 1, 1), dt)
-    active0 = jnp.ones((nband, 1, 1), bool)
+    # derive per-band scalars from the input so they inherit its
+    # sharding/varyence (required when running inside shard_map)
+    eps0 = jnp.ones_like(b[:, :1, :1]).astype(dt)
+    active0 = jnp.ones_like(b[:, :1, :1], dtype=bool)
 
     def cond(state):
         x, r, y, p, eps, active, k = state

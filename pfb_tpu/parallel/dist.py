@@ -1,0 +1,204 @@
+"""Distributed (band-sharded) solver steps via shard_map.
+
+These are the SPMD equivalents of the reference's dask.distributed
+solvers (pfb/opt/pcg.py:363-420 pcg_dist, primal_dual.py:183-306
+primal_dual_dist, power_method.py:52-127 power_method_dist): each mesh
+shard owns a slice of the band axis and holds its bands' PSFHAT/data
+resident; the only communication is
+
+- psum of scalars (norms, Rayleigh quotients, eps) — the reference's
+  coordinator scalar reduces,
+- psum of the (nbasis, Nymax, Nxmax) band-sum of dual coefficients for
+  the MFS prox ratio — the reference's get_ratio gather/broadcast
+  (primal_dual.py:270-290), here one allreduce riding ICI.
+
+Everything else is band-local, preserving the reference's "big cubes
+stay put, reductions travel" design (SURVEY.md section 3.5).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from jax import shard_map
+
+from pfb_tpu.ops.fft import psf_convolve_cube
+from pfb_tpu.ops.psf import hessian_psf_cube
+
+
+def hessian_psf_dist(mesh, lastsize, sigmainv=0.0):
+    """Band-sharded PSF-Hessian matvec: purely local per shard."""
+    spec = P("band", None, None)
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec, spec),
+             out_specs=spec)
+    def matvec(x, psfhat):
+        return hessian_psf_cube(x, psfhat, lastsize=lastsize,
+                                sigmainv=sigmainv)
+
+    return jax.jit(matvec)
+
+
+def hessian_psf_space_dist(mesh, lastsize, sigmainv=0.0):
+    """Band- AND space-sharded PSF-Hessian matvec.
+
+    The image rows are sharded over the 'space' axis; each shard
+    all-gathers the rows of its bands over ICI, runs the local padded
+    FFT convolution, and keeps its own row block of the result. This is
+    the allgather variant of the spatially sharded convolution
+    (SURVEY.md section 5, "long-context analogue"); a halo/distributed-
+    FFT version can replace it without changing the interface.
+    """
+    spec = P("band", "space", None)
+    pspec = P("band", None, None)
+
+    def local(x, psfhat):
+        nxl = x.shape[1]
+        x_full = lax.all_gather(x, "space", axis=1, tiled=True)
+        out = hessian_psf_cube(x_full, psfhat, lastsize=lastsize,
+                               sigmainv=sigmainv)
+        rank = lax.axis_index("space")
+        return lax.dynamic_slice_in_dim(out, rank * nxl, nxl, axis=1)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(spec, pspec),
+                   out_specs=spec)
+    return jax.jit(fn)
+
+
+def power_method_dist(mesh, lastsize, tol=1e-5, maxit=200,
+                      sigmainv=0.0):
+    """Distributed power method: local matvecs + psum'd norms
+    (reference power_method_dist, opt/power_method.py:52-127)."""
+    spec = P("band", None, None)
+
+    def body_fn(b0, psfhat):
+        def gnorm_sq(v):
+            return lax.psum(jnp.sum(v * v), "band")
+
+        def gvdot(a, b):
+            return lax.psum(jnp.sum(a * b), "band")
+
+        b = b0 / jnp.sqrt(gnorm_sq(b0))
+        one = jnp.asarray(1.0, b0.dtype)
+
+        def cond(state):
+            b, beta, eps, k = state
+            return (eps > tol) & (k < maxit)
+
+        def body(state):
+            bp, beta, eps, k = state
+            bnew = hessian_psf_cube(bp, psfhat, lastsize=lastsize,
+                                    sigmainv=sigmainv)
+            betap = beta
+            beta = gvdot(bp, bnew) / gvdot(bp, bp)
+            bnew = bnew / jnp.sqrt(gnorm_sq(bnew))
+            eps = jnp.abs(beta - betap) / betap
+            return bnew, beta, eps, k + 1
+
+        b, beta, eps, k = lax.while_loop(
+            cond, body, (b, one, one, jnp.asarray(0, jnp.int32)))
+        return beta[None], b
+
+    fn = shard_map(body_fn, mesh=mesh, in_specs=(spec, spec),
+                   out_specs=(P(None), spec))
+
+    @jax.jit
+    def run(b0, psfhat):
+        beta, b = fn(b0, psfhat)
+        return beta[0], b
+
+    return run
+
+
+def pcg_dist(mesh, lastsize, sigmainv=0.0, tol=1e-5, maxit=500,
+             minit=10):
+    """Band-sharded PCG: per-band systems are independent, so each
+    shard runs the batched per-band PCG on its local bands with no
+    communication (reference pcg_dist, opt/pcg.py:363-420)."""
+    from pfb_tpu.opt.pcg import pcg_bands
+
+    spec = P("band", None, None)
+
+    def local(b, x0, psfhat):
+        def A(x):
+            return hessian_psf_cube(x, psfhat, lastsize=lastsize,
+                                    sigmainv=sigmainv)
+
+        M = (lambda x: x / sigmainv) if sigmainv > 0 else None
+        return pcg_bands(A, b, x0=x0, M=M, tol=tol, maxit=maxit,
+                         minit=minit)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                   out_specs=spec)
+    return jax.jit(fn)
+
+
+def _dual_update_dist(vp, v, lam, sigma, weight):
+    """MFS dual update with the band sum psum'd across the band shards
+    — the one true communication point of the distributed primal-dual
+    (reference get_ratio, primal_dual.py:187-199)."""
+    vtilde = vp + sigma * v
+    local_sum = jnp.sum(vtilde, axis=0)
+    global_sum = lax.psum(local_sum, "band")
+    vsum = jnp.abs(global_sum) / sigma
+    soft = jnp.maximum(vsum - lam * weight / sigma, 0.0)
+    scale = jnp.where(vsum != 0,
+                      1.0 - soft / jnp.where(vsum == 0, 1.0, vsum), 1.0)
+    return vtilde * scale[None]
+
+
+def primal_dual_dist(mesh, psi, lastsize, nu=None, tol=1e-5, maxit=500,
+                     positivity=1, gamma=1.0):
+    """Band-sharded primal-dual backward step.
+
+    Returns a jitted function
+        f(x, v, data, psfhat, l1weight, lam, L) -> (x, v)
+    with x, data (nband, nx, ny) and v (nband, nbasis, Nymax, Nxmax)
+    sharded over 'band'; l1weight replicated; lam, L scalars.
+    """
+    from pfb_tpu.ops.psi import psi_dot, psi_hdot
+    from pfb_tpu.opt.primal_dual import apply_positivity
+
+    if nu is None:
+        nu = psi.nbasis
+    cube = P("band", None, None)
+    coeff = P("band", None, None, None)
+    wspec = P(None, None, None)
+
+    def local(x, v, data, psfhat, l1weight, lam, L):
+        sigma = L / (2.0 * gamma) / nu
+        tau = 0.9 / (L / (2.0 * gamma) + sigma * nu**2)
+
+        def grad(xl):
+            return hessian_psf_cube(xl, psfhat, lastsize=lastsize) - data
+
+        def gnorm_sq(a):
+            return lax.psum(jnp.sum(a * a), "band")
+
+        def cond(state):
+            xp, vp, eps, k = state
+            return (eps > tol) & (k < maxit)
+
+        def body(state):
+            xp, vp, eps, k = state
+            vnew = _dual_update_dist(vp, psi_dot(xp, psi), lam, sigma,
+                                     l1weight)
+            xout = psi_hdot(2.0 * vnew - vp, psi) + grad(xp)
+            xnew = apply_positivity(xp - tau * xout, positivity)
+            num = gnorm_sq(xnew - xp)
+            den = 1e-12 + gnorm_sq(xnew)
+            eps = jnp.sqrt(num / den)
+            return xnew, vnew, eps, k + 1
+
+        dt = jnp.result_type(x.dtype, jnp.float32)
+        state0 = (x, v, jnp.asarray(1.0, dt), jnp.asarray(0, jnp.int32))
+        xf, vf, eps, k = lax.while_loop(cond, body, state0)
+        return xf, vf
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(cube, coeff, cube, cube, wspec, P(), P()),
+                   out_specs=(cube, coeff))
+    return jax.jit(fn)
