@@ -1,0 +1,109 @@
+"""fluxmop worker: standalone forward (PCG) step.
+
+Equivalent of pfb/workers/fluxmop.py:21-270: solve
+A update = beam * mask * residual with the image-space (PSF) or
+vis-space Hessian, add gamma * update to the model, recompute the exact
+residual and write MODEL/MODELP/UPDATE/RESIDUAL back (MODELP kept to
+revert on failure).
+"""
+
+import numpy as np
+
+from pfb_tpu.config import to_device
+from pfb_tpu.ops.gridder import hessian_dds
+from pfb_tpu.ops.psf import hessian_psf_cube
+from pfb_tpu.opt.pcg import pcg, pcg_bands
+from pfb_tpu.utils import dstore
+from pfb_tpu.workers.cubes import dds2cubes
+
+
+def _fluxmop(ddsi=None, output_filename=None, product="I",
+             suffix="main", nband=None, mask=None, min_model=0.0,
+             zero_model_outside_mask=False, use_psf=True, sigmainv=1e-5,
+             gamma=0.9, cg_tol=1e-5, cg_maxit=150, cg_minit=10,
+             backtrack=True, model_name="MODEL", backend="dft",
+             epsilon=1e-7, write=True, band_chunk=None, verbose=1, **kw):
+    """Returns (model, residual). Writes back into the dds store."""
+    import jax.numpy as jnp
+
+    dds_name = None
+    if ddsi is None:
+        dds_name = f"{output_filename}_{product.upper()}_{suffix}.dds"
+        dds = dstore.read_store(dds_name)
+    else:
+        dds = ddsi
+        if output_filename is not None:
+            dds_name = f"{output_filename}_{product.upper()}_{suffix}.dds"
+            if not dstore.store_exists(dds_name):
+                dstore.write_store(dds_name, dds)
+
+    freqs_out = np.unique([ds["freq_out"] for ds in dds])
+    nband = freqs_out.size if nband is None else nband
+    dirty, model, residual, psf, psfhat, beam, wsums, _ = dds2cubes(
+        dds, nband, apparent=False, modelname=model_name)
+    wsum = wsums.sum()
+    if residual is None:
+        residual = dirty.copy()
+    nx, ny = dirty.shape[-2:]
+    lastsize = dds[0]["PSF"].shape[-1]
+
+    def hess_exact(m):
+        return np.asarray(hessian_dds(jnp.asarray(m), dds, wsum,
+                                      use_beam=False, backend=backend))
+
+    # mask handling (reference fluxmop.py:126-156)
+    if mask is None:
+        mask_im = np.ones((nx, ny), dirty.dtype)
+    elif isinstance(mask, str) and mask == "model":
+        mask_im = np.any(model > min_model, axis=0).astype(dirty.dtype)
+    else:
+        mask_im = np.asarray(mask).astype(dirty.dtype)
+        if zero_model_outside_mask:
+            model[:, mask_im < 1] = 0
+            residual = dirty - hess_exact(model)
+
+    bm = jnp.asarray(beam * mask_im[None])
+    b = bm * jnp.asarray(residual)
+
+    if use_psf:
+        psfhat_j = to_device(psfhat)
+
+        def A(x):
+            return hessian_psf_cube(x, psfhat_j, beam=bm,
+                                    lastsize=lastsize,
+                                    sigmainv=sigmainv,
+                                    band_chunk=band_chunk)
+
+        update = np.asarray(pcg_bands(A, b, tol=cg_tol, maxit=cg_maxit,
+                                      minit=cg_minit,
+                                      backtrack=backtrack))
+    else:
+        def A(x):
+            out = hessian_dds(x, dds, wsum, sigmainv=np.sqrt(sigmainv),
+                              mask_image=jnp.asarray(mask_im),
+                              use_beam=False, backend=backend)
+            return out
+
+        update = np.asarray(pcg(A, b, tol=cg_tol, maxit=cg_maxit,
+                                minit=cg_minit, backtrack=backtrack))
+
+    modelp = model.copy()
+    model = model + gamma * update
+    residual = dirty - hess_exact(model)
+
+    if verbose:
+        rmfs = residual.sum(axis=0)
+        print(f"fluxmop: peak residual = {np.abs(rmfs).max():.3e}, "
+              f"rms = {np.std(rmfs):.3e}")
+
+    if write and dds_name is not None:
+        for i, ds in enumerate(dds):
+            bnd = ds["bandid"]
+            arrays = {"RESIDUAL": residual[bnd] * wsum,
+                      "MODEL": model[bnd],
+                      "MODELP": modelp[bnd],
+                      "UPDATE": update[bnd]}
+            dstore.update_ds(dds_name, i, arrays)
+            ds.update(arrays)
+
+    return model, residual

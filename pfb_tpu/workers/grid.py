@@ -30,14 +30,17 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
     else:
         xds = xdsi
 
+    nband_in = np.unique([ds["freq_out"] for ds in xds]).size
+    if nband is not None and nband != nband_in:
+        # channel re-binning (reference grid.py:203-214)
+        from pfb_tpu.workers.concat import concat_chan
+        xds = concat_chan(xds, nband)
+    if kw.get("concat_row"):
+        from pfb_tpu.workers.concat import concat_row
+        xds = concat_row(xds)
     freqs_out = np.unique([ds["freq_out"] for ds in xds])
     times_out = np.unique([ds["time_out"] for ds in xds])
-    nband_in = freqs_out.size
-    if nband is not None and nband != nband_in:
-        raise NotImplementedError(
-            "channel re-binning (concat_chan) not implemented yet; "
-            f"got nband={nband} but {nband_in} input bands")
-    nband = nband_in
+    nband = freqs_out.size
 
     # image size from uv_max (reference grid.py:226-264)
     uv_max = max(np.abs(ds["UVW"][:, :2]).max() for ds in xds)

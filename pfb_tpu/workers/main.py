@@ -115,5 +115,45 @@ def restore(**kw):
     _restore(**args)
 
 
+@cli.command()
+@_clickify("fluxmop")
+def fluxmop(**kw):
+    """Standalone forward (PCG) step."""
+    from pfb_tpu.workers.fluxmop import _fluxmop
+    args = defaults_for("fluxmop")
+    args.update({k: v for k, v in kw.items() if v is not None})
+    _fluxmop(write=True, **args)
+
+
+@cli.command()
+@_clickify("fastim")
+def fastim(**kw):
+    """High-cadence residual snapshot imaging."""
+    from pfb_tpu.workers.fastim import _fastim
+    args = defaults_for("fastim")
+    args.update({k: v for k, v in kw.items() if v is not None})
+    _fastim(write=True, **args)
+
+
+@cli.command()
+@_clickify("smoovie")
+def smoovie(**kw):
+    """Render fds snapshots to a movie."""
+    from pfb_tpu.workers.smoovie import _smoovie
+    args = defaults_for("smoovie")
+    args.update({k: v for k, v in kw.items() if v is not None})
+    _smoovie(write=True, **args)
+
+
+@cli.command()
+@_clickify("fwdbwd")
+def fwdbwd(**kw):
+    """Generalised forward-backward with nonlinear parametrisation."""
+    from pfb_tpu.workers.fwdbwd import _fwdbwd
+    args = defaults_for("fwdbwd")
+    args.update({k: v for k, v in kw.items() if v is not None})
+    _fwdbwd(write=True, **args)
+
+
 if __name__ == "__main__":
     cli()
