@@ -216,6 +216,41 @@ def pcg_bands(A, b, x0=None, M=None, tol=1e-5, maxit=500, minit=100,
     return x
 
 
+def cg_dct(A, b, x, tol=1e-5, maxit=500):
+    """CG over a dict-of-grids primal variable for multi-field imaging
+    (reference: pfb/opt/pcg.py:139-239, cg_dct). ``A`` maps and returns
+    pytrees matching ``b``/``x`` (dicts keyed on field then (t, b));
+    inner products reduce over all leaves. No preconditioning or
+    backtracking, like the reference.
+    """
+    import jax
+
+    def tree_vdot(a, c):
+        return sum(jnp.vdot(x_, y_).real for x_, y_ in zip(
+            jax.tree.leaves(a), jax.tree.leaves(c)))
+
+    def axpy(a, c, alpha):
+        return jax.tree.map(lambda x_, y_: x_ + alpha * y_, a, c)
+
+    r = jax.tree.map(lambda ax, bx: ax - bx, A(x), b)
+    p = jax.tree.map(lambda rx: -rx, r)
+    rnorm = tree_vdot(r, r)
+    k = 0
+    eps = rnorm
+    while eps > tol and k < maxit:
+        Ap = A(p)
+        alpha = rnorm / tree_vdot(p, Ap)
+        x = axpy(x, p, alpha)
+        r = axpy(r, Ap, alpha)
+        rnorm_next = tree_vdot(r, r)
+        beta = rnorm_next / rnorm
+        p = jax.tree.map(lambda p_, r_: beta * p_ - r_, p, r)
+        rnorm = rnorm_next
+        eps = rnorm
+        k += 1
+    return x, r
+
+
 def pcg_psf(psfhat, b, x0, beam=None, lastsize=None, sigmainv=0.0,
             tol=1e-5, maxit=500, minit=100, backtrack=True):
     """PCG against the per-band PSF Hessian, used by the klean flux mop

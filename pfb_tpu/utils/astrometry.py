@@ -1,0 +1,69 @@
+"""UVW synthesis and coordinate helpers.
+
+Equivalent of pfb/utils/astrometry.py: the reference recomputes UVW with
+casacore measures (fixvis-style, astrometry.py:19-103); here the same
+textbook chain (antenna ITRF/ENU -> hour angle -> uvw) is implemented
+directly. Ephemeris targets (get_coordinates for e.g. the Sun) need an
+ephemeris service and are stubbed.
+"""
+
+import numpy as np
+
+from pfb_tpu.utils.simulation import enu_to_xyz, xyz_to_uvw
+
+
+def synthesize_uvw(ants_enu, time_s, ant1, ant2, phase_dir, lat,
+                   lst0=0.0, earth_rate=2 * np.pi / 86164.0905):
+    """Recompute UVW for given antenna ENU positions and times.
+
+    phase_dir = (ra, dec) radians; lst approximated as
+    lst0 + earth_rate * t (sidereal). Mirrors the role of the
+    casacore-based synthesize_uvw (reference astrometry.py:19-103).
+    """
+    ra, dec = phase_dir
+    xyz = enu_to_xyz(ants_enu, lat)
+    utime, idx = np.unique(time_s, return_inverse=True)
+    uvw = np.zeros((time_s.size, 3))
+    for i, t in enumerate(utime):
+        ha = lst0 + earth_rate * t - ra
+        sel = idx == i
+        bl = xyz[ant1[sel]] - xyz[ant2[sel]]
+        uvw[sel] = xyz_to_uvw(bl, ha, dec)
+    return uvw
+
+
+def get_coordinates(obs_time, target="Sun"):
+    """Ephemeris target -> (ra, dec). Needs an ephemeris table which is
+    not available in this environment."""
+    raise NotImplementedError(
+        "Ephemeris targets require casacore measures / an ephemeris "
+        "service; pass explicit radec instead.")
+
+
+def radec_to_lm(radec_target, radec_phase_centre):
+    """Direction cosines of a target w.r.t. the phase centre (SIN
+    projection) — same convention as africanus' radec_to_lm used by the
+    grid worker (reference grid.py:371)."""
+    ra, dec = radec_target
+    ra0, dec0 = radec_phase_centre
+    dra = ra - ra0
+    l = np.cos(dec) * np.sin(dra)
+    m = (np.sin(dec) * np.cos(dec0) -
+         np.cos(dec) * np.sin(dec0) * np.cos(dra))
+    return l, m
+
+
+def rephase_vis(vis, uvw, radec_in, radec_out, freq=None):
+    """Phase-rotate visibilities to a new phase centre
+    (reference misc.py:759-772). uvw in wavelengths if freq is None,
+    else metres with per-channel scaling."""
+    from pfb_tpu.ops.dft import LIGHTSPEED
+    l_i, m_i = radec_to_lm(radec_in, radec_in)  # zero by construction
+    l_o, m_o = radec_to_lm(radec_out, radec_in)
+    n_i = 1.0
+    n_o = np.sqrt(1.0 - l_o**2 - m_o**2)
+    dl, dm, dn = l_o - l_i, m_o - m_i, n_o - n_i
+    phase = uvw[:, 0] * dl + uvw[:, 1] * dm + uvw[:, 2] * dn
+    if freq is not None:
+        phase = phase[:, None] * (freq[None, :] / LIGHTSPEED)
+    return vis * np.exp(2j * np.pi * phase)
