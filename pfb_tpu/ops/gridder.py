@@ -28,6 +28,33 @@ def get_backend(backend):
     raise ValueError(f"Unknown gridder backend {backend}")
 
 
+def row_bucket(nrow, minimum=64):
+    """Round a row count up to the next power of two so datasets with
+    different row counts share one compiled program (remote TPU
+    compiles cost minutes; see .claude/skills/verify/SKILL.md)."""
+    n = minimum
+    while n < nrow:
+        n *= 2
+    return n
+
+
+def pad_rows(nrow_to, uvw, *arrays):
+    """Zero-pad the row axis of uvw and per-(row, chan) arrays to
+    ``nrow_to``. Padded rows carry zero weight/mask so they contribute
+    nothing to gridded products; degrid callers must crop the output
+    back to the true row count."""
+    npad = nrow_to - uvw.shape[0]
+    if npad == 0:
+        return (uvw,) + arrays
+    out = [jnp.pad(uvw, ((0, npad), (0, 0)))]
+    for a in arrays:
+        if a is None:
+            out.append(None)
+        else:
+            out.append(jnp.pad(a, ((0, npad), (0, 0))))
+    return tuple(out)
+
+
 def image_data_products(uvw, freq, vis, wgt, mask, counts,
                         nx, ny, nx_psf, ny_psf, cellx, celly,
                         model=None, robustness=None, x0=0.0, y0=0.0,
@@ -40,9 +67,16 @@ def image_data_products(uvw, freq, vis, wgt, mask, counts,
     All inputs are arrays for one dataset: uvw (nrow,3), freq (nchan,),
     vis/wgt/mask (nrow, nchan), counts (nx, ny) or None.
     Returns a dict keyed with the reference's dds field names.
+
+    Rows are zero-padded to a power-of-two bucket so different datasets
+    share one compiled program (padded rows have zero weight/mask).
     """
     d2v, v2d = get_backend(backend)
     out = {}
+
+    nrow = uvw.shape[0]
+    uvw, vis, wgt, mask = pad_rows(row_bucket(nrow), uvw, vis, wgt,
+                                   mask)
 
     residual_vis = None
     if model is not None:
@@ -68,7 +102,7 @@ def image_data_products(uvw, freq, vis, wgt, mask, counts,
         wgt = imwgt if wgt is None else wgt * imwgt
 
     if do_weight:
-        out["WEIGHT"] = wgt
+        out["WEIGHT"] = wgt[:nrow]
 
     mb = mask.astype(bool)
     wsum = jnp.where(mb, wgt, 0.0).sum()
@@ -105,6 +139,7 @@ def hessian_slice(x, uvw, freq, wgt, mask, cellx, celly, x0=0.0, y0=0.0,
     """One-dataset vis-space Hessian: beam * R.H W R (beam * x)
     (reference: pfb/operators/hessian.py:62-106, divide_by_n=False)."""
     d2v, v2d = get_backend(backend)
+    uvw, wgt, mask = pad_rows(row_bucket(uvw.shape[0]), uvw, wgt, mask)
     xin = x * beam if beam is not None else x
     mvis = d2v(uvw, freq, xin, cellx, celly, x0=x0, y0=y0)
     conv = v2d(uvw, freq, mvis * mask, wgt=wgt, mask=mask,

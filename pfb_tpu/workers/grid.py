@@ -80,7 +80,10 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
         mask = jnp.asarray(ds["MASK"])
 
         if robustness is not None:
-            counts = compute_counts(uvw, freq, mask, nx, ny,
+            from pfb_tpu.ops.gridder import pad_rows, row_bucket
+            uvw_p, mask_p = pad_rows(row_bucket(uvw.shape[0]), uvw,
+                                     mask)
+            counts = compute_counts(uvw_p, freq, mask_p, nx, ny,
                                     cell_rad, cell_rad)
             if filter_extreme_counts_flag:
                 counts = jnp.asarray(filter_extreme_counts(
