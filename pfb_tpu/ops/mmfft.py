@@ -155,9 +155,24 @@ def psf_convolve_mm(x, psfhat_r, psfhat_i, nx, ny, band_chunk=None):
     return out.reshape(nchunk * band_chunk, nx, ny)[:nband]
 
 
-def make_full_psfhat(psf):
+@partial(jax.jit, static_argnames=("band_chunk",))
+def make_full_psfhat(psf, band_chunk=None):
     """Full (fft2, not rfft2) transform of ifftshift(psf) as real/imag
-    float32 arrays."""
+    float32 arrays. ``band_chunk`` bounds workspace for big cubes."""
     sh = jnp.fft.ifftshift(psf, axes=(-2, -1)).astype(jnp.float32)
-    zr, zi = fft2_mm(sh, jnp.zeros_like(sh))
-    return zr, zi
+
+    def one(p):
+        return fft2_mm(p, jnp.zeros_like(p))
+
+    if band_chunk is None or sh.ndim == 2 or \
+            sh.shape[0] <= band_chunk:
+        return one(sh)
+    nband = sh.shape[0]
+    nchunk = -(-nband // band_chunk)
+    npad = nchunk * band_chunk - nband
+    pr = jnp.pad(sh, [(0, npad), (0, 0), (0, 0)])
+    pr = pr.reshape(nchunk, band_chunk, *sh.shape[-2:])
+    zr, zi = lax.map(one, pr)
+    out_shape = (nchunk * band_chunk, *sh.shape[-2:])
+    return (zr.reshape(out_shape)[:nband],
+            zi.reshape(out_shape)[:nband])

@@ -185,14 +185,20 @@ def _w_params(uvw, freq, nm1_min, sigma, k):
     return nw, float(w0), float(dw)
 
 
+def _centre_shift(uvw, freq, x0, y0, sign):
+    """Phase factor e^{sign*2 pi i (u x0 + v y0)} per (row, chan) —
+    moves the image centre without touching the uv kernel positions."""
+    scale = freq / LIGHTSPEED
+    ph = (uvw[:, 0:1] * x0 + uvw[:, 1:2] * y0) * scale[None, :]
+    ph = sign * 2.0 * jnp.pi * (ph - jnp.round(ph))
+    return jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
 def vis2dirty_wgrid(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
                     cellx, celly, x0=0.0, y0=0.0, epsilon=1e-7,
                     do_wgridding=True, sigma=2.0, row_chunk=2048,
                     divide_by_n=False):
     """R.H: visibilities -> dirty image via w-stacked ES gridding."""
-    if x0 or y0:
-        raise NotImplementedError(
-            "shifted phase centre: use the dft backend")
     k, beta = kernel_params(epsilon)
     Nx, Ny = _grid_setup(nx, ny, cellx, celly, sigma)
     rdtype = jnp.finfo(vis.dtype).dtype
@@ -201,11 +207,14 @@ def vis2dirty_wgrid(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     if mask is not None:
         w = w * mask
     vis_w = vis * w
+    if x0 or y0:
+        vis_w = vis_w * _centre_shift(uvw, freq, x0, y0, +1.0)
 
     # n-1 over the image (host-side scalars for plane setup)
-    l = (np.arange(nx) - nx // 2) * cellx
-    m = (np.arange(ny) - ny // 2) * celly
-    eps_max = l.max() ** 2 + m.max() ** 2
+    l = (np.arange(nx) - nx // 2) * cellx + x0
+    m = (np.arange(ny) - ny // 2) * celly + y0
+    eps_max = max(abs(l.min()), l.max()) ** 2 + \
+        max(abs(m.min()), m.max()) ** 2
     nm1_min = -eps_max / (np.sqrt(max(1.0 - eps_max, 0.0)) + 1.0)
 
     if do_wgridding:
@@ -219,13 +228,13 @@ def vis2dirty_wgrid(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
                      nw, w0, dw)
     return _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny,
                           do_wgridding and nw > 1, nw, w0, dw,
-                          divide_by_n)
+                          divide_by_n, x0, y0)
 
 
 @partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny", "nw",
-                                   "do_w", "divide_by_n"))
+                                   "do_w", "divide_by_n", "x0", "y0"))
 def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
-                   nw, w0, dw, divide_by_n):
+                   nw, w0, dw, divide_by_n, x0=0.0, y0=0.0):
     rdtype = gr.dtype
     grid = lax.complex(gr, gi)
     # inverse DFT: sum_p G(p) e^{+2 pi i p s / N}; index s = i - nx//2
@@ -239,8 +248,8 @@ def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
     cx = _es_kernel_ft(li / Nx, beta, k).astype(rdtype)
     cy = _es_kernel_ft(mi / Ny, beta, k).astype(rdtype)
 
-    ll = li * cellx
-    mm = mi * celly
+    ll = li * cellx + x0
+    mm = mi * celly + y0
     llg, mmg = jnp.meshgrid(ll, mm, indexing="ij")
     nm1 = nterm(llg, mmg).astype(rdtype)
 
@@ -266,16 +275,14 @@ def dirty2vis_wgrid(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
                     row_chunk=2048, divide_by_n=False, **kw):
     """R: image -> visibilities (adjoint chain of vis2dirty_wgrid with
     the conjugate kernel: e^{-2 pi i(...)})."""
-    if x0 or y0:
-        raise NotImplementedError(
-            "shifted phase centre: use the dft backend")
     nx, ny = image.shape
     k, beta = kernel_params(epsilon)
     Nx, Ny = _grid_setup(nx, ny, cellx, celly, sigma)
 
-    l = (np.arange(nx) - nx // 2) * cellx
-    m = (np.arange(ny) - ny // 2) * celly
-    eps_max = l.max() ** 2 + m.max() ** 2
+    l = (np.arange(nx) - nx // 2) * cellx + x0
+    m = (np.arange(ny) - ny // 2) * celly + y0
+    eps_max = max(abs(l.min()), l.max()) ** 2 + \
+        max(abs(m.min()), m.max()) ** 2
     nm1_min = -eps_max / (np.sqrt(max(1.0 - eps_max, 0.0)) + 1.0)
     if do_wgridding:
         nw, w0, dw = _w_params(np.asarray(uvw), np.asarray(freq),
@@ -285,22 +292,25 @@ def dirty2vis_wgrid(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
 
     grids = _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny,
                            do_wgridding and nw > 1, nw, w0, dw,
-                           divide_by_n)
-    return _interp(grids, uvw, freq, cellx, celly, k, beta, Nx, Ny,
-                   row_chunk, do_wgridding and nw > 1, nw, w0, dw)
+                           divide_by_n, x0, y0)
+    vis = _interp(grids, uvw, freq, cellx, celly, k, beta, Nx, Ny,
+                  row_chunk, do_wgridding and nw > 1, nw, w0, dw)
+    if x0 or y0:
+        vis = vis * _centre_shift(uvw, freq, x0, y0, -1.0)
+    return vis
 
 
 @partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny", "nw",
-                                   "do_w", "divide_by_n"))
+                                   "do_w", "divide_by_n", "x0", "y0"))
 def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
-                   nw, w0, dw, divide_by_n):
+                   nw, w0, dw, divide_by_n, x0=0.0, y0=0.0):
     rdtype = image.dtype
     li = (jnp.arange(nx) - nx // 2)
     mi = (jnp.arange(ny) - ny // 2)
     cx = _es_kernel_ft(li / Nx, beta, k).astype(rdtype)
     cy = _es_kernel_ft(mi / Ny, beta, k).astype(rdtype)
-    ll = li * cellx
-    mm = mi * celly
+    ll = li * cellx + x0
+    mm = mi * celly + y0
     llg, mmg = jnp.meshgrid(ll, mm, indexing="ij")
     nm1 = nterm(llg, mmg).astype(rdtype)
 

@@ -85,6 +85,34 @@ def test_adjointness_wgrid(obs):
     assert_allclose(lhs, rhs, rtol=1e-6)
 
 
+@pmp("do_w", [False, True])
+def test_shifted_centre_matches_dft(obs, do_w):
+    """x0/y0 phase-centre shifts (used for multi-field/target imaging,
+    reference grid.py:354-377)."""
+    nx, cell = image_size_for(obs, fov_deg=0.2)
+    nx = min(nx, 64)
+    rng = np.random.default_rng(5)
+    x0, y0 = 3 * cell, -2 * cell
+    uvw = jnp.asarray(obs.uvw)
+    freq = jnp.asarray(obs.freq)
+    vis = _vis(obs, rng)
+    ref = np.asarray(vis2dirty_dft(uvw, freq, vis, nx=nx, ny=nx,
+                                   cellx=cell, celly=cell, x0=x0,
+                                   y0=y0, do_wterm=do_w))
+    got = np.asarray(vis2dirty_wgrid(uvw, freq, vis, nx=nx, ny=nx,
+                                     cellx=cell, celly=cell, x0=x0,
+                                     y0=y0, epsilon=1e-7,
+                                     do_wgridding=do_w))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-6
+    img = jnp.asarray(rng.normal(size=(nx, nx)))
+    refv = np.asarray(dirty2vis_dft(uvw, freq, img, cell, cell, x0=x0,
+                                    y0=y0, do_wterm=do_w))
+    gotv = np.asarray(dirty2vis_wgrid(uvw, freq, img, cell, cell,
+                                      x0=x0, y0=y0, epsilon=1e-7,
+                                      do_wgridding=do_w))
+    assert np.abs(gotv - refv).max() / np.abs(refv).max() < 1e-6
+
+
 @pmp("eps,tol", [(1e-5, 1e-4), (1e-7, 1e-6), (1e-9, 1e-8)])
 def test_accuracy_scales_with_epsilon(obs, eps, tol):
     nx, cell = image_size_for(obs, fov_deg=0.15)
