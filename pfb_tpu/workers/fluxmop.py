@@ -14,7 +14,11 @@ from pfb_tpu.ops.gridder import hessian_dds
 from pfb_tpu.ops.psf import hessian_psf_cube
 from pfb_tpu.opt.pcg import pcg, pcg_bands
 from pfb_tpu.utils import dstore
+from pfb_tpu.utils.logging import get_logger
 from pfb_tpu.workers.cubes import dds2cubes
+
+
+log = get_logger("FLUXMOP")
 
 
 def _fluxmop(ddsi=None, output_filename=None, product="I",
@@ -93,7 +97,7 @@ def _fluxmop(ddsi=None, output_filename=None, product="I",
 
     if verbose:
         rmfs = residual.sum(axis=0)
-        print(f"fluxmop: peak residual = {np.abs(rmfs).max():.3e}, "
+        log.info(f"fluxmop: peak residual = {np.abs(rmfs).max():.3e}, "
               f"rms = {np.std(rmfs):.3e}")
 
     if write and dds_name is not None:

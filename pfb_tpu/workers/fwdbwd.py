@@ -34,6 +34,7 @@ from pfb_tpu.opt.pcg import pcg
 from pfb_tpu.opt.power_method import power_method
 from pfb_tpu.opt.primal_dual import primal_dual
 from pfb_tpu.utils import dstore
+from pfb_tpu.utils.logging import get_logger
 from pfb_tpu.workers.cubes import dds2cubes
 
 
@@ -70,6 +71,9 @@ def setup_parametrisation(mode="id", minval=1e-5, sigma=1.0, freq=None,
     else:
         raise ValueError(f"Unknown parametrisation {mode}")
     return func, finv, dfunc, dhfunc
+
+
+log = get_logger("FWDBWD")
 
 
 def _fwdbwd(ddsi=None, output_filename=None, product="I",
@@ -147,7 +151,7 @@ def _fwdbwd(ddsi=None, output_filename=None, product="I",
     rms = np.std(residual_mfs)
     rmax = np.abs(residual_mfs).max()
     if verbose:
-        print(f"fwdbwd iter 0: peak residual = {rmax:.3e}, "
+        log.info(f"fwdbwd iter 0: peak residual = {rmax:.3e}, "
               f"rms = {rms:.3e}")
 
     for k in range(niter):
@@ -208,7 +212,7 @@ def _fwdbwd(ddsi=None, output_filename=None, product="I",
         rmax = np.abs(residual_mfs).max()
         eps = np.linalg.norm(x - np.asarray(xp)) / np.linalg.norm(x)
         if verbose:
-            print(f"fwdbwd iter {k + 1}: peak residual = {rmax:.3e}, "
+            log.info(f"fwdbwd iter {k + 1}: peak residual = {rmax:.3e}, "
                   f"rms = {rms:.3e}, eps = {eps:.3e}")
 
         if write and dds_name is not None:
@@ -225,7 +229,7 @@ def _fwdbwd(ddsi=None, output_filename=None, product="I",
 
         if eps < tol:
             if verbose:
-                print(f"fwdbwd: converged after {k + 1} iterations")
+                log.info(f"fwdbwd: converged after {k + 1} iterations")
             break
 
     return model, x, residual

@@ -14,7 +14,11 @@ from pfb_tpu.deconv.clark import clark
 from pfb_tpu.ops.gridder import hessian_dds
 from pfb_tpu.opt.pcg import pcg_psf
 from pfb_tpu.utils import dstore
+from pfb_tpu.utils.logging import get_logger
 from pfb_tpu.workers.cubes import dds2cubes
+
+
+log = get_logger("KLEAN")
 
 
 def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
@@ -71,7 +75,7 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
     wsums_j = jnp.asarray(wsums / wsum)
 
     if verbose:
-        print(f"klean iter {iter0}: peak residual = {rmax:.3e}, "
+        log.info(f"klean iter {iter0}: peak residual = {rmax:.3e}, "
               f"rms = {rms:.3e}")
 
     for k in range(iter0, iter0 + niter):
@@ -143,7 +147,7 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
                 threshold
 
         if verbose:
-            print(f"klean iter {k + 1}: peak residual = {rmax:.3e}, "
+            log.info(f"klean iter {k + 1}: peak residual = {rmax:.3e}, "
                   f"rms = {rms:.3e}")
 
         if write and dds_name is not None:
@@ -161,12 +165,12 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
 
         if rmax <= thresholdf:
             if verbose:
-                print("klean: terminating, threshold reached")
+                log.info("klean: terminating, threshold reached")
             break
         if rms > rmsp:
             diverge_count += 1
             if diverge_count > 3:
-                print("klean: algorithm diverging, terminating")
+                log.info("klean: algorithm diverging, terminating")
                 break
 
     return model, residual

@@ -17,8 +17,12 @@ from pfb_tpu.ops.psi import make_psi, psi_dot, psi_hdot
 from pfb_tpu.opt.power_method import power_method
 from pfb_tpu.opt.primal_dual import primal_dual
 from pfb_tpu.utils import dstore
+from pfb_tpu.utils.logging import get_logger
 from pfb_tpu.utils.misc import fitcleanbeam
 from pfb_tpu.workers.cubes import dds2cubes
+
+
+log = get_logger("SPOTLESS")
 
 
 def _spotless(ddsi=None, output_filename=None, product="I",
@@ -69,7 +73,7 @@ def _spotless(ddsi=None, output_filename=None, product="I",
                                    dtype=dirty.dtype)
         hessnorm = float(hessnorm) * 1.05  # reference spotless.py:193
     if verbose:
-        print(f"spotless: hessnorm = {hessnorm:.3e}")
+        log.info(f"spotless: hessnorm = {hessnorm:.3e}")
 
     bases_t = tuple(bases.split(","))
     nbasis = len(bases_t)
@@ -82,7 +86,7 @@ def _spotless(ddsi=None, output_filename=None, product="I",
     GaussPar = fitcleanbeam(psf_mfs[None], level=0.5, pixsize=1.0)[0]
     pix_per_beam = GaussPar[0] * GaussPar[1] * np.pi / 4
     if verbose:
-        print(f"spotless: pixels per beam = {pix_per_beam:.2f}")
+        log.info(f"spotless: pixels per beam = {pix_per_beam:.2f}")
 
     # rms in coefficient space (reference spotless.py:213-223)
     fsel = wsums > 0
@@ -106,7 +110,7 @@ def _spotless(ddsi=None, output_filename=None, product="I",
     best_model = model.copy()
     diverge_count = 0
     if verbose:
-        print(f"spotless iter {iter0}: peak residual = {rmax:.3e}, "
+        log.info(f"spotless iter {iter0}: peak residual = {rmax:.3e}, "
               f"rms = {rms:.3e}")
 
     dual_j = jnp.asarray(dual)
@@ -152,7 +156,7 @@ def _spotless(ddsi=None, output_filename=None, product="I",
             best_model = model.copy()
 
         if verbose:
-            print(f"spotless iter {k + 1}: peak residual = {rmax:.3e}, "
+            log.info(f"spotless iter {k + 1}: peak residual = {rmax:.3e}, "
                   f"rms = {rms:.3e}, eps = {eps:.3e} "
                   f"(pd iters {int(pd_iters)})")
 
@@ -176,12 +180,12 @@ def _spotless(ddsi=None, output_filename=None, product="I",
 
         if eps < tol:
             if verbose:
-                print(f"spotless: converged after {k + 1} iterations")
+                log.info(f"spotless: converged after {k + 1} iterations")
             break
         if rms > rmsp:
             diverge_count += 1
             if diverge_count > 3:
-                print("spotless: algorithm diverging, terminating")
+                log.info("spotless: algorithm diverging, terminating")
                 break
 
     return model, residual
