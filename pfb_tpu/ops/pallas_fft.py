@@ -1,0 +1,213 @@
+"""Fused Pallas PSF-convolution pipeline for TPU.
+
+XLA's TPU FFT runs ~20x off the HBM roofline at 8192^2 (measured; see
+ops/mmfft.py docstring), and an einsum-based matmul FFT is no better
+because every stage round-trips HBM. This module fuses the whole
+convolution into three Pallas kernels, each reading/writing HBM once:
+
+  K1: forward four-step FFT along the sublane (row) axis per lane strip
+      — DFT factor matmuls + twiddles entirely in VMEM
+  K2: forward FFT along the lane axis, multiply by the PSF transfer
+      function, inverse FFT along lanes — one VMEM residency
+  K3: inverse FFT along sublanes (+ output crop by the caller)
+
+All transforms are four-step factorisations N = N1*N2 with the stage
+matmuls on the MXU; complex data is carried as separate float32
+real/imag arrays; the inverse stages reuse the forward DFT constants
+conjugated. HBM traffic per band ~4.8 GB vs ~8 GB+ for the unfused
+paths, and none of the passes is transpose-bound.
+"""
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _factor(N):
+    for n2 in range(int(np.sqrt(N)), 0, -1):
+        if N % n2 == 0:
+            return N // n2, n2
+    return N, 1
+
+
+@lru_cache(maxsize=None)
+def _consts_np(N):
+    """Forward-transform constants (W1, W2, twiddle) as float32
+    real/imag numpy pairs; the inverse uses their conjugates."""
+    N1, N2 = _factor(N)
+    n1 = np.arange(N1)
+    n2 = np.arange(N2)
+    W1 = np.exp(-2j * np.pi * np.outer(n1, n1) / N1)
+    W2 = np.exp(-2j * np.pi * np.outer(n2, n2) / N2)
+    tw = np.exp(-2j * np.pi * np.outer(n1, n2) / N)
+    f32 = np.float32
+    return (N1, N2,
+            W1.real.astype(f32), W1.imag.astype(f32),
+            W2.real.astype(f32), W2.imag.astype(f32),
+            tw.real.astype(f32), tw.imag.astype(f32))
+
+
+def consts_for(N):
+    """Device arrays of the forward constants for transform length N."""
+    N1, N2, w1r, w1i, w2r, w2i, twr, twi = _consts_np(N)
+    return tuple(jnp.asarray(a) for a in (w1r, w1i, w2r, w2i, twr, twi))
+
+
+def _mm(A, B):
+    return jax.lax.dot_general(A, B, (((1,), (0,)), ((), ())),
+                               precision=_HI,
+                               preferred_element_type=jnp.float32)
+
+
+def _mmr(B, A):
+    """B (..., n) contracted with A (k, n) -> (..., k)."""
+    return jax.lax.dot_general(B, A, (((1,), (1,)), ((), ())),
+                               precision=_HI,
+                               preferred_element_type=jnp.float32)
+
+
+def _fft_sublane_block(xr, xi, C, N, L, inverse):
+    """Four-step FFT of an (N, L) block along axis 0 using constants C
+    = (w1r, w1i, w2r, w2i, twr, twi); inverse conjugates + scales."""
+    w1r, w1i, w2r, w2i, twr, twi = C
+    N1, N2 = w1r.shape[0], w2r.shape[0]
+    if inverse:
+        w1i, w2i, twi = -w1i, -w2i, -twi
+    twr3 = twr[:, :, None]
+    twi3 = twi[:, :, None]
+
+    xr = xr.reshape(N1, N2 * L)
+    xi = xi.reshape(N1, N2 * L)
+    ar = _mm(w1r, xr) - _mm(w1i, xi)
+    ai = _mm(w1r, xi) + _mm(w1i, xr)
+    ar = ar.reshape(N1, N2, L)
+    ai = ai.reshape(N1, N2, L)
+    br = ar * twr3 - ai * twi3
+    bi = ar * twi3 + ai * twr3
+    br = br.transpose(1, 0, 2).reshape(N2, N1 * L)
+    bi = bi.transpose(1, 0, 2).reshape(N2, N1 * L)
+    cr = _mm(w2r, br) - _mm(w2i, bi)
+    ci = _mm(w2r, bi) + _mm(w2i, br)
+    yr = cr.reshape(N2 * N1, L)   # row index = k1 + N1*k2 laid (k2,k1)
+    yi = ci.reshape(N2 * N1, L)
+    if inverse:
+        yr = yr / N
+        yi = yi / N
+    return yr, yi
+
+
+def _k1_kernel(xr_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref, oi_ref,
+               *, N, L):
+    C = (w1r[...], w1i[...], w2r[...], w2i[...], twr[...], twi[...])
+    xr = xr_ref[...]
+    yr, yi = _fft_sublane_block(xr, jnp.zeros_like(xr), C, N, L, False)
+    or_ref[...] = yr
+    oi_ref[...] = yi
+
+
+def _k2_kernel(xr_ref, xi_ref, hrT_ref, hiT_ref, w1r, w1i, w2r, w2i,
+               twr, twi, or_ref, oi_ref, *, N, M):
+    """Lane-axis FFT via in-VMEM 2D transpose + sublane four-step —
+    Mosaic rejects minor-axis shape casts, but 2D transposes and
+    transposes that keep the lane dim fixed are supported."""
+    C = (w1r[...], w1i[...], w2r[...], w2i[...], twr[...], twi[...])
+    xr = xr_ref[...].T  # (N, M)
+    xi = xi_ref[...].T
+    ar, ai = _fft_sublane_block(xr, xi, C, N, M, False)
+    hr = hrT_ref[...]   # (N, M) tile of H transposed
+    hi = hiT_ref[...]
+    br = ar * hr - ai * hi
+    bi = ar * hi + ai * hr
+    yr, yi = _fft_sublane_block(br, bi, C, N, M, True)
+    or_ref[...] = yr.T
+    oi_ref[...] = yi.T
+
+
+def _k3_kernel(xr_ref, xi_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref,
+               *, N, L):
+    C = (w1r[...], w1i[...], w2r[...], w2i[...], twr[...], twi[...])
+    yr, _ = _fft_sublane_block(xr_ref[...], xi_ref[...], C, N, L, True)
+    or_ref[...] = yr
+
+
+def _const_specs(N):
+    N1, N2 = _factor(N)
+    full = lambda shape: pl.BlockSpec(shape, lambda *_: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    return [full((N1, N1)), full((N1, N1)), full((N2, N2)),
+            full((N2, N2)), full((N1, N2)), full((N1, N2))]
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "lane_block",
+                                   "row_block", "interpret"))
+def psf_convolve_pallas(x, Hr, Hi, nx, ny, lane_block=128,
+                        row_block=64, interpret=False):
+    """Fused PSF convolution of one band.
+
+    x: (nx, ny) float32; Hr/Hi: the TRANSPOSED (NY, NX) float32 full
+    transfer function (fft2 of ifftshift(psf), then .T — the K2 kernel
+    consumes it in transposed orientation). Returns the (nx, ny)
+    convolution.
+    """
+    NY, NX = Hr.shape
+    xpad = jnp.pad(x, ((0, NX - nx), (0, NY - ny)))
+    CX = consts_for(NX)
+    CY = consts_for(NY)
+
+    strip = lambda L: pl.BlockSpec((NX, L), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM)
+    rows = lambda M: pl.BlockSpec((M, NY), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+
+    zr, zi = pl.pallas_call(
+        partial(_k1_kernel, N=NX, L=lane_block),
+        grid=(NY // lane_block,),
+        in_specs=[strip(lane_block)] + _const_specs(NX),
+        out_specs=(strip(lane_block), strip(lane_block)),
+        out_shape=(jax.ShapeDtypeStruct((NX, NY), jnp.float32),
+                   jax.ShapeDtypeStruct((NX, NY), jnp.float32)),
+        interpret=interpret,
+    )(xpad, *CX)
+
+    colsT = lambda M: pl.BlockSpec((NY, M), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+    wr, wi = pl.pallas_call(
+        partial(_k2_kernel, N=NY, M=row_block),
+        grid=(NX // row_block,),
+        in_specs=[rows(row_block)] * 2 + [colsT(row_block)] * 2
+        + _const_specs(NY),
+        out_specs=(rows(row_block), rows(row_block)),
+        out_shape=(jax.ShapeDtypeStruct((NX, NY), jnp.float32),
+                   jax.ShapeDtypeStruct((NX, NY), jnp.float32)),
+        interpret=interpret,
+    )(zr, zi, Hr, Hi, *CY)
+
+    out = pl.pallas_call(
+        partial(_k3_kernel, N=NX, L=lane_block),
+        grid=(NY // lane_block,),
+        in_specs=[strip(lane_block)] * 2 + _const_specs(NX),
+        out_specs=strip(lane_block),
+        out_shape=jax.ShapeDtypeStruct((NX, NY), jnp.float32),
+        interpret=interpret,
+    )(wr, wi, *CX)
+    return out[:nx, :ny]
+
+
+def psf_convolve_pallas_cube(x, Hr, Hi, nx, ny, lane_block=128,
+                             row_block=64, interpret=False):
+    """Band loop over the fused single-band pipeline."""
+    def one(args):
+        xb, hr, hi = args
+        return psf_convolve_pallas(xb, hr, hi, nx, ny,
+                                   lane_block=lane_block,
+                                   row_block=row_block,
+                                   interpret=interpret)
+
+    return lax.map(one, (x, Hr, Hi))
