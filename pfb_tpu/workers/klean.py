@@ -27,7 +27,8 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
            minor_maxit=50, subminor_maxit=1000, mop_flux=True,
            mop_gamma=0.65, dirosion=1, cg_tol=1e-5, cg_maxit=100,
            cg_minit=10, backtrack=True, backend="dft", mask=None,
-           write=True, band_chunk=None, verbose=1, **kw):
+           write=True, band_chunk=None, verbose=1,
+           fits_mfs=False, fits_cubes=False, **kw):
     """Returns (model, residual_cube). Writes back into the dds store."""
     import jax.numpy as jnp
 
@@ -172,5 +173,16 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
             if diverge_count > 3:
                 log.info("klean: algorithm diverging, terminating")
                 break
+
+    # fits products (reference klean.py dds2fits_mfs/dds2fits calls)
+    if (fits_mfs or fits_cubes) and output_filename is not None:
+        from pfb_tpu.utils.fits import dds2fits, dds2fits_mfs
+        base = f"{output_filename}_{product.upper()}_{suffix}"
+        if fits_mfs:
+            dds2fits_mfs(dds, "RESIDUAL", base, norm_wsum=True)
+            dds2fits_mfs(dds, "MODEL", base, norm_wsum=False)
+        if fits_cubes:
+            dds2fits(dds, "RESIDUAL", base, norm_wsum=True)
+            dds2fits(dds, "MODEL", base, norm_wsum=False)
 
     return model, residual

@@ -188,4 +188,15 @@ def _spotless(ddsi=None, output_filename=None, product="I",
                 log.info("spotless: algorithm diverging, terminating")
                 break
 
+    # fits products (reference spotless.py dds2fits_mfs/dds2fits calls)
+    if (fits_mfs or fits_cubes) and output_filename is not None:
+        from pfb_tpu.utils.fits import dds2fits, dds2fits_mfs
+        base = f"{output_filename}_{product.upper()}_{suffix}"
+        if fits_mfs:
+            dds2fits_mfs(dds, "RESIDUAL", base, norm_wsum=True)
+            dds2fits_mfs(dds, "MODEL", base, norm_wsum=False)
+        if fits_cubes:
+            dds2fits(dds, "RESIDUAL", base, norm_wsum=True)
+            dds2fits(dds, "MODEL", base, norm_wsum=False)
+
     return model, residual
