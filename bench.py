@@ -57,10 +57,19 @@ def main():
 
     psf = jnp.zeros((nband, nxp, nxp), jnp.float32)
     psf = psf.at[:, nx, nx].set(0.5)
-    # decaying sidelobe structure so the FFT sees a dense spectrum
-    psfhat = make_psfhat(psf, band_chunk=band_chunk)
-    del psf
-    hess = make_psf_convolve(psfhat, nxp, band_chunk=band_chunk)
+
+    engine = "xla-fft"
+    if platform == "tpu" and nx % 128 == 0:
+        # fused Pallas four-step FFT pipeline (ops/pallas_fft.py):
+        # measured 1.7x the XLA-FFT matvec throughput on v5e
+        from pfb_tpu.ops.psf import make_psf_convolve_pallas
+        hess = make_psf_convolve_pallas(psf, nx, nx)
+        engine = "pallas"
+        del psf
+    else:
+        psfhat = make_psfhat(psf, band_chunk=band_chunk)
+        del psf
+        hess = make_psf_convolve(psfhat, nxp, band_chunk=band_chunk)
 
     x = jnp.full((nband, nx, nx), 1e-3, jnp.float32)
     sync(hess(x))  # compile + warm
@@ -105,6 +114,7 @@ def main():
         "platform": platform,
         "matvec_ms": round(best * 1e3, 2),
         "pcg_iters_per_s": round(pcg_iters_per_s, 2),
+        "engine": engine,
     }
     print(json.dumps(result))
 

@@ -146,9 +146,10 @@ def _const_specs(N):
 
 
 @partial(jax.jit, static_argnames=("nx", "ny", "lane_block",
-                                   "row_block", "interpret"))
+                                   "row_block", "interpret",
+                                   "vmem_mb"))
 def psf_convolve_pallas(x, Hr, Hi, nx, ny, lane_block=128,
-                        row_block=64, interpret=False):
+                        row_block=128, interpret=False, vmem_mb=100):
     """Fused PSF convolution of one band.
 
     x: (nx, ny) float32; Hr/Hi: the TRANSPOSED (NY, NX) float32 full
@@ -161,6 +162,8 @@ def psf_convolve_pallas(x, Hr, Hi, nx, ny, lane_block=128,
     CX = consts_for(NX)
     CY = consts_for(NY)
 
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_mb * 1024 * 1024)
     strip = lambda L: pl.BlockSpec((NX, L), lambda j: (0, j),
                                    memory_space=pltpu.VMEM)
     rows = lambda M: pl.BlockSpec((M, NY), lambda i: (i, 0),
@@ -174,6 +177,7 @@ def psf_convolve_pallas(x, Hr, Hi, nx, ny, lane_block=128,
         out_shape=(jax.ShapeDtypeStruct((NX, NY), jnp.float32),
                    jax.ShapeDtypeStruct((NX, NY), jnp.float32)),
         interpret=interpret,
+        compiler_params=None if interpret else cparams,
     )(xpad, *CX)
 
     colsT = lambda M: pl.BlockSpec((NY, M), lambda i: (0, i),
@@ -187,6 +191,7 @@ def psf_convolve_pallas(x, Hr, Hi, nx, ny, lane_block=128,
         out_shape=(jax.ShapeDtypeStruct((NX, NY), jnp.float32),
                    jax.ShapeDtypeStruct((NX, NY), jnp.float32)),
         interpret=interpret,
+        compiler_params=None if interpret else cparams,
     )(zr, zi, Hr, Hi, *CY)
 
     out = pl.pallas_call(
@@ -196,12 +201,13 @@ def psf_convolve_pallas(x, Hr, Hi, nx, ny, lane_block=128,
         out_specs=strip(lane_block),
         out_shape=jax.ShapeDtypeStruct((NX, NY), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else cparams,
     )(wr, wi, *CX)
     return out[:nx, :ny]
 
 
 def psf_convolve_pallas_cube(x, Hr, Hi, nx, ny, lane_block=128,
-                             row_block=64, interpret=False):
+                             row_block=128, interpret=False):
     """Band loop over the fused single-band pipeline."""
     def one(args):
         xb, hr, hi = args

@@ -1,0 +1,47 @@
+"""CLI end-to-end: the pfb-tpu click commands drive the worker pipeline
+on a simulated MS (the reference's console-script layer,
+pfb/workers/main.py)."""
+
+import glob
+
+import numpy as np
+from click.testing import CliRunner
+
+from pfb_tpu.utils.ms import simulate_ms
+from pfb_tpu.workers.main import cli
+
+
+def test_cli_init_grid_klean_restore(tmp_path):
+    ms_path = str(tmp_path / "obs.npz")
+    simulate_ms(ms_path, nant=7, ntime=4, nchan=2, nsource=2,
+                fov_deg=0.3, seed=17)
+    out = str(tmp_path / "out")
+    runner = CliRunner()
+
+    r = runner.invoke(cli, ["init", "-ms", ms_path, "-o", out,
+                            "--channels-per-image", "1"])
+    assert r.exit_code == 0, r.output
+    assert glob.glob(out + "_I.xds/ds_*")
+
+    r = runner.invoke(cli, ["grid", "-o", out, "-fov", "0.3",
+                            "-rob", "0.0"])
+    assert r.exit_code == 0, r.output
+    assert glob.glob(out + "_I_main.dds/ds_*")
+
+    r = runner.invoke(cli, ["klean", "-o", out, "-niter", "2",
+                            "--threshold", "1e-4", "--gamma", "0.1",
+                            "--peak-factor", "0.75", "--no-mop-flux"])
+    assert r.exit_code == 0, r.output
+
+    r = runner.invoke(cli, ["restore", "-o", out, "--outputs", "mr"])
+    assert r.exit_code == 0, r.output
+    assert glob.glob(str(tmp_path / "*model_mfs.fits"))
+
+
+def test_cli_help_lists_all_workers():
+    runner = CliRunner()
+    r = runner.invoke(cli, ["--help"])
+    for w in ("init", "grid", "klean", "spotless", "model2comps",
+              "degrid", "restore", "fluxmop", "fastim", "smoovie",
+              "fwdbwd"):
+        assert w in r.output
