@@ -109,7 +109,8 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
             "FREQ": np.asarray(ds["FREQ"]),
             "UVW": np.asarray(ds["UVW"]),
             "MASK": np.asarray(ds["MASK"]),
-            "BEAM": np.ones((nx, ny), real_type),
+            "BEAM": _eval_ds_beam(ds, nx, ny, cell_rad, x0, y0,
+                                  real_type),
             "DIRTY": np.asarray(out["DIRTY"]),
             "WSUM": np.asarray(out["WSUM"]),
         }
@@ -132,6 +133,19 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
         name = f"{output_filename}_{product.upper()}_{suffix}.dds"
         dstore.write_store(name, dds, overwrite=overwrite)
     return dds
+
+
+def _eval_ds_beam(ds, nx, ny, cell_rad, x0, y0, real_type):
+    """Evaluate the xds beam onto the image grid (reference
+    grid.py:404-412 eval_beam)."""
+    if "BEAM" not in ds or "l_beam" not in ds:
+        return np.ones((nx, ny), real_type)
+    from pfb_tpu.utils.beam import eval_beam
+    cell_deg = np.rad2deg(cell_rad)
+    l = (-(nx // 2) + np.arange(nx)) * cell_deg + np.rad2deg(x0)
+    m = (-(ny // 2) + np.arange(ny)) * cell_deg + np.rad2deg(y0)
+    return eval_beam(ds["BEAM"], ds["l_beam"], ds["m_beam"],
+                     l, m).astype(real_type)
 
 
 def psfhat_of(ds):

@@ -18,7 +18,8 @@ from pfb_tpu.utils.stokes import unity_jones, weight_data
 def _init(ms=None, output_filename=None, product="I",
           channels_per_image=None, integrations_per_image=-1,
           gain_table=None, data_column="DATA", weight_column=None,
-          flag_column="FLAG", overwrite=True, write=True, **kw):
+          flag_column="FLAG", beam_model=None, max_field_of_view=3.0,
+          overwrite=True, write=True, **kw):
     """Returns the list of xds datasets (and writes
     ``{output_filename}_{PRODUCT}.xds`` unless write=False).
 
@@ -101,6 +102,16 @@ def _init(ms=None, output_filename=None, product="I",
                 "dec": dec,
                 "product": product,
             }
+            # primary beam on a coarse grid at freq_out (reference
+            # attaches BEAM/l_beam/m_beam per xds, stokes2vis.py:235-280)
+            from pfb_tpu.utils.beam import interp_beam
+            nb = 64
+            cell_b = max_field_of_view / nb
+            bvals, l_b, m_b = interp_beam(ds["freq_out"], nb, nb,
+                                          cell_b, btype=beam_model)
+            ds["BEAM"] = bvals
+            ds["l_beam"] = l_b
+            ds["m_beam"] = m_b
             datasets.append(ds)
 
     if write and output_filename is not None:

@@ -38,3 +38,19 @@ def test_pallas_convolve_cube():
         jnp.swapaxes(phi, -1, -2), nx, nx, lane_block=32,
         row_block=32, interpret=True))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_pallas_convolve_opt_matches():
+    from pfb_tpu.ops.pallas_fft import psf_convolve_pallas_opt
+    rng = np.random.default_rng(2)
+    nx = 64
+    psf = rng.normal(size=(2 * nx, 2 * nx))
+    img = rng.normal(size=(nx, nx)).astype(np.float32)
+    ref = np.asarray(psf_convolve_cube(
+        jnp.asarray(img, jnp.float64)[None],
+        make_psfhat(jnp.asarray(psf)[None]), 2 * nx))[0]
+    phr, phi = make_full_psfhat(jnp.asarray(psf, jnp.float32)[None])
+    got = np.asarray(psf_convolve_pallas_opt(
+        jnp.asarray(img), phr[0].T, phi[0].T, nx, nx, lane_block=64,
+        row_block=64, interpret=True))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
