@@ -158,11 +158,29 @@ def psf_convolve_mm(x, psfhat_r, psfhat_i, nx, ny, band_chunk=None):
 @partial(jax.jit, static_argnames=("band_chunk",))
 def make_full_psfhat(psf, band_chunk=None):
     """Full (fft2, not rfft2) transform of ifftshift(psf) as real/imag
-    float32 arrays. ``band_chunk`` bounds workspace for big cubes."""
+    float32 arrays, built from the rfft2 half-spectrum by Hermitian
+    extension: for real input, X[N-k1 mod N, N-k2 mod N] = conj(X[k1,
+    k2]). ``band_chunk`` bounds FFT workspace for big cubes."""
     sh = jnp.fft.ifftshift(psf, axes=(-2, -1)).astype(jnp.float32)
+    N2 = sh.shape[-1]
+    H2 = N2 // 2 + 1
 
     def one(p):
-        return fft2_mm(p, jnp.zeros_like(p))
+        half = jnp.fft.rfft2(p, axes=(-2, -1))  # (..., N1, H2)
+        hr = half.real
+        hi = half.imag
+        # missing columns k2 = H2..N2-1 mirror k2' = N2-k2 in 1..N2-H2
+        # with rows reversed mod N: row 0 stays, rows 1..N1-1 flip
+        src = hr[..., :, 1:N2 - H2 + 1][..., :, ::-1]
+        srci = hi[..., :, 1:N2 - H2 + 1][..., :, ::-1]
+        row0r = src[..., :1, :]
+        row0i = srci[..., :1, :]
+        restr = src[..., 1:, :][..., ::-1, :]
+        resti = srci[..., 1:, :][..., ::-1, :]
+        mr = jnp.concatenate([row0r, restr], axis=-2)
+        mi = -jnp.concatenate([row0i, resti], axis=-2)
+        return (jnp.concatenate([hr, mr], axis=-1),
+                jnp.concatenate([hi, mi], axis=-1))
 
     if band_chunk is None or sh.ndim == 2 or \
             sh.shape[0] <= band_chunk:
