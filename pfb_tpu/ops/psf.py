@@ -63,19 +63,31 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
     sizes must be 128-aligned."""
     import jax.numpy as jnp
 
-    from pfb_tpu.ops.mmfft import make_full_psfhat
-    from pfb_tpu.ops.pallas_fft import psf_convolve_pallas_cube
+    from jax import lax
 
+    from pfb_tpu.ops.mmfft import make_full_psfhat
+    from pfb_tpu.ops.pallas_fft import (psf_convolve_pallas,
+                                        psf_convolve_pallas_opt)
+
+    nx_psf, ny_psf = psf.shape[-2:]
     phr, phi = make_full_psfhat(jnp.asarray(psf, jnp.float32),
                                 band_chunk=1)
     phrT = jnp.swapaxes(phr, -1, -2)
     phiT = jnp.swapaxes(phi, -1, -2)
     del phr, phi
     sigmainv = jnp.asarray(sigmainv, jnp.float32)
+    # the zero/crop-aware pipeline halves traffic when psf_oversize == 2
+    use_opt = nx_psf == 2 * nx and ny_psf == 2 * ny
+
+    def one(args):
+        xb, hr, hi = args
+        if use_opt:
+            return psf_convolve_pallas_opt(xb, hr, hi, nx, ny)
+        return psf_convolve_pallas(xb, hr, hi, nx, ny)
 
     def matvec(x):
         xin = x * beam if beam is not None else x
-        out = psf_convolve_pallas_cube(xin, phrT, phiT, nx, ny)
+        out = lax.map(one, (xin, phrT, phiT))
         if beam is not None:
             out = out * beam
         if wsum is not None:
