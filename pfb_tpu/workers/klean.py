@@ -26,7 +26,8 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
            gamma=0.05, peak_factor=0.05, sub_peak_factor=0.5,
            minor_maxit=50, subminor_maxit=1000, mop_flux=True,
            mop_gamma=0.65, dirosion=1, cg_tol=1e-5, cg_maxit=100,
-           cg_minit=10, backtrack=True, backend="dft", mask=None,
+           cg_minit=10, backtrack=True, backend="dft", engine="fft",
+           mask=None,
            write=True, band_chunk=None, verbose=1,
            fits_mfs=False, fits_cubes=False, **kw):
     """Returns (model, residual_cube). Writes back into the dds store."""

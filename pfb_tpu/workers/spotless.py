@@ -30,8 +30,9 @@ def _spotless(ddsi=None, output_filename=None, product="I",
               rmsfactor=1.0, init_factor=0.5, gamma=1.0, bases="self,db1,db2",
               nlevels=3, l1reweight_from=5, alpha=4.0, hessnorm=None,
               pm_tol=1e-5, pm_maxit=100, pd_tol=1e-5, pd_maxit=500,
-              positivity=1, epsilon=1e-7, backend="dft", write=True,
-              band_chunk=None, verbose=1, **kw):
+              positivity=1, epsilon=1e-7, backend="dft", engine="fft",
+              write=True, band_chunk=None, verbose=1,
+              fits_mfs=False, fits_cubes=False, **kw):
     """Returns (model, residual_cube). Writes back into the dds store."""
     import jax.numpy as jnp
 
@@ -62,10 +63,16 @@ def _spotless(ddsi=None, output_filename=None, product="I",
 
     iter0 = int(dds[0].get("niters", 0))
 
-    from pfb_tpu.config import to_device
-    psfhat_j = to_device(psfhat)
-    psf_convolve = make_psf_convolve(psfhat_j, ny_psf,
-                                     band_chunk=band_chunk)
+    nx_psf = dds[0]["PSF"].shape[-2]
+    if engine == "pallas" and nx % 128 == 0 and ny % 128 == 0 and \
+            nx_psf % 128 == 0 and ny_psf % 128 == 0:
+        from pfb_tpu.ops.psf import make_psf_convolve_pallas
+        psf_convolve = make_psf_convolve_pallas(psf, nx, ny)
+    else:
+        from pfb_tpu.config import to_device
+        psfhat_j = to_device(psfhat)
+        psf_convolve = make_psf_convolve(psfhat_j, ny_psf,
+                                         band_chunk=band_chunk)
 
     if hessnorm is None:
         hessnorm, _ = power_method(psf_convolve, (nband, nx, ny),
