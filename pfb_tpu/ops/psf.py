@@ -79,15 +79,20 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
     # the zero/crop-aware pipeline halves traffic when psf_oversize == 2
     use_opt = nx_psf == 2 * nx and ny_psf == 2 * ny
 
-    def one(args):
-        xb, hr, hi = args
+    def one(xb, hr, hi):
         if use_opt:
             return psf_convolve_pallas_opt(xb, hr, hi, nx, ny)
         return psf_convolve_pallas(xb, hr, hi, nx, ny)
 
+    nband = psf.shape[0]
+
     def matvec(x):
         xin = x * beam if beam is not None else x
-        out = lax.map(one, (xin, phrT, phiT))
+        # unrolled band loop: wrapping the pallas pipeline in lax.map
+        # makes XLA build an oversized output fusion that blows scoped
+        # VMEM; the unrolled form keeps each band's kernels standalone
+        out = jnp.stack([one(xin[b], phrT[b], phiT[b])
+                         for b in range(nband)])
         if beam is not None:
             out = out * beam
         if wsum is not None:
