@@ -39,7 +39,7 @@ def main():
 
     from pfb_tpu.ops.fft import make_psfhat
     from pfb_tpu.ops.psf import make_psf_convolve
-    from pfb_tpu.opt.pcg import pcg_bands
+    from pfb_tpu.opt.pcg import pcg_bands, pcg_bands_hostloop
 
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
@@ -97,10 +97,13 @@ def main():
     b = hess(x)
     niter = 20
 
+    # host-loop PCG: XLA mis-fuses the Pallas pipeline inside
+    # while-loop bodies (scoped-VMEM overflow), and the per-iteration
+    # host dispatch is negligible at this matvec cost
     def run_pcg():
-        return pcg_bands(lambda v: hess(v), b, x0=jnp.zeros_like(b),
-                         tol=0.0, maxit=niter, minit=niter,
-                         backtrack=False)
+        return pcg_bands_hostloop(lambda v: hess(v), b,
+                                  x0=jnp.zeros_like(b), tol=0.0,
+                                  maxit=niter, minit=niter)
     sync(run_pcg())  # compile
     t0 = time.perf_counter()
     sync(run_pcg())

@@ -136,6 +136,50 @@ def _band_vdot(a, b):
     return jnp.sum(a * b, axis=(-2, -1), keepdims=True)
 
 
+def pcg_bands_hostloop(A, b, x0=None, M=None, tol=1e-5, maxit=500,
+                       minit=100):
+    """Batched per-band PCG with the outer loop on the host, one jitted
+    iteration on device. Same math as :func:`pcg_bands` (without
+    backtracking); useful when the matvec is a Pallas pipeline that XLA
+    mis-fuses inside while-loop bodies, and for very large cubes where
+    per-iteration host control is wanted (the reference's own loops are
+    host-side, pfb/opt/pcg.py:86-109)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if M is None:
+        M = lambda v: v
+
+    @jax.jit
+    def step(x, r, y, p, Ap):
+        rnorm = _band_vdot(r, y)
+        pAp = _band_vdot(p, Ap)
+        alpha = jnp.where(pAp != 0, rnorm / jnp.where(pAp == 0, 1.0,
+                                                      pAp), 0.0)
+        xn = x + alpha * p
+        rn = r + alpha * Ap
+        yn = M(rn)
+        rnorm_next = _band_vdot(rn, yn)
+        beta = jnp.where(rnorm != 0,
+                         rnorm_next / jnp.where(rnorm == 0, 1.0,
+                                                rnorm), 0.0)
+        pn = beta * p - yn
+        num = jnp.sum((xn - x) ** 2, axis=(-2, -1), keepdims=True)
+        den = 1e-12 + jnp.sum(xn**2, axis=(-2, -1), keepdims=True)
+        eps = jnp.sqrt(num / den)
+        return xn, rn, yn, pn, eps
+
+    x = x0
+    r = A(x0) - b
+    y = M(r)
+    p = -y
+    for k in range(maxit):
+        Ap = A(p)
+        x, r, y, p, eps = step(x, r, y, p, Ap)
+        if k + 1 >= minit and float(jnp.max(eps)) < tol:
+            break
+    return x
+
+
 def pcg_bands(A, b, x0=None, M=None, tol=1e-5, maxit=500, minit=100,
               backtrack=True):
     """Batched per-band PCG: solve nband independent systems in one XLA
