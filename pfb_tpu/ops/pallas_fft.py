@@ -203,6 +203,191 @@ def _const_specs(N):
             full((N2, N2)), full((N1, N2)), full((N1, N2))]
 
 
+# ---------------------------------------------------------------------
+# v2 lane-axis transform: transpose-free. The lane FFT is factorised
+# with N2 = 128 (the lane tile width) so every stage is a dot_general
+# whose output keeps a 128-wide minor dim; the spectrum lives in a
+# scrambled (k1, m, k2) layout that only K2 ever sees — H is
+# pre-scrambled to match (scramble_HT) and the inverse consumes the
+# scrambled order directly, emitting natural layout via a leading-dims
+# transpose + lane join (both Mosaic-supported).
+# ---------------------------------------------------------------------
+
+def _factor_lane(N):
+    assert N % 128 == 0
+    return N // 128, 128
+
+
+@lru_cache(maxsize=None)
+def _consts_lane_np(N):
+    N1, N2 = _factor_lane(N)
+    n1 = np.arange(N1)
+    n2 = np.arange(N2)
+    W1 = np.exp(-2j * np.pi * np.outer(n1, n1) / N1)
+    W2 = np.exp(-2j * np.pi * np.outer(n2, n2) / N2)
+    tw = np.exp(-2j * np.pi * np.outer(n1, n2) / N)
+    f32 = np.float32
+    return (N1, N2,
+            W1.real.astype(f32), W1.imag.astype(f32),
+            W2.real.astype(f32), W2.imag.astype(f32),
+            tw.real.astype(f32), tw.imag.astype(f32))
+
+
+def consts_lane_for(N):
+    N1, N2, w1r, w1i, w2r, w2i, twr, twi = _consts_lane_np(N)
+    return tuple(jnp.asarray(a) for a in (w1r, w1i, w2r, w2i, twr, twi))
+
+
+def _const_specs_lane(N):
+    N1, N2 = _factor_lane(N)
+    full = lambda shape: pl.BlockSpec(shape, lambda *_: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    return [full((N1, N1)), full((N1, N1)), full((N2, N2)),
+            full((N2, N2)), full((N1, N2)), full((N1, N2))]
+
+
+def scramble_HT(HT):
+    """(..., NY, NX) transposed transfer function -> the
+    (..., N1y, NX, N2y) scrambled layout the v2 K2 kernel multiplies
+    in: spectrum index k = k1 + N1*k2 maps to [..., k1, :, k2]."""
+    NY, NX = HT.shape[-2:]
+    N1, N2 = _factor_lane(NY)
+    lead = HT.shape[:-2]
+    h = HT.reshape(*lead, N2, N1, NX)  # axes: (..., k2, k1, NX)
+    nl = len(lead)
+    perm = tuple(range(nl)) + (nl + 1, nl + 2, nl + 0)
+    return jnp.transpose(h, perm)
+
+
+def _dotg_left1(W, x):
+    """(K, n) x (M, n, L) -> (K, M, L), contracting n."""
+    return jax.lax.dot_general(W, x, (((1,), (1,)), ((), ())),
+                               precision=_HI,
+                               preferred_element_type=jnp.float32)
+
+
+def _dotg_left0(W, x):
+    """(K, n) x (n, M, L) -> (K, M, L), contracting n."""
+    return jax.lax.dot_general(W, x, (((1,), (0,)), ((), ())),
+                               precision=_HI,
+                               preferred_element_type=jnp.float32)
+
+
+def _dotg_right(x, W):
+    """(A, M, n) x (K, n) -> (A, M, K), contracting n (lanes)."""
+    return jax.lax.dot_general(x, W, (((2,), (1,)), ((), ())),
+                               precision=_HI,
+                               preferred_element_type=jnp.float32)
+
+
+def _k2v_kernel(xr_ref, xi_ref, hsr_ref, hsi_ref, w1r_, w1i_, w2r_,
+                w2i_, twr_, twi_, or_ref, oi_ref, *, N, M):
+    """Transpose-free K2: forward lane FFT (zero-aware), multiply by the
+    pre-scrambled H, inverse lane FFT (crop-aware), natural output."""
+    w1r, w1i = w1r_[...], w1i_[...]
+    w2r, w2i = w2r_[...], w2i_[...]
+    twr = twr_[...][:, None, :]
+    twi = twi_[...][:, None, :]
+    N1 = w1r.shape[0]
+    N2 = w2r.shape[0]
+    n1_in = N1 // 2  # nonzero lanes n < N/2
+
+    xr = xr_ref[...].reshape(M, n1_in, N2)
+    xi = xi_ref[...].reshape(M, n1_in, N2)
+    # forward stage 1 over n1 (zero-aware): (N1, M, N2)
+    w1r_c = w1r[:, :n1_in]
+    w1i_c = w1i[:, :n1_in]
+    ar = _dotg_left1(w1r_c, xr) - _dotg_left1(w1i_c, xi)
+    ai = _dotg_left1(w1r_c, xi) + _dotg_left1(w1i_c, xr)
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    # forward stage 2 over n2 (lanes): scrambled spectrum (N1, M, K2)
+    sr = _dotg_right(br, w2r) - _dotg_right(bi, w2i)
+    si = _dotg_right(bi, w2r) + _dotg_right(br, w2i)
+    # multiply pre-scrambled H
+    hr = hsr_ref[...]
+    hi = hsi_ref[...]
+    pr = sr * hr - si * hi
+    pi_ = sr * hi + si * hr
+    # inverse stage A over k2 (lanes), conjugated W2
+    cr = _dotg_right(pr, w2r) + _dotg_right(pi_, w2i)
+    ci = _dotg_right(pi_, w2r) - _dotg_right(pr, w2i)
+    dr = cr * twr + ci * twi
+    di = ci * twr - cr * twi
+    # inverse stage B over k1, conjugated W1, crop-aware (n1 < N1/2)
+    w1r_k = w1r[:n1_in]
+    w1i_k = w1i[:n1_in]
+    er = _dotg_left0(w1r_k, dr) + _dotg_left0(w1i_k, di)
+    ei = _dotg_left0(w1r_k, di) - _dotg_left0(w1i_k, dr)
+    inv = 1.0 / N
+    # natural layout: (n1, M, N2) -> (M, n1, N2) -> (M, ny)
+    or_ref[...] = (er * inv).transpose(1, 0, 2).reshape(M, n1_in * N2)
+    oi_ref[...] = (ei * inv).transpose(1, 0, 2).reshape(M, n1_in * N2)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "lane_block",
+                                   "row_block", "interpret",
+                                   "vmem_mb"))
+def psf_convolve_pallas_v2(x, Hsr, Hsi, nx, ny, lane_block=128,
+                           row_block=128, interpret=False,
+                           vmem_mb=100):
+    """Transpose-free fused PSF convolution (psf_oversize=2 only).
+
+    Hsr/Hsi: the SCRAMBLED transfer function from
+    ``scramble_HT(make_full_psfhat(psf).T)`` — shape (N1y, NX, N2y).
+    """
+    N1y, NX, N2y = Hsr.shape
+    NY = N1y * N2y
+    assert NX == 2 * nx and NY == 2 * ny
+    CX = consts_for(NX)
+    CYl = consts_lane_for(NY)
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_mb * 1024 * 1024)
+    kw = dict(interpret=interpret)
+    if not interpret:
+        kw["compiler_params"] = cparams
+
+    in_strip = lambda L: pl.BlockSpec((nx, L), lambda j: (0, j),
+                                      memory_space=pltpu.VMEM)
+    half_strip = lambda L: pl.BlockSpec((NX, L), lambda j: (0, j),
+                                        memory_space=pltpu.VMEM)
+    rows_half = lambda M: pl.BlockSpec((M, ny), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    hspec = lambda M: pl.BlockSpec((N1y, M, N2y), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)
+
+    zr, zi = pl.pallas_call(
+        partial(_k1o_kernel, N=NX, L=lane_block),
+        grid=(ny // lane_block,),
+        in_specs=[in_strip(lane_block)] + _const_specs(NX),
+        out_specs=(half_strip(lane_block), half_strip(lane_block)),
+        out_shape=(jax.ShapeDtypeStruct((NX, ny), jnp.float32),
+                   jax.ShapeDtypeStruct((NX, ny), jnp.float32)),
+        **kw,
+    )(x, *CX)
+
+    wr, wi = pl.pallas_call(
+        partial(_k2v_kernel, N=NY, M=row_block),
+        grid=(NX // row_block,),
+        in_specs=[rows_half(row_block)] * 2 + [hspec(row_block)] * 2
+        + _const_specs_lane(NY),
+        out_specs=(rows_half(row_block), rows_half(row_block)),
+        out_shape=(jax.ShapeDtypeStruct((NX, ny), jnp.float32),
+                   jax.ShapeDtypeStruct((NX, ny), jnp.float32)),
+        **kw,
+    )(zr, zi, Hsr, Hsi, *CYl)
+
+    out = pl.pallas_call(
+        partial(_k3o_kernel, N=NX, L=lane_block),
+        grid=(ny // lane_block,),
+        in_specs=[half_strip(lane_block)] * 2 + _const_specs(NX),
+        out_specs=in_strip(lane_block),
+        out_shape=jax.ShapeDtypeStruct((nx, ny), jnp.float32),
+        **kw,
+    )(wr, wi, *CX)
+    return out
+
+
 @partial(jax.jit, static_argnames=("nx", "ny", "lane_block",
                                    "row_block", "interpret",
                                    "vmem_mb"))

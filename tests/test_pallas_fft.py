@@ -54,3 +54,20 @@ def test_pallas_convolve_opt_matches():
         jnp.asarray(img), phr[0].T, phi[0].T, nx, nx, lane_block=64,
         row_block=64, interpret=True))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_pallas_convolve_v2_matches():
+    from pfb_tpu.ops.pallas_fft import (psf_convolve_pallas_v2,
+                                        scramble_HT)
+    rng = np.random.default_rng(3)
+    nx = 128  # NY = 256 -> lane factorisation (2, 128)
+    psf = rng.normal(size=(2 * nx, 2 * nx))
+    img = rng.normal(size=(nx, nx)).astype(np.float32)
+    ref = np.asarray(psf_convolve_cube(
+        jnp.asarray(img, jnp.float64)[None],
+        make_psfhat(jnp.asarray(psf)[None]), 2 * nx))[0]
+    phr, phi = make_full_psfhat(jnp.asarray(psf, jnp.float32)[None])
+    got = np.asarray(psf_convolve_pallas_v2(
+        jnp.asarray(img), scramble_HT(phr[0].T), scramble_HT(phi[0].T),
+        nx, nx, interpret=True))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
