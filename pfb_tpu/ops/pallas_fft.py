@@ -60,21 +60,21 @@ def consts_for(N):
     return tuple(jnp.asarray(a) for a in (w1r, w1i, w2r, w2i, twr, twi))
 
 
-def _mm(A, B):
+def _mm(A, B, prec=None):
     return jax.lax.dot_general(A, B, (((1,), (0,)), ((), ())),
-                               precision=_HI,
+                               precision=prec or _HI,
                                preferred_element_type=jnp.float32)
 
 
-def _mmr(B, A):
+def _mmr(B, A, prec=None):
     """B (..., n) contracted with A (k, n) -> (..., k)."""
     return jax.lax.dot_general(B, A, (((1,), (1,)), ((), ())),
-                               precision=_HI,
+                               precision=prec or _HI,
                                preferred_element_type=jnp.float32)
 
 
 def _fft_sublane_block(xr, xi, C, N, L, inverse, zero_frac=1,
-                       keep_frac=1):
+                       keep_frac=1, prec=None):
     """Four-step FFT of an (N, L) block along axis 0 using constants C
     = (w1r, w1i, w2r, w2i, twr, twi); inverse conjugates + scales.
 
@@ -96,8 +96,8 @@ def _fft_sublane_block(xr, xi, C, N, L, inverse, zero_frac=1,
     xi = xi.reshape(n1_in, N2 * L)
     w1r_c = w1r[:, :n1_in]
     w1i_c = w1i[:, :n1_in]
-    ar = _mm(w1r_c, xr) - _mm(w1i_c, xi)
-    ai = _mm(w1r_c, xi) + _mm(w1i_c, xr)
+    ar = _mm(w1r_c, xr, prec) - _mm(w1i_c, xi, prec)
+    ai = _mm(w1r_c, xi, prec) + _mm(w1i_c, xr, prec)
     ar = ar.reshape(N1, N2, L)
     ai = ai.reshape(N1, N2, L)
     br = ar * twr3 - ai * twi3
@@ -112,8 +112,8 @@ def _fft_sublane_block(xr, xi, C, N, L, inverse, zero_frac=1,
     k2_out = N2 // keep_frac
     w2r_c = w2r[:k2_out]
     w2i_c = w2i[:k2_out]
-    cr = _mm(w2r_c, br) - _mm(w2i_c, bi)
-    ci = _mm(w2r_c, bi) + _mm(w2i_c, br)
+    cr = _mm(w2r_c, br, prec) - _mm(w2i_c, bi, prec)
+    ci = _mm(w2r_c, bi, prec) + _mm(w2i_c, br, prec)
     yr = cr.reshape(k2_out * N1, L)
     yi = ci.reshape(k2_out * N1, L)
     if inverse:
@@ -157,13 +157,13 @@ def _k3_kernel(xr_ref, xi_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref,
 
 
 def _k1o_kernel(xr_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref, oi_ref,
-                *, N, L):
+                *, N, L, prec=None):
     """Zero-aware K1: input block has only the top N/2 (nonzero) rows;
     the stage-1 matmul contracts just those."""
     C = (w1r[...], w1i[...], w2r[...], w2i[...], twr[...], twi[...])
     xr = xr_ref[...]
     yr, yi = _fft_sublane_block(xr, jnp.zeros_like(xr), C, N, L, False,
-                                zero_frac=2)
+                                zero_frac=2, prec=prec)
     or_ref[...] = yr
     oi_ref[...] = yi
 
@@ -187,11 +187,11 @@ def _k2o_kernel(xr_ref, xi_ref, hrT_ref, hiT_ref, w1r, w1i, w2r, w2i,
 
 
 def _k3o_kernel(xr_ref, xi_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref,
-                *, N, L):
+                *, N, L, prec=None):
     """Crop-aware K3: inverse computes only the top N/2 output rows."""
     C = (w1r[...], w1i[...], w2r[...], w2i[...], twr[...], twi[...])
     yr, _ = _fft_sublane_block(xr_ref[...], xi_ref[...], C, N, L, True,
-                               keep_frac=2)
+                               keep_frac=2, prec=prec)
     or_ref[...] = yr
 
 
@@ -259,29 +259,29 @@ def scramble_HT(HT):
     return jnp.transpose(h, perm)
 
 
-def _dotg_left1(W, x):
+def _dotg_left1(W, x, prec=None):
     """(K, n) x (M, n, L) -> (K, M, L), contracting n."""
     return jax.lax.dot_general(W, x, (((1,), (1,)), ((), ())),
-                               precision=_HI,
+                               precision=prec or _HI,
                                preferred_element_type=jnp.float32)
 
 
-def _dotg_left0(W, x):
+def _dotg_left0(W, x, prec=None):
     """(K, n) x (n, M, L) -> (K, M, L), contracting n."""
     return jax.lax.dot_general(W, x, (((1,), (0,)), ((), ())),
-                               precision=_HI,
+                               precision=prec or _HI,
                                preferred_element_type=jnp.float32)
 
 
-def _dotg_right(x, W):
+def _dotg_right(x, W, prec=None):
     """(A, M, n) x (K, n) -> (A, M, K), contracting n (lanes)."""
     return jax.lax.dot_general(x, W, (((2,), (1,)), ((), ())),
-                               precision=_HI,
+                               precision=prec or _HI,
                                preferred_element_type=jnp.float32)
 
 
 def _k2v_kernel(xr_ref, xi_ref, hsr_ref, hsi_ref, w1r_, w1i_, w2r_,
-                w2i_, twr_, twi_, or_ref, oi_ref, *, N, M):
+                w2i_, twr_, twi_, or_ref, oi_ref, *, N, M, prec=None):
     """Transpose-free K2: forward lane FFT (zero-aware), multiply by the
     pre-scrambled H, inverse lane FFT (crop-aware), natural output."""
     w1r, w1i = w1r_[...], w1i_[...]
@@ -297,28 +297,28 @@ def _k2v_kernel(xr_ref, xi_ref, hsr_ref, hsi_ref, w1r_, w1i_, w2r_,
     # forward stage 1 over n1 (zero-aware): (N1, M, N2)
     w1r_c = w1r[:, :n1_in]
     w1i_c = w1i[:, :n1_in]
-    ar = _dotg_left1(w1r_c, xr) - _dotg_left1(w1i_c, xi)
-    ai = _dotg_left1(w1r_c, xi) + _dotg_left1(w1i_c, xr)
+    ar = _dotg_left1(w1r_c, xr, prec) - _dotg_left1(w1i_c, xi, prec)
+    ai = _dotg_left1(w1r_c, xi, prec) + _dotg_left1(w1i_c, xr, prec)
     br = ar * twr - ai * twi
     bi = ar * twi + ai * twr
     # forward stage 2 over n2 (lanes): scrambled spectrum (N1, M, K2)
-    sr = _dotg_right(br, w2r) - _dotg_right(bi, w2i)
-    si = _dotg_right(bi, w2r) + _dotg_right(br, w2i)
+    sr = _dotg_right(br, w2r, prec) - _dotg_right(bi, w2i, prec)
+    si = _dotg_right(bi, w2r, prec) + _dotg_right(br, w2i, prec)
     # multiply pre-scrambled H
     hr = hsr_ref[...]
     hi = hsi_ref[...]
     pr = sr * hr - si * hi
     pi_ = sr * hi + si * hr
     # inverse stage A over k2 (lanes), conjugated W2
-    cr = _dotg_right(pr, w2r) + _dotg_right(pi_, w2i)
-    ci = _dotg_right(pi_, w2r) - _dotg_right(pr, w2i)
+    cr = _dotg_right(pr, w2r, prec) + _dotg_right(pi_, w2i, prec)
+    ci = _dotg_right(pi_, w2r, prec) - _dotg_right(pr, w2i, prec)
     dr = cr * twr + ci * twi
     di = ci * twr - cr * twi
     # inverse stage B over k1, conjugated W1, crop-aware (n1 < N1/2)
     w1r_k = w1r[:n1_in]
     w1i_k = w1i[:n1_in]
-    er = _dotg_left0(w1r_k, dr) + _dotg_left0(w1i_k, di)
-    ei = _dotg_left0(w1r_k, di) - _dotg_left0(w1i_k, dr)
+    er = _dotg_left0(w1r_k, dr, prec) + _dotg_left0(w1i_k, di, prec)
+    ei = _dotg_left0(w1r_k, di, prec) - _dotg_left0(w1i_k, dr, prec)
     inv = 1.0 / N
     # natural layout: (n1, M, N2) -> (M, n1, N2) -> (M, ny)
     or_ref[...] = (er * inv).transpose(1, 0, 2).reshape(M, n1_in * N2)
@@ -327,15 +327,22 @@ def _k2v_kernel(xr_ref, xi_ref, hsr_ref, hsi_ref, w1r_, w1i_, w2r_,
 
 @partial(jax.jit, static_argnames=("nx", "ny", "lane_block",
                                    "row_block", "interpret",
-                                   "vmem_mb"))
+                                   "vmem_mb", "precision"))
 def psf_convolve_pallas_v2(x, Hsr, Hsi, nx, ny, lane_block=128,
                            row_block=128, interpret=False,
-                           vmem_mb=100):
+                           vmem_mb=100, precision="default"):
     """Transpose-free fused PSF convolution (psf_oversize=2 only).
 
     Hsr/Hsi: the SCRAMBLED transfer function from
     ``scramble_HT(make_full_psfhat(psf).T)`` — shape (N1y, NX, N2y).
+
+    precision: 'highest' (float32-exact DFT matmuls, ~19 ms/band at
+    4096^2 on v5e) or 'default' (single-pass MXU dots, ~7.4 ms/band,
+    ~1e-5 relative operator error — fine for inner-loop Hessians whose
+    residuals are recomputed exactly each major cycle).
     """
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[precision]
     N1y, NX, N2y = Hsr.shape
     NY = N1y * N2y
     assert NX == 2 * nx and NY == 2 * ny
@@ -357,7 +364,7 @@ def psf_convolve_pallas_v2(x, Hsr, Hsi, nx, ny, lane_block=128,
                                    memory_space=pltpu.VMEM)
 
     zr, zi = pl.pallas_call(
-        partial(_k1o_kernel, N=NX, L=lane_block),
+        partial(_k1o_kernel, N=NX, L=lane_block, prec=prec),
         grid=(ny // lane_block,),
         in_specs=[in_strip(lane_block)] + _const_specs(NX),
         out_specs=(half_strip(lane_block), half_strip(lane_block)),
@@ -367,7 +374,7 @@ def psf_convolve_pallas_v2(x, Hsr, Hsi, nx, ny, lane_block=128,
     )(x, *CX)
 
     wr, wi = pl.pallas_call(
-        partial(_k2v_kernel, N=NY, M=row_block),
+        partial(_k2v_kernel, N=NY, M=row_block, prec=prec),
         grid=(NX // row_block,),
         in_specs=[rows_half(row_block)] * 2 + [hspec(row_block)] * 2
         + _const_specs_lane(NY),
@@ -378,7 +385,7 @@ def psf_convolve_pallas_v2(x, Hsr, Hsi, nx, ny, lane_block=128,
     )(zr, zi, Hsr, Hsi, *CYl)
 
     out = pl.pallas_call(
-        partial(_k3o_kernel, N=NX, L=lane_block),
+        partial(_k3o_kernel, N=NX, L=lane_block, prec=prec),
         grid=(ny // lane_block,),
         in_specs=[half_strip(lane_block)] * 2 + _const_specs(NX),
         out_specs=in_strip(lane_block),
@@ -405,6 +412,7 @@ def psf_convolve_pallas_opt(x, Hr, Hi, nx, ny, lane_block=128,
     NY, NX = Hr.shape
     assert NX == 2 * nx and NY == 2 * ny, \
         "psf_convolve_pallas_opt requires psf_oversize == 2"
+    prec = _HI
     CX = consts_for(NX)
     CY = consts_for(NY)
     cparams = pltpu.CompilerParams(
@@ -447,7 +455,7 @@ def psf_convolve_pallas_opt(x, Hr, Hi, nx, ny, lane_block=128,
 
     # K3: cropped inverse along rows -> (nx, ny) real output
     out = pl.pallas_call(
-        partial(_k3o_kernel, N=NX, L=lane_block),
+        partial(_k3o_kernel, N=NX, L=lane_block, prec=prec),
         grid=(ny // lane_block,),
         in_specs=[half_strip(lane_block)] * 2 + _const_specs(NX),
         out_specs=in_strip(lane_block),

