@@ -74,7 +74,7 @@ def _mmr(B, A, prec=None):
 
 
 def _fft_sublane_block(xr, xi, C, N, L, inverse, zero_frac=1,
-                       keep_frac=1, prec=None):
+                       keep_frac=1, prec=None, real_output=False):
     """Four-step FFT of an (N, L) block along axis 0 using constants C
     = (w1r, w1i, w2r, w2i, twr, twi); inverse conjugates + scales.
 
@@ -93,11 +93,15 @@ def _fft_sublane_block(xr, xi, C, N, L, inverse, zero_frac=1,
 
     n1_in = N1 // zero_frac
     xr = xr.reshape(n1_in, N2 * L)
-    xi = xi.reshape(n1_in, N2 * L)
     w1r_c = w1r[:, :n1_in]
     w1i_c = w1i[:, :n1_in]
-    ar = _mm(w1r_c, xr, prec) - _mm(w1i_c, xi, prec)
-    ai = _mm(w1r_c, xi, prec) + _mm(w1i_c, xr, prec)
+    if xi is None:  # real input: skip the zero-imag matmuls
+        ar = _mm(w1r_c, xr, prec)
+        ai = _mm(w1i_c, xr, prec)
+    else:
+        xi = xi.reshape(n1_in, N2 * L)
+        ar = _mm(w1r_c, xr, prec) - _mm(w1i_c, xi, prec)
+        ai = _mm(w1r_c, xi, prec) + _mm(w1i_c, xr, prec)
     ar = ar.reshape(N1, N2, L)
     ai = ai.reshape(N1, N2, L)
     br = ar * twr3 - ai * twi3
@@ -113,8 +117,10 @@ def _fft_sublane_block(xr, xi, C, N, L, inverse, zero_frac=1,
     w2r_c = w2r[:k2_out]
     w2i_c = w2i[:k2_out]
     cr = _mm(w2r_c, br, prec) - _mm(w2i_c, bi, prec)
-    ci = _mm(w2r_c, bi, prec) + _mm(w2i_c, br, prec)
     yr = cr.reshape(k2_out * N1, L)
+    if real_output:  # caller discards the imaginary part
+        return (yr / N, None) if inverse else (yr, None)
+    ci = _mm(w2r_c, bi, prec) + _mm(w2i_c, br, prec)
     yi = ci.reshape(k2_out * N1, L)
     if inverse:
         yr = yr / N
@@ -162,7 +168,7 @@ def _k1o_kernel(xr_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref, oi_ref,
     the stage-1 matmul contracts just those."""
     C = (w1r[...], w1i[...], w2r[...], w2i[...], twr[...], twi[...])
     xr = xr_ref[...]
-    yr, yi = _fft_sublane_block(xr, jnp.zeros_like(xr), C, N, L, False,
+    yr, yi = _fft_sublane_block(xr, None, C, N, L, False,
                                 zero_frac=2, prec=prec)
     or_ref[...] = yr
     oi_ref[...] = yi
@@ -191,7 +197,8 @@ def _k3o_kernel(xr_ref, xi_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref,
     """Crop-aware K3: inverse computes only the top N/2 output rows."""
     C = (w1r[...], w1i[...], w2r[...], w2i[...], twr[...], twi[...])
     yr, _ = _fft_sublane_block(xr_ref[...], xi_ref[...], C, N, L, True,
-                               keep_frac=2, prec=prec)
+                               keep_frac=2, prec=prec,
+                               real_output=True)
     or_ref[...] = yr
 
 
