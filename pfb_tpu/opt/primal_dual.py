@@ -100,6 +100,48 @@ def primal_dual(x,
     return xf, vf, wf, k
 
 
+def primal_dual_hostloop(x, v, lam, psiH, psi, L, l1weight, grad,
+                         reweighter=None, nu=1.0, sigma=None, tol=1e-5,
+                         maxit=1000, positivity=1, gamma=1.0,
+                         maxreweight=50):
+    """Same iteration as :func:`primal_dual` with the outer loop on the
+    host and one jitted step on device. Use when the Hessian matvec is
+    a Pallas pipeline (XLA drops the kernels' scoped-VMEM parameters
+    when fusing them inside while-loop bodies) or when per-iteration
+    host-side monitoring is wanted."""
+    import jax
+
+    L = jnp.asarray(L, x.dtype)
+    if sigma is None:
+        sigma = L / (2.0 * gamma) / nu
+    else:
+        sigma = jnp.asarray(sigma, x.dtype)
+    tau = 0.9 / (L / (2.0 * gamma) + sigma * nu**2)
+    lam = jnp.asarray(lam, x.dtype)
+
+    @jax.jit
+    def step(xp, vp, w):
+        vnew = dual_update_21m(vp, psiH(xp), lam, sigma=sigma, weight=w)
+        xout = psi(2.0 * vnew - vp) + grad(xp)
+        xnew = apply_positivity(xp - tau * xout, positivity)
+        eps = norm_diff(xnew, xp)
+        return xnew, vnew, eps
+
+    nrw = 0
+    k = 0
+    w = l1weight
+    while k < maxit:
+        x, v, eps = step(x, v, w)
+        k += 1
+        if float(eps) < tol:
+            if reweighter is not None and nrw < maxreweight:
+                w = reweighter(x)
+                nrw += 1
+            else:
+                break
+    return x, v, w, k
+
+
 def l1reweight_func(psiH, rmsfactor, rms_comps, model, alpha=4):
     """L1 reweighting: weights stay ~1 for components well above the
     coefficient-space rms and grow toward (1+rmsfactor) for small ones

@@ -15,7 +15,8 @@ from pfb_tpu.ops.gridder import hessian_dds
 from pfb_tpu.ops.psf import make_psf_convolve
 from pfb_tpu.ops.psi import make_psi, psi_dot, psi_hdot
 from pfb_tpu.opt.power_method import power_method
-from pfb_tpu.opt.primal_dual import primal_dual
+from pfb_tpu.opt.primal_dual import (primal_dual,
+                                     primal_dual_hostloop)
 from pfb_tpu.utils import dstore
 from pfb_tpu.utils.logging import get_logger
 from pfb_tpu.utils.misc import fitcleanbeam
@@ -142,7 +143,9 @@ def _spotless(ddsi=None, output_filename=None, product="I",
         else:
             reweighter = None
 
-        model_j, dual_j, l1weight, pd_iters = primal_dual(
+        pd_fn = primal_dual_hostloop if engine == "pallas" else \
+            primal_dual
+        model_j, dual_j, l1weight, pd_iters = pd_fn(
             jnp.asarray(model), dual_j, rf * rms, psiH, psiF, hessnorm,
             l1weight, grad21, reweighter=reweighter, nu=nbasis,
             tol=pd_tol, maxit=pd_maxit, positivity=positivity,
