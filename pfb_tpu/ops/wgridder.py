@@ -254,11 +254,19 @@ def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
     nm1 = nterm(llg, mmg).astype(rdtype)
 
     if do_w:
-        # per-plane phase e^{+2 pi i w_p (n-1)} and w-axis correction
+        # per-plane phase e^{+2 pi i w_p (n-1)} and w-axis correction,
+        # accumulated with a scan so the (nw, nx, ny) phase stack is
+        # never materialised (it can exceed HBM for large w ranges)
         wp = w0 + dw * jnp.arange(nw)
-        ph = 2.0 * jnp.pi * wp[:, None, None] * nm1[None]
-        img = jnp.sum(img * lax.complex(jnp.cos(ph), jnp.sin(ph)),
-                      axis=0)
+
+        def accum(carry, args):
+            imgp, wpp = args
+            ph = (2.0 * jnp.pi * wpp) * nm1
+            return carry + imgp * lax.complex(jnp.cos(ph),
+                                              jnp.sin(ph)), None
+
+        img0 = jnp.zeros(img.shape[-2:], img.dtype)
+        img, _ = lax.scan(accum, img0, (img, wp))
         cw = _es_kernel_ft(nm1 * dw, beta, k).astype(rdtype)
         img = img / cw
     else:
