@@ -236,11 +236,6 @@ def vis2dirty_wgrid(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
 def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
                    nw, w0, dw, divide_by_n, x0=0.0, y0=0.0):
     rdtype = gr.dtype
-    grid = lax.complex(gr, gi)
-    # inverse DFT: sum_p G(p) e^{+2 pi i p s / N}; index s = i - nx//2
-    img_full = jnp.fft.ifft2(grid, axes=(-2, -1)) * (Nx * Ny)
-    img = jnp.roll(img_full, (nx // 2, ny // 2), axis=(-2, -1))
-    img = img[..., :nx, :ny]
 
     # l, m and grid corrections
     li = (jnp.arange(nx) - nx // 2)
@@ -253,24 +248,32 @@ def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
     llg, mmg = jnp.meshgrid(ll, mm, indexing="ij")
     nm1 = nterm(llg, mmg).astype(rdtype)
 
+    def plane_image(grp, gip):
+        # inverse DFT of one plane: sum_p G(p) e^{+2 pi i p s / N}
+        full = jnp.fft.ifft2(lax.complex(grp, gip)) * (Nx * Ny)
+        rolled = jnp.roll(full, (nx // 2, ny // 2), axis=(-2, -1))
+        return rolled[..., :nx, :ny]
+
     if do_w:
-        # per-plane phase e^{+2 pi i w_p (n-1)} and w-axis correction,
-        # accumulated with a scan so the (nw, nx, ny) phase stack is
-        # never materialised (it can exceed HBM for large w ranges)
+        # per-plane ifft + phase e^{+2 pi i w_p (n-1)}, accumulated with
+        # a scan so neither the image stack nor its FFT workspace is
+        # ever resident for all planes at once
         wp = w0 + dw * jnp.arange(nw)
 
         def accum(carry, args):
-            imgp, wpp = args
+            grp, gip, wpp = args
+            imgp = plane_image(grp, gip)
             ph = (2.0 * jnp.pi * wpp) * nm1
             return carry + imgp * lax.complex(jnp.cos(ph),
                                               jnp.sin(ph)), None
 
-        img0 = jnp.zeros(img.shape[-2:], img.dtype)
-        img, _ = lax.scan(accum, img0, (img, wp))
+        img0 = jnp.zeros((nx, ny), jnp.result_type(rdtype,
+                                                   jnp.complex64))
+        img, _ = lax.scan(accum, img0, (gr, gi, wp))
         cw = _es_kernel_ft(nm1 * dw, beta, k).astype(rdtype)
         img = img / cw
     else:
-        img = img[0]
+        img = plane_image(gr[0], gi[0])
 
     out = img.real / (cx[:, None] * cy[None, :])
     if divide_by_n:
@@ -326,21 +329,29 @@ def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
     if divide_by_n:
         img = img / (nm1 + 1.0)
 
+    def plane_grid(plane):
+        # embed at s = i - nx//2 (inverse of the roll+crop) and forward
+        # DFT: G(p) = sum_s f(s) e^{-2 pi i p s / N}
+        full = jnp.zeros((Nx, Ny), plane.dtype)
+        full = full.at[:nx, :ny].set(plane)
+        full = jnp.roll(full, (-(nx // 2), -(ny // 2)), axis=(-2, -1))
+        return jnp.fft.fft2(full)
+
     if do_w:
         cw = _es_kernel_ft(nm1 * dw, beta, k).astype(rdtype)
         img = img / cw
         wp = w0 + dw * jnp.arange(nw)
-        ph = -2.0 * jnp.pi * wp[:, None, None] * nm1[None]
-        stack = img[None] * lax.complex(jnp.cos(ph), jnp.sin(ph))
-    else:
-        stack = lax.complex(img, jnp.zeros_like(img))[None]
 
-    # embed at s = i - nx//2 (inverse of the roll+crop) and forward DFT:
-    # G(p) = sum_s f(s) e^{-2 pi i p s / N}
-    full = jnp.zeros((stack.shape[0], Nx, Ny), stack.dtype)
-    full = full.at[:, :nx, :ny].set(stack)
-    full = jnp.roll(full, (-(nx // 2), -(ny // 2)), axis=(-2, -1))
-    return jnp.fft.fft2(full, axes=(-2, -1))
+        # per-plane phase + FFT in a scan: only one plane's FFT
+        # workspace is ever live
+        def one(carry, wpp):
+            ph = (-2.0 * jnp.pi * wpp) * nm1
+            plane = img * lax.complex(jnp.cos(ph), jnp.sin(ph))
+            return carry, plane_grid(plane)
+
+        _, grids = lax.scan(one, 0, wp)
+        return grids
+    return plane_grid(lax.complex(img, jnp.zeros_like(img)))[None]
 
 
 @partial(jax.jit, static_argnames=("k", "Nx", "Ny", "row_chunk", "nw",
