@@ -155,5 +155,13 @@ def fwdbwd(**kw):
     _fwdbwd(write=True, **args)
 
 
+@cli.command()
+@click.argument("recipe", type=click.Path(exists=True))
+def pipeline(recipe):
+    """Run a YAML pipeline recipe (chained workers)."""
+    from pfb_tpu.workers.pipeline import run_recipe
+    run_recipe(recipe)
+
+
 if __name__ == "__main__":
     cli()

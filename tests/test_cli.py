@@ -45,3 +45,43 @@ def test_cli_help_lists_all_workers():
               "degrid", "restore", "fluxmop", "fastim", "smoovie",
               "fwdbwd"):
         assert w in r.output
+
+
+def test_pipeline_recipe(tmp_path):
+    from pfb_tpu.workers.pipeline import load_recipe, run_recipe
+    ms_path = str(tmp_path / "obs.npz")
+    simulate_ms(ms_path, nant=7, ntime=4, nchan=2, nsource=2,
+                fov_deg=0.3, seed=23)
+    out = str(tmp_path / "out")
+    recipe = tmp_path / "recipe.yaml"
+    recipe.write_text(f"""
+steps:
+  - worker: init
+    params: {{ms: {ms_path}, output-filename: {out},
+             channels-per-image: 1}}
+  - worker: grid
+    params: {{output-filename: {out}, field-of-view: 0.3,
+             robustness: 0.0}}
+  - worker: klean
+    params: {{output-filename: {out}, niter: 2, threshold: 1.0e-4,
+             gamma: 0.1, peak-factor: 0.75, mop-flux: false}}
+""")
+    run_recipe(str(recipe), verbose=0)
+    assert glob.glob(out + "_I_main.dds/ds_*")
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("steps:\n  - worker: nosuch\n")
+    try:
+        load_recipe(str(bad))
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "unknown worker" in str(e)
+
+    bad2 = tmp_path / "bad2.yaml"
+    bad2.write_text("steps:\n  - worker: klean\n"
+                    "    params: {nonsense-param: 1}\n")
+    try:
+        load_recipe(str(bad2))
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "unknown parameter" in str(e)
