@@ -135,8 +135,8 @@ def _degrid_tiles_mm(upos, vpos, tr, ti, beta, k, tx_size, ty_size, C,
     return vr, vi
 
 
-def _overlap_add(tiles, tids_dev, ntx, nty, tx_size, ty_size, k, Nx,
-                 Ny, nw):
+def _overlap_add(grid0, tiles, tids_dev, ntx, nty, tx_size, ty_size,
+                 k, Nx, Ny, nw):
     """Scatter the halo'd tiles back onto the (nw, Nx+k, Ny+k) extended
     grid (centered-halo indexing; wrap handled by the caller),
     accumulating duplicates. tiles: (ntiles, Thx, Thy); tids_dev:
@@ -155,7 +155,6 @@ def _overlap_add(tiles, tids_dev, ntx, nty, tx_size, ty_size, k, Nx,
             grid, block + t[None], (p, tx * tx_size, ty * ty_size)), \
             None
 
-    grid0 = jnp.zeros((nw, Nx + k, Ny + k), tiles.dtype)
     grid, _ = lax.scan(body, grid0, (tiles, tids_dev))
     return grid
 
@@ -287,8 +286,8 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     pv_loc = np.where(pv_loc < -ty_size, pv_loc + Ny, pv_loc)
     pv_loc = np.where(pv_loc > 2 * ty_size + k, pv_loc - Ny, pv_loc)
 
-    grids_r = jnp.zeros((nw, Nx, Ny), rdtype)
-    grids_i = jnp.zeros((nw, Nx, Ny), rdtype)
+    ext_r = jnp.zeros((nw, Nx + k, Ny + k), rdtype)
+    ext_i = jnp.zeros((nw, Nx + k, Ny + k), rdtype)
     wsupport = range(-(k // 2) + 1, k // 2 + 1) if nw > 1 else (0,)
     for t in wsupport:
         if nw > 1:
@@ -307,12 +306,18 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
             jnp.asarray(pu_loc, rdtype), jnp.asarray(pv_loc, rdtype),
             jnp.asarray(twr, rdtype), jnp.asarray(twi, rdtype),
             beta, k, tx_size, ty_size, C, ntiles)
-        ext_r = _overlap_add(tr, jnp.asarray(tid_t), ntx, nty, tx_size,
-                             ty_size, k, Nx, Ny, nw)
-        ext_i = _overlap_add(ti, jnp.asarray(tid_t), ntx, nty, tx_size,
-                             ty_size, k, Nx, Ny, nw)
-        grids_r = grids_r + _wrap(ext_r, Nx, Ny, k)
-        grids_i = grids_i + _wrap(ext_i, Nx, Ny, k)
+        ext_r = _overlap_add(ext_r, tr, jnp.asarray(tid_t), ntx, nty,
+                             tx_size, ty_size, k, Nx, Ny, nw)
+        ext_i = _overlap_add(ext_i, ti, jnp.asarray(tid_t), ntx, nty,
+                             tx_size, ty_size, k, Nx, Ny, nw)
+        # serialise taps so each tap's tile temporaries are freed
+        # before the next allocates (the async queue otherwise keeps
+        # them all live)
+        ext_i = ext_i.block_until_ready()
+        float(jnp.sum(ext_i[0, 0, :8]))
+
+    grids_r = _wrap(ext_r, Nx, Ny, k)
+    grids_i = _wrap(ext_i, Nx, Ny, k)
 
     from pfb_tpu.ops.wgridder import _grid_to_image
     return _grid_to_image(grids_r, grids_i, nx, ny, cellx, celly, k,
