@@ -223,23 +223,40 @@ def _prepare(uvw, freq, nx, ny, cellx, celly, epsilon, sigma, tile,
 
 
 def _pad_tiles(order, tids, values, C):
-    """Group sorted per-vis arrays into (ntiles, C) padded blocks.
-    Returns (padded arrays, unique tile ids, scatter map back)."""
+    """Group sorted per-vis arrays into (nentries, C) padded blocks.
+    Tiles holding more than C visibilities are split into multiple
+    entries with the same tile id (the overlap-add accumulates
+    duplicates), so C caps the matmul width without capacity errors.
+    Returns (padded arrays, entry tile ids, scatter map, mask)."""
     utid, starts = np.unique(tids, return_index=True)
     counts = np.diff(np.append(starts, tids.size))
-    ntiles = utid.size
+    entry_tid = []
+    entry_start = []
+    entry_count = []
+    for t in range(utid.size):
+        s0 = starts[t]
+        remaining = counts[t]
+        while remaining > 0:
+            c = min(remaining, C)
+            entry_tid.append(utid[t])
+            entry_start.append(s0)
+            entry_count.append(c)
+            s0 += c
+            remaining -= c
+    nentries = len(entry_tid)
+    idx = np.zeros((nentries, C), dtype=np.int64)
+    mask = np.zeros((nentries, C), dtype=bool)
+    for e in range(nentries):
+        c = entry_count[e]
+        idx[e, :c] = order[entry_start[e]:entry_start[e] + c]
+        mask[e, :c] = True
     out = []
-    idx = np.zeros((ntiles, C), dtype=np.int64)
-    mask = np.zeros((ntiles, C), dtype=bool)
-    for t in range(ntiles):
-        c = min(counts[t], C)
-        idx[t, :c] = order[starts[t]:starts[t] + c]
-        mask[t, :c] = True
     for v in values:
         pv = v[idx]
         pv[~mask] = 0.0
         out.append(pv)
-    return out, utid, idx, mask, counts
+    return out, np.asarray(entry_tid), idx, mask, np.asarray(
+        entry_count)
 
 
 def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
@@ -263,17 +280,11 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     vi = visw.imag.ravel()
 
     if capacity is None:
-        utid_all, counts_all = np.unique(tids, return_counts=True)
-        capacity = int(counts_all.max())
-        capacity = max(8, int(np.ceil(capacity / 8) * 8))
+        capacity = 128
     C = capacity
 
     (pu, pv, pwpos, pvr, pvi), utid, idx, pmask, counts = _pad_tiles(
         order, tids, [ug, vg, wpos, vr, vi], C)
-    if (counts > C).any():
-        raise ValueError(
-            f"tile capacity {C} exceeded (max {counts.max()}); pass "
-            "capacity explicitly")
     ntiles = utid.size
     # tile-local positions including the halo offset k/2
     ty = utid % nty
@@ -302,19 +313,28 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
         else:
             twr, twi = pvr, pvi
             tid_t = utid
-        tr, ti = _grid_tiles_mm(
-            jnp.asarray(pu_loc, rdtype), jnp.asarray(pv_loc, rdtype),
-            jnp.asarray(twr, rdtype), jnp.asarray(twi, rdtype),
-            beta, k, tx_size, ty_size, C, ntiles)
-        ext_r = _overlap_add(ext_r, tr, jnp.asarray(tid_t), ntx, nty,
-                             tx_size, ty_size, k, Nx, Ny, nw)
-        ext_i = _overlap_add(ext_i, ti, jnp.asarray(tid_t), ntx, nty,
-                             tx_size, ty_size, k, Nx, Ny, nw)
-        # serialise taps so each tap's tile temporaries are freed
-        # before the next allocates (the async queue otherwise keeps
-        # them all live)
-        ext_i = ext_i.block_until_ready()
-        float(jnp.sum(ext_i[0, 0, :8]))
+        # process entries in chunks: the per-entry halo'd tile images
+        # are the big temporary (nentries x Thx x Thy), so emit and
+        # overlap-add a bounded number at a time
+        echunk = 2048
+        for e0 in range(0, ntiles, echunk):
+            e1 = min(e0 + echunk, ntiles)
+            ne = e1 - e0
+            tr, ti = _grid_tiles_mm(
+                jnp.asarray(pu_loc[e0:e1], rdtype),
+                jnp.asarray(pv_loc[e0:e1], rdtype),
+                jnp.asarray(twr[e0:e1], rdtype),
+                jnp.asarray(twi[e0:e1], rdtype),
+                beta, k, tx_size, ty_size, C, ne)
+            ext_r = _overlap_add(ext_r, tr, jnp.asarray(tid_t[e0:e1]),
+                                 ntx, nty, tx_size, ty_size, k, Nx, Ny,
+                                 nw)
+            ext_i = _overlap_add(ext_i, ti, jnp.asarray(tid_t[e0:e1]),
+                                 ntx, nty, tx_size, ty_size, k, Nx, Ny,
+                                 nw)
+            # serialise so chunk temporaries are freed before the next
+            # allocates (the async queue otherwise keeps them all live)
+            float(jnp.sum(ext_i[0, 0, :8]))
 
     grids_r = _wrap(ext_r, Nx, Ny, k)
     grids_i = _wrap(ext_i, Nx, Ny, k)
@@ -337,14 +357,11 @@ def dirty2vis_mm(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
     rdtype = image.dtype
 
     if capacity is None:
-        utid_all, counts_all = np.unique(tids, return_counts=True)
-        capacity = max(8, int(np.ceil(counts_all.max() / 8) * 8))
+        capacity = 128
     C = capacity
 
     (pu, pv, pwpos), utid, idx, pmask, counts = _pad_tiles(
         order, tids, [ug, vg, wpos], C)
-    if (counts > C).any():
-        raise ValueError(f"tile capacity {C} exceeded")
     ntiles = utid.size
     ty = utid % nty
     tx = (utid // nty) % ntx
