@@ -57,131 +57,154 @@ def _bin_to_tiles(ug, vg, wplane, tx_size, ty_size, Nx, Ny, nw):
     return order, tid[order], ntx, nty
 
 
-@partial(jax.jit, static_argnames=("tx_size", "ty_size", "k", "C",
-                                   "ntiles", "tile_chunk"))
-def _grid_tiles_mm(upos, vpos, wr, wi, beta, k, tx_size, ty_size, C,
-                   ntiles, tile_chunk=32):
-    """Batched rank-1 accumulation: inputs are per-tile padded arrays
-    (ntiles, C) of positions (relative to the tile origin minus halo)
-    and weighted vis real/imag; returns halo'd tiles
-    (ntiles, tile+k, tile+k) x2. Batched einsums over tile chunks."""
+@partial(jax.jit, static_argnames=("k", "nw", "ntx", "nty", "txs",
+                                   "tys", "C"))
+def _grid_all_taps(pu, pv, vals, pw, txv, tyv, beta, k, nw, ntx,
+                   nty, txs, tys, C):
+    """The whole gridding accumulation — w-support taps x entry chunks
+    — as ONE XLA program for one of the real/imag components. The
+    chunked host loop this replaces spent ~100x the device time on
+    per-call dispatch + transfer over the remote runtime; real and
+    imag run as separate programs because a joint (Yr, Yi) scan carry
+    double-buffers to 2x the accumulator footprint.
+
+    pu, pv, vals, pw: (nchunk, echunk, C) tile-local u/v positions
+    (halo offset included), weighted vis component, fractional w-plane
+    coordinate (zeros when nw == 1); txv, tyv: (nchunk, echunk) int32
+    tile coordinates. Padded entries carry zero weights.
+
+    Returns the dense per-(plane, tile) halo'd accumulator
+    (nw*ntx*nty, txs+k, tys+k) for _dense_overlap."""
     ko2 = k // 2
-    Thx = tx_size + k
-    Thy = ty_size + k
-    xsx = jnp.arange(Thx, dtype=upos.dtype)
-    xsy = jnp.arange(Thy, dtype=upos.dtype)
+    Thx = txs + k
+    Thy = tys + k
+    rdtype = vals.dtype
+    nseg = nw * ntx * nty
+    xsx = jnp.arange(Thx, dtype=rdtype)
+    xsy = jnp.arange(Thy, dtype=rdtype)
+    taps = (jnp.arange(-ko2 + 1, ko2 + 1, dtype=rdtype)
+            if nw > 1 else jnp.zeros((1,), rdtype))
 
-    def chunk(args):
-        u, v, vr, vi = args  # (B, C)
-        CU = es_kernel((xsx[None, None, :] - u[..., None]) / ko2, beta,
-                       k)
-        CV = es_kernel((xsy[None, None, :] - v[..., None]) / ko2, beta,
-                       k)
-        ar = jnp.einsum("bcx,bcy->bxy", CU * vr[..., None], CV,
-                        precision=lax.Precision.HIGHEST)
-        ai = jnp.einsum("bcx,bcy->bxy", CU * vi[..., None], CV,
-                        precision=lax.Precision.HIGHEST)
-        return ar, ai
+    def tap_body(carry, t):
+        def chunk_body(Y, args):
+            u, v, w, w0c, txc, tyc = args
+            # w-axis ES tap weight (1 for the nw == 1 pseudo-tap)
+            cw = es_kernel((jnp.round(w0c) + t - w0c) / ko2, beta, k)
+            w = w * cw
+            ptile = jnp.clip(
+                jnp.round(w0c[:, 0]).astype(jnp.int32)
+                + t.astype(jnp.int32), 0, nw - 1)
+            tid = (ptile * ntx + txc) * nty + tyc
+            CU = es_kernel((xsx[None, None, :] - u[..., None]) / ko2,
+                           beta, k)
+            CV = es_kernel((xsy[None, None, :] - v[..., None]) / ko2,
+                           beta, k)
+            tiles = jnp.einsum("ecx,ecy->exy", CU * w[..., None], CV,
+                               precision=lax.Precision.HIGHEST)
+            return Y.at[tid].add(tiles), None
 
-    B = min(tile_chunk, ntiles)
-    nchunk = -(-ntiles // B)
-    npad = nchunk * B - ntiles
-    def pad(a):
-        return jnp.pad(a, ((0, npad), (0, 0))).reshape(nchunk, B, C)
-    ar, ai = lax.map(chunk, (pad(upos), pad(vpos), pad(wr), pad(wi)))
-    ar = ar.reshape(nchunk * B, Thx, Thy)[:ntiles]
-    ai = ai.reshape(nchunk * B, Thx, Thy)[:ntiles]
-    return ar, ai
+        carry, _ = lax.scan(chunk_body, carry,
+                            (pu, pv, vals, pw, txv, tyv))
+        return carry, None
+
+    Y0 = jnp.zeros((nseg, Thx, Thy), rdtype)
+    Y, _ = lax.scan(tap_body, Y0, taps)
+    return Y
 
 
-@partial(jax.jit, static_argnames=("tx_size", "ty_size", "k", "C",
-                                   "ntiles", "tile_chunk"))
-def _degrid_tiles_mm(upos, vpos, tr, ti, beta, k, tx_size, ty_size, C,
-                     ntiles, tile_chunk=32):
-    """Transpose: per-tile gather of visibilities from halo'd tiles
-    (ntiles, tile+k, tile+k)."""
+@partial(jax.jit, static_argnames=("k", "nw", "ntx", "nty", "txs",
+                                   "tys", "C"))
+def _degrid_all_taps(gr, gi, pu, pv, pw, txv, tyv, beta, k, nw, ntx,
+                     nty, txs, tys, C):
+    """Gather twin of _grid_all_taps: the whole degrid — w-support
+    taps x entry chunks, block gathers included — as ONE XLA program.
+
+    gr, gi: (nw, Nx+k, Ny+k) periodically extended (unwrapped) grids;
+    pu, pv, pw: (nchunk, echunk, C) tile-local positions / fractional
+    w coordinate; txv, tyv: (nchunk, echunk) int32 tile coordinates.
+    Padded entries (u = -2k) evaluate to zero kernel weight.
+
+    Returns per-entry visibilities (nchunk, echunk, C) x2 summed over
+    the w taps."""
     ko2 = k // 2
-    Thx = tx_size + k
-    Thy = ty_size + k
-    xsx = jnp.arange(Thx, dtype=upos.dtype)
-    xsy = jnp.arange(Thy, dtype=upos.dtype)
+    Thx = txs + k
+    Thy = tys + k
+    rdtype = gr.dtype
+    xsx = jnp.arange(Thx, dtype=rdtype)
+    xsy = jnp.arange(Thy, dtype=rdtype)
+    taps = (jnp.arange(-ko2 + 1, ko2 + 1, dtype=rdtype)
+            if nw > 1 else jnp.zeros((1,), rdtype))
+    ax = jnp.arange(Thx)
+    ay = jnp.arange(Thy)
 
-    def chunk(args):
-        u, v, ar, ai = args
-        CU = es_kernel((xsx[None, None, :] - u[..., None]) / ko2, beta,
-                       k)
-        CV = es_kernel((xsy[None, None, :] - v[..., None]) / ko2, beta,
-                       k)
-        t1 = jnp.einsum("bcx,bxy->bcy", CU, ar,
-                        precision=lax.Precision.HIGHEST)
-        vr = jnp.sum(t1 * CV, axis=-1)
-        t2 = jnp.einsum("bcx,bxy->bcy", CU, ai,
-                        precision=lax.Precision.HIGHEST)
-        vi = jnp.sum(t2 * CV, axis=-1)
-        return vr, vi
+    def tap_body(carry, t):
+        def chunk_body(_, args):
+            u, v, w0c, txc, tyc = args
+            cw = es_kernel((jnp.round(w0c) + t - w0c) / ko2, beta, k)
+            ptile = jnp.clip(
+                jnp.round(w0c[:, 0]).astype(jnp.int32)
+                + t.astype(jnp.int32), 0, nw - 1)
+            xi = (txc * txs)[:, None, None] + ax[None, :, None]
+            yi = (tyc * tys)[:, None, None] + ay[None, None, :]
+            pidx = ptile[:, None, None]
+            br = gr[pidx, xi, yi]
+            bi = gi[pidx, xi, yi]
+            CU = es_kernel((xsx[None, None, :] - u[..., None]) / ko2,
+                           beta, k)
+            CV = es_kernel((xsy[None, None, :] - v[..., None]) / ko2,
+                           beta, k)
+            t1 = jnp.einsum("ecx,exy->ecy", CU, br,
+                            precision=lax.Precision.HIGHEST)
+            vr = jnp.sum(t1 * CV, axis=-1) * cw
+            t2 = jnp.einsum("ecx,exy->ecy", CU, bi,
+                            precision=lax.Precision.HIGHEST)
+            vi = jnp.sum(t2 * CV, axis=-1) * cw
+            return None, (vr, vi)
 
-    B = min(tile_chunk, ntiles)
-    nchunk = -(-ntiles // B)
-    npad = nchunk * B - ntiles
-    def pad2(a):
-        return jnp.pad(a, ((0, npad), (0, 0))).reshape(nchunk, B, C)
-    def pad3(a):
-        return jnp.pad(a, ((0, npad), (0, 0), (0, 0))).reshape(
-            nchunk, B, Thx, Thy)
-    vr, vi = lax.map(chunk, (pad2(upos), pad2(vpos), pad3(tr),
-                             pad3(ti)))
-    vr = vr.reshape(nchunk * B, C)[:ntiles]
-    vi = vi.reshape(nchunk * B, C)[:ntiles]
-    return vr, vi
+        _, (vr, vi) = lax.scan(chunk_body, None,
+                               (pu, pv, pw, txv, tyv))
+        accr, acci = carry
+        return (accr + vr, acci + vi), None
 
-
-def _overlap_add(grid0, tiles, tids_dev, ntx, nty, tx_size, ty_size,
-                 k, Nx, Ny, nw):
-    """Scatter the halo'd tiles back onto the (nw, Nx+k, Ny+k) extended
-    grid (centered-halo indexing; wrap handled by the caller),
-    accumulating duplicates. tiles: (ntiles, Thx, Thy); tids_dev:
-    (ntiles,) tile keys (wplane*ntx + tx)*nty + ty."""
-    Thx = tx_size + k
-    Thy = ty_size + k
-
-    def body(grid, args):
-        t, tid = args
-        ty = tid % nty
-        tx = (tid // nty) % ntx
-        p = tid // (ntx * nty)
-        block = lax.dynamic_slice(
-            grid, (p, tx * tx_size, ty * ty_size), (1, Thx, Thy))
-        return lax.dynamic_update_slice(
-            grid, block + t[None], (p, tx * tx_size, ty * ty_size)), \
-            None
-
-    grid, _ = lax.scan(body, grid0, (tiles, tids_dev))
-    return grid
+    acc0 = (jnp.zeros(pu.shape, rdtype), jnp.zeros(pu.shape, rdtype))
+    (accr, acci), _ = lax.scan(tap_body, acc0, taps)
+    return accr, acci
 
 
-def _wrap(grid_ext, Nx, Ny, k):
-    """Fold the centered k/2-per-side halos of the extended grid back
-    periodically. Extended index i maps to global i - k/2 (mod N)."""
-    h = k // 2
-    g = grid_ext
-    # axis -2
-    core = g[..., h:Nx + h, :]
-    core = core.at[..., Nx - h:, :].add(g[..., :h, :])
-    core = core.at[..., :h, :].add(g[..., Nx + h:Nx + k, :])
-    # axis -1
-    out = core[..., :, h:Ny + h]
-    out = out.at[..., :, Ny - h:].add(core[..., :, :h])
-    out = out.at[..., :, :h].add(core[..., :, Ny + h:Ny + k])
-    return out
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8),
+         donate_argnums=0)
+def _dense_overlap(Y, nw, ntx, nty, txs, tys, k, Nx, Ny):
+    """Vectorised overlap-add + periodic halo fold.
 
+    Y is the dense accumulator (nw*ntx*nty, txs+k, tys+k) with segment
+    id (p*ntx + tx)*nty + ty; tile-local (i, j) sits at extended
+    coordinate (tx*txs + i, ty*tys + j), which maps to global
+    (i - k/2 mod Nx, j - k/2 mod Ny). Each halo'd tile splits into 4
+    quadrants — base (txs, tys), x-strip (k, tys), y-strip (txs, k)
+    and corner (k, k) — which land on the base region of the tile one
+    step over (periodic): pure reshapes + rolls, no scatter, no scan.
+    Requires k <= txs and k <= tys (guaranteed by _choose_tile's
+    minimum tile size)."""
+    X = Y.reshape(nw, ntx, nty, txs + k, tys + k)
 
-def _unwrap(grid, k):
-    """Extend periodically by k/2 per side (degrid gathers near
-    edges); extended index i maps to global i - k/2."""
-    h = k // 2
-    g = jnp.concatenate([grid[..., -h:, :], grid, grid[..., :h, :]],
-                        axis=-2)
-    return jnp.concatenate([g[..., :, -h:], g, g[..., :, :h]], axis=-1)
+    def one(xp):
+        # one w-plane: (ntx, nty, txs+k, tys+k) -> (Nx, Ny); keeping
+        # the fold per-plane bounds the roll/transpose temporaries
+        # (full-stack they are multi-GB at many w-planes)
+        def place(a, rollx, rolly):
+            Z = jnp.zeros((ntx, nty, txs, tys), Y.dtype)
+            Z = Z.at[..., :a.shape[-2], :a.shape[-1]].set(a)
+            Z = jnp.roll(Z, (rollx, rolly), axis=(0, 1))
+            return Z.transpose(0, 2, 1, 3).reshape(Nx, Ny)
+
+        G = xp[..., :txs, :tys].transpose(0, 2, 1, 3).reshape(Nx, Ny)
+        G = G + place(xp[..., txs:, :tys], 1, 0)
+        G = G + place(xp[..., :txs, tys:], 0, 1)
+        G = G + place(xp[..., txs:, tys:], 1, 1)
+        # global offset: extended coordinate e maps to global e - k/2
+        return jnp.roll(G, (-(k // 2), -(k // 2)), axis=(-2, -1))
+
+    return lax.map(one, X)
 
 
 def _prepare(uvw, freq, nx, ny, cellx, celly, epsilon, sigma, tile,
@@ -216,6 +239,11 @@ def _prepare(uvw, freq, nx, ny, cellx, celly, epsilon, sigma, tile,
     p0f = p0.ravel()
     tx_size = _choose_tile(Nx, tile)
     ty_size = _choose_tile(Ny, tile)
+    # _dense_overlap folds each halo onto the single neighbouring tile
+    if tx_size < k or ty_size < k:
+        raise ValueError(
+            f"tile size ({tx_size}x{ty_size}) must be >= kernel "
+            f"support k={k}; use a larger tile or a larger grid")
     order, tids, ntx, nty = _bin_to_tiles(ugf, vgf, p0f, tx_size,
                                           ty_size, Nx, Ny, nw)
     return (k, beta, Nx, Ny, nw, w0, dw, ugf, vgf, wposf, p0f, order,
@@ -227,192 +255,175 @@ def _pad_tiles(order, tids, values, C):
     Tiles holding more than C visibilities are split into multiple
     entries with the same tile id (the overlap-add accumulates
     duplicates), so C caps the matmul width without capacity errors.
+    Fully vectorised (the loop version cost seconds at ~25k entries).
     Returns (padded arrays, entry tile ids, scatter map, mask)."""
     utid, starts = np.unique(tids, return_index=True)
     counts = np.diff(np.append(starts, tids.size))
-    entry_tid = []
-    entry_start = []
-    entry_count = []
-    for t in range(utid.size):
-        s0 = starts[t]
-        remaining = counts[t]
-        while remaining > 0:
-            c = min(remaining, C)
-            entry_tid.append(utid[t])
-            entry_start.append(s0)
-            entry_count.append(c)
-            s0 += c
-            remaining -= c
-    nentries = len(entry_tid)
-    idx = np.zeros((nentries, C), dtype=np.int64)
-    mask = np.zeros((nentries, C), dtype=bool)
-    for e in range(nentries):
-        c = entry_count[e]
-        idx[e, :c] = order[entry_start[e]:entry_start[e] + c]
-        mask[e, :c] = True
+    nsplit = -(-counts // C)
+    nentries = int(nsplit.sum())
+    # per-entry index within its tile's group of split entries
+    gstart = np.cumsum(np.append(0, nsplit[:-1]))
+    oi = np.arange(nentries) - np.repeat(gstart, nsplit)
+    entry_tid = np.repeat(utid, nsplit)
+    entry_start = np.repeat(starts, nsplit) + oi * C
+    entry_count = np.minimum(np.repeat(counts, nsplit) - oi * C, C)
+    pos = entry_start[:, None] + np.arange(C)[None, :]
+    mask = np.arange(C)[None, :] < entry_count[:, None]
+    idx = order[np.minimum(pos, tids.size - 1)]
+    idx[~mask] = 0
     out = []
     for v in values:
         pv = v[idx]
         pv[~mask] = 0.0
         out.append(pv)
-    return out, np.asarray(entry_tid), idx, mask, np.asarray(
-        entry_count)
+    return out, entry_tid, idx, mask, entry_count
+
+
+def mm_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
+            do_wgridding=True, sigma=2.0, tile=128, capacity=128,
+            echunk=2048, dtype=None):
+    """Build the reusable gridding plan: geometry, tile binning, entry
+    padding and the device-resident position arrays. Everything here
+    depends only on (uvw, freq, image geometry) — imaging reuses one
+    plan across every major-cycle matvec (the ducc0 wgridder exposes
+    the same concept; reference pfb/operators/gridder.py re-plans per
+    call because ducc hides the cache internally)."""
+    (k, beta, Nx, Ny, nw, w0, dw, ug, vg, wpos, p0, order, tids, ntx,
+     nty, txs, tys) = _prepare(uvw, freq, nx, ny, cellx, celly,
+                               epsilon, sigma, tile, do_wgridding)
+    C = capacity
+    (pu, pv, pwpos), utid, idx, pmask, counts = _pad_tiles(
+        order, tids, [ug, vg, wpos], C)
+    ntiles = utid.size
+    # tile-local positions including the halo offset k/2
+    ty = utid % nty
+    tx = (utid // nty) % ntx
+    pu_loc = np.mod(pu, Nx) - (tx * txs)[:, None] + k // 2
+    pv_loc = np.mod(pv, Ny) - (ty * tys)[:, None] + k // 2
+    # wrap vis whose mod position landed a full grid away from its tile
+    pu_loc = np.where(pu_loc < -txs, pu_loc + Nx, pu_loc)
+    pu_loc = np.where(pu_loc > 2 * txs + k, pu_loc - Nx, pu_loc)
+    pv_loc = np.where(pv_loc < -tys, pv_loc + Ny, pv_loc)
+    pv_loc = np.where(pv_loc > 2 * tys + k, pv_loc - Ny, pv_loc)
+
+    nchunk = -(-ntiles // echunk)
+    npad = nchunk * echunk - ntiles
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype  # honours jax_enable_x64
+
+    # padded entries: zero weight; u/v at -2k so the kernel support
+    # mask kills them; w position 0 -> valid (clipped) plane 0
+    def chunked(a, dt, fill=0.0):
+        a = np.asarray(a)
+        if npad:
+            pad = np.full((npad,) + a.shape[1:], fill, a.dtype)
+            a = np.concatenate([a, pad])
+        return jnp.asarray(a.reshape((nchunk, echunk)
+                                     + a.shape[1:]).astype(dt))
+
+    return dict(
+        k=k, beta=beta, Nx=Nx, Ny=Ny, nw=nw, w0=w0, dw=dw, ntx=ntx,
+        nty=nty, txs=txs, tys=tys, C=C, ntiles=ntiles, nchunk=nchunk,
+        echunk=echunk, npad=npad, idx=idx, pmask=pmask, rdtype=dtype,
+        nx=nx, ny=ny, cellx=cellx, celly=celly,
+        nrow=np.asarray(uvw).shape[0], nchan=np.asarray(freq).shape[0],
+        chunked=chunked,
+        pu_c=chunked(pu_loc, dtype, -2.0 * k),
+        pv_c=chunked(pv_loc, dtype, -2.0 * k),
+        pw_c=chunked(pwpos if nw > 1 else np.zeros_like(pu_loc),
+                     dtype),
+        tx_c=chunked(tx, np.int32), ty_c=chunked(ty, np.int32))
 
 
 def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
                  cellx, celly, epsilon=1e-7, do_wgridding=True,
                  sigma=2.0, tile=128, capacity=None,
-                 divide_by_n=False):
+                 divide_by_n=False, plan=None):
     """R.H via the matmul gridder. Semantics identical to
-    ops.wgridder.vis2dirty_wgrid (validated against the DFT oracle)."""
-    (k, beta, Nx, Ny, nw, w0, dw, ug, vg, wpos, p0, order, tids, ntx,
-     nty, tx_size, ty_size) = _prepare(uvw, freq, nx, ny, cellx, celly,
-                                       epsilon, sigma, tile,
-                                       do_wgridding)
-    rdtype = jnp.finfo(vis.dtype).dtype
+    ops.wgridder.vis2dirty_wgrid (validated against the DFT oracle).
+    Pass plan=mm_plan(...) to amortise binning across calls."""
+    if plan is None:
+        plan = mm_plan(uvw, freq, nx=nx, ny=ny, cellx=cellx,
+                       celly=celly, epsilon=epsilon,
+                       do_wgridding=do_wgridding, sigma=sigma,
+                       tile=tile, capacity=capacity or 128)
+    p = plan
+    k, nw, ntx, nty, txs, tys, C = (p["k"], p["nw"], p["ntx"],
+                                    p["nty"], p["txs"], p["tys"],
+                                    p["C"])
+    rdtype = p["rdtype"]
 
     w = np.ones(vis.shape, np.float64) if wgt is None else \
         np.asarray(wgt, np.float64)
     if mask is not None:
         w = w * np.asarray(mask)
     visw = np.asarray(vis) * w
-    vr = visw.real.ravel()
-    vi = visw.imag.ravel()
+    vr = visw.real.ravel()[p["idx"]]
+    vi = visw.imag.ravel()[p["idx"]]
+    vr[~p["pmask"]] = 0.0
+    vi[~p["pmask"]] = 0.0
 
-    if capacity is None:
-        capacity = 128
-    C = capacity
-
-    (pu, pv, pwpos, pvr, pvi), utid, idx, pmask, counts = _pad_tiles(
-        order, tids, [ug, vg, wpos, vr, vi], C)
-    ntiles = utid.size
-    # tile-local positions including the halo offset k/2
-    ty = utid % nty
-    tx = (utid // nty) % ntx
-    pu_loc = np.mod(pu, Nx) - (tx * tx_size)[:, None] + k // 2
-    pv_loc = np.mod(pv, Ny) - (ty * ty_size)[:, None] + k // 2
-    # wrap vis whose mod position landed a full grid away from its tile
-    pu_loc = np.where(pu_loc < -tx_size, pu_loc + Nx, pu_loc)
-    pu_loc = np.where(pu_loc > 2 * tx_size + k, pu_loc - Nx, pu_loc)
-    pv_loc = np.where(pv_loc < -ty_size, pv_loc + Ny, pv_loc)
-    pv_loc = np.where(pv_loc > 2 * ty_size + k, pv_loc - Ny, pv_loc)
-
-    ext_r = jnp.zeros((nw, Nx + k, Ny + k), rdtype)
-    ext_i = jnp.zeros((nw, Nx + k, Ny + k), rdtype)
-    wsupport = range(-(k // 2) + 1, k // 2 + 1) if nw > 1 else (0,)
-    for t in wsupport:
-        if nw > 1:
-            cw = es_kernel((np.round(pwpos) + t - pwpos) / (k // 2),
-                           beta, k)
-            twr = pvr * cw
-            twi = pvi * cw
-            ptile = np.clip(np.round(pwpos).astype(np.int64) + t, 0,
-                            nw - 1)
-            # all vis in a padded tile share the same base plane p0
-            tid_t = (ptile[:, 0] * ntx + tx) * nty + ty
-        else:
-            twr, twi = pvr, pvi
-            tid_t = utid
-        # process entries in chunks: the per-entry halo'd tile images
-        # are the big temporary (nentries x Thx x Thy), so emit and
-        # overlap-add a bounded number at a time
-        echunk = 2048
-        for e0 in range(0, ntiles, echunk):
-            e1 = min(e0 + echunk, ntiles)
-            ne = e1 - e0
-            tr, ti = _grid_tiles_mm(
-                jnp.asarray(pu_loc[e0:e1], rdtype),
-                jnp.asarray(pv_loc[e0:e1], rdtype),
-                jnp.asarray(twr[e0:e1], rdtype),
-                jnp.asarray(twi[e0:e1], rdtype),
-                beta, k, tx_size, ty_size, C, ne)
-            ext_r = _overlap_add(ext_r, tr, jnp.asarray(tid_t[e0:e1]),
-                                 ntx, nty, tx_size, ty_size, k, Nx, Ny,
-                                 nw)
-            ext_i = _overlap_add(ext_i, ti, jnp.asarray(tid_t[e0:e1]),
-                                 ntx, nty, tx_size, ty_size, k, Nx, Ny,
-                                 nw)
-            # serialise so chunk temporaries are freed before the next
-            # allocates (the async queue otherwise keeps them all live)
-            float(jnp.sum(ext_i[0, 0, :8]))
-
-    grids_r = _wrap(ext_r, Nx, Ny, k)
-    grids_i = _wrap(ext_i, Nx, Ny, k)
+    # real / imag as separate program runs, each accumulator folded and
+    # released before the next allocates: at many w-planes each dense
+    # accumulator copy is GBs and the FFT stage needs the headroom
+    # (a joint program's (Yr, Yi) scan carry double-buffers to 2x)
+    Yr = _grid_all_taps(p["pu_c"], p["pv_c"],
+                        p["chunked"](vr, rdtype), p["pw_c"],
+                        p["tx_c"], p["ty_c"], p["beta"], k, nw, ntx,
+                        nty, txs, tys, C)
+    float(jnp.sum(Yr[0, 0, :8]))
+    grids_r = _dense_overlap(Yr, nw, ntx, nty, txs, tys, k, p["Nx"],
+                             p["Ny"])
+    del Yr
+    float(jnp.sum(grids_r[0, 0, :8]))
+    Yi = _grid_all_taps(p["pu_c"], p["pv_c"],
+                        p["chunked"](vi, rdtype), p["pw_c"],
+                        p["tx_c"], p["ty_c"], p["beta"], k, nw, ntx,
+                        nty, txs, tys, C)
+    float(jnp.sum(Yi[0, 0, :8]))
+    grids_i = _dense_overlap(Yi, nw, ntx, nty, txs, tys, k, p["Nx"],
+                             p["Ny"])
+    del Yi
+    float(jnp.sum(grids_i[0, 0, :8]))
 
     from pfb_tpu.ops.wgridder import _grid_to_image
-    return _grid_to_image(grids_r, grids_i, nx, ny, cellx, celly, k,
-                          beta, Nx, Ny, nw > 1, nw, w0, dw,
-                          divide_by_n)
+    return _grid_to_image(grids_r, grids_i, p["nx"], p["ny"],
+                          p["cellx"], p["celly"], k, p["beta"],
+                          p["Nx"], p["Ny"], nw > 1, nw, p["w0"],
+                          p["dw"], divide_by_n)
 
 
 def dirty2vis_mm(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
                  do_wgridding=True, sigma=2.0, tile=128, capacity=None,
-                 divide_by_n=False, **kw):
-    """R via the matmul degridder (gather twin of vis2dirty_mm)."""
+                 divide_by_n=False, plan=None, **kw):
+    """R via the matmul degridder (gather twin of vis2dirty_mm).
+    Pass plan=mm_plan(...) to amortise binning across calls."""
     nx, ny = image.shape
-    (k, beta, Nx, Ny, nw, w0, dw, ug, vg, wpos, p0, order, tids, ntx,
-     nty, tx_size, ty_size) = _prepare(uvw, freq, nx, ny, cellx, celly,
-                                       epsilon, sigma, tile,
-                                       do_wgridding)
-    rdtype = image.dtype
-
-    if capacity is None:
-        capacity = 128
-    C = capacity
-
-    (pu, pv, pwpos), utid, idx, pmask, counts = _pad_tiles(
-        order, tids, [ug, vg, wpos], C)
-    ntiles = utid.size
-    ty = utid % nty
-    tx = (utid // nty) % ntx
-    pu_loc = np.mod(pu, Nx) - (tx * tx_size)[:, None] + k // 2
-    pv_loc = np.mod(pv, Ny) - (ty * ty_size)[:, None] + k // 2
-    pu_loc = np.where(pu_loc < -tx_size, pu_loc + Nx, pu_loc)
-    pu_loc = np.where(pu_loc > 2 * tx_size + k, pu_loc - Nx, pu_loc)
-    pv_loc = np.where(pv_loc < -ty_size, pv_loc + Ny, pv_loc)
-    pv_loc = np.where(pv_loc > 2 * ty_size + k, pv_loc - Ny, pv_loc)
+    if plan is None:
+        plan = mm_plan(uvw, freq, nx=nx, ny=ny, cellx=cellx,
+                       celly=celly, epsilon=epsilon,
+                       do_wgridding=do_wgridding, sigma=sigma,
+                       tile=tile, capacity=capacity or 128)
+    p = plan
+    k, nw, ntx, nty, txs, tys, C = (p["k"], p["nw"], p["ntx"],
+                                    p["nty"], p["txs"], p["tys"],
+                                    p["C"])
 
     from pfb_tpu.ops.wgridder import _image_to_grid
-    grids = _image_to_grid(jnp.asarray(image), nx, ny, cellx, celly, k,
-                           beta, Nx, Ny, nw > 1, nw, w0, dw,
-                           divide_by_n)
-    gr = _unwrap(grids.real.astype(rdtype), k)
-    gi = _unwrap(grids.imag.astype(rdtype), k)
+    gr, gi = _image_to_grid(
+        jnp.asarray(image).astype(p["rdtype"]), nx, ny, p["cellx"],
+        p["celly"], k, p["beta"], p["Nx"], p["Ny"], nw > 1, nw,
+        p["w0"], p["dw"], divide_by_n, ext_k=k)
+    float(jnp.sum(gi[0, 0, :8]))
 
-    Thx = tx_size + k
-    Thy = ty_size + k
-    nrow = np.asarray(uvw).shape[0]
-    nchan = np.asarray(freq).shape[0]
-    accr = np.zeros(nrow * nchan)
-    acci = np.zeros(nrow * nchan)
-    wsupport = range(-(k // 2) + 1, k // 2 + 1) if nw > 1 else (0,)
-    for t in wsupport:
-        if nw > 1:
-            cw = es_kernel((np.round(pwpos) + t - pwpos) / (k // 2),
-                           beta, k)
-            ptile = np.clip(np.round(pwpos).astype(np.int64) + t, 0,
-                            nw - 1)[:, 0]
-        else:
-            cw = np.ones_like(pu_loc)
-            ptile = np.zeros(ntiles, dtype=np.int64)
-        # gather each tile's halo'd block from the extended grid
-        # (vectorised advanced-index gather, stays on device)
-        xi = (tx * tx_size)[:, None, None] + \
-            np.arange(Thx)[None, :, None]
-        yi = (ty * ty_size)[:, None, None] + \
-            np.arange(Thy)[None, None, :]
-        pidx = ptile[:, None, None]
-        blocks_r = gr[jnp.asarray(pidx), jnp.asarray(xi),
-                      jnp.asarray(yi)]
-        blocks_i = gi[jnp.asarray(pidx), jnp.asarray(xi),
-                      jnp.asarray(yi)]
-        vr, vi = _degrid_tiles_mm(
-            jnp.asarray(pu_loc, jnp.float32),
-            jnp.asarray(pv_loc, jnp.float32),
-            blocks_r.astype(jnp.float32), blocks_i.astype(jnp.float32),
-            beta, k, tx_size, ty_size, C, ntiles)
-        vr = np.asarray(vr) * cw
-        vi = np.asarray(vi) * cw
-        np.add.at(accr, idx.ravel(), (vr * pmask).ravel())
-        np.add.at(acci, idx.ravel(), (vi * pmask).ravel())
-    return (accr + 1j * acci).reshape(nrow, nchan)
+    vr, vi = _degrid_all_taps(
+        gr, gi, p["pu_c"], p["pv_c"], p["pw_c"], p["tx_c"], p["ty_c"],
+        p["beta"], k, nw, ntx, nty, txs, tys, C)
+    n_entries = p["nchunk"] * p["echunk"]
+    vr = np.asarray(vr).reshape(n_entries, C)[:p["ntiles"]]
+    vi = np.asarray(vi).reshape(n_entries, C)[:p["ntiles"]]
+    accr = np.zeros(p["nrow"] * p["nchan"])
+    acci = np.zeros(p["nrow"] * p["nchan"])
+    np.add.at(accr, p["idx"].ravel(), (vr * p["pmask"]).ravel())
+    np.add.at(acci, p["idx"].ravel(), (vi * p["pmask"]).ravel())
+    return (accr + 1j * acci).reshape(p["nrow"], p["nchan"])

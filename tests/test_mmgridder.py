@@ -52,6 +52,34 @@ def test_dirty2vis_mm_matches_dft(obs, do_w):
     assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-6
 
 
+def test_mm_plan_reuse(obs):
+    """A cached mm_plan gives identical results for both directions."""
+    from pfb_tpu.ops.mmgridder import mm_plan
+    nx, cell = image_size_for(obs, fov_deg=0.2)
+    nx = min(nx, 64)
+    rng = np.random.default_rng(5)
+    nrow, nchan = obs.uvw.shape[0], obs.freq.size
+    vis = rng.normal(size=(nrow, nchan)) + \
+        1j * rng.normal(size=(nrow, nchan))
+    plan = mm_plan(obs.uvw, obs.freq, nx=nx, ny=nx, cellx=cell,
+                   celly=cell, epsilon=1e-7, do_wgridding=True,
+                   tile=32)
+    a = np.asarray(vis2dirty_mm(
+        obs.uvw, obs.freq, vis, nx=nx, ny=nx, cellx=cell, celly=cell,
+        epsilon=1e-7, do_wgridding=True, tile=32))
+    b = np.asarray(vis2dirty_mm(
+        obs.uvw, obs.freq, vis, nx=nx, ny=nx, cellx=cell, celly=cell,
+        plan=plan))
+    assert_allclose(a, b, rtol=0, atol=0)
+    img = rng.normal(size=(nx, nx))
+    va = np.asarray(dirty2vis_mm(
+        obs.uvw, obs.freq, jnp.asarray(img), cell, cell, epsilon=1e-7,
+        do_wgridding=True, tile=32))
+    vb = np.asarray(dirty2vis_mm(
+        obs.uvw, obs.freq, jnp.asarray(img), cell, cell, plan=plan))
+    assert_allclose(va, vb, rtol=0, atol=0)
+
+
 def test_mm_matches_scatter_wgrid(obs):
     """mm and scatter implementations agree on identical geometry."""
     from pfb_tpu.ops.wgridder import vis2dirty_wgrid
