@@ -25,6 +25,9 @@ def get_backend(backend):
     if backend == "wgrid":
         from pfb_tpu.ops.wgridder import dirty2vis_wgrid, vis2dirty_wgrid
         return dirty2vis_wgrid, vis2dirty_wgrid
+    if backend == "mm":
+        from pfb_tpu.ops.mmgridder import dirty2vis_mm, vis2dirty_mm
+        return dirty2vis_mm, vis2dirty_mm
     raise ValueError(f"Unknown gridder backend {backend}")
 
 

@@ -36,6 +36,14 @@ from pfb_tpu.ops.wgridder import (_es_kernel_ft, _grid_setup, _w_params,
                                   es_kernel, kernel_params)
 
 
+def _centre_shift_np(uvw, freq, x0, y0, sign):
+    """Host twin of ops.wgridder._centre_shift: e^{sign 2 pi i (u x0
+    + v y0) f/c} per (row, chan)."""
+    scale = freq / LIGHTSPEED
+    ph = (uvw[:, 0:1] * x0 + uvw[:, 1:2] * y0) * scale[None, :]
+    return np.exp(sign * 2j * np.pi * ph)
+
+
 def _choose_tile(N, want):
     """Largest divisor of N that is <= want (tiles must cover the grid
     exactly)."""
@@ -113,13 +121,19 @@ def _grid_all_taps(pu, pv, vals, pw, txv, tyv, beta, k, nw, ntx,
 
 
 @partial(jax.jit, static_argnames=("k", "nw", "ntx", "nty", "txs",
-                                   "tys", "C"))
+                                   "tys", "C", "Nx", "Ny"))
 def _degrid_all_taps(gr, gi, pu, pv, pw, txv, tyv, beta, k, nw, ntx,
-                     nty, txs, tys, C):
+                     nty, txs, tys, C, Nx, Ny):
     """Gather twin of _grid_all_taps: the whole degrid — w-support
     taps x entry chunks, block gathers included — as ONE XLA program.
 
-    gr, gi: (nw, Nx+k, Ny+k) periodically extended (unwrapped) grids;
+    gr, gi: (nw, Nx, Ny) wrapped grids; per-entry halo'd blocks are
+    vmapped lax.dynamic_slice windows (one start index per entry —
+    structured like the grid direction's row scatter; dense block
+    materialisation OOM'd from (8,128)-tiling padding + relayout
+    copies, and elementwise 3-index gathers crashed the TPU runtime).
+    Wraparound is handled by wrap-padding the grids by one window at
+    the high edges so every mod-reduced start is in bounds.
     pu, pv, pw: (nchunk, echunk, C) tile-local positions / fractional
     w coordinate; txv, tyv: (nchunk, echunk) int32 tile coordinates.
     Padded entries (u = -2k) evaluate to zero kernel weight.
@@ -127,6 +141,7 @@ def _degrid_all_taps(gr, gi, pu, pv, pw, txv, tyv, beta, k, nw, ntx,
     Returns per-entry visibilities (nchunk, echunk, C) x2 summed over
     the w taps."""
     ko2 = k // 2
+    h = k // 2
     Thx = txs + k
     Thy = tys + k
     rdtype = gr.dtype
@@ -134,8 +149,13 @@ def _degrid_all_taps(gr, gi, pu, pv, pw, txv, tyv, beta, k, nw, ntx,
     xsy = jnp.arange(Thy, dtype=rdtype)
     taps = (jnp.arange(-ko2 + 1, ko2 + 1, dtype=rdtype)
             if nw > 1 else jnp.zeros((1,), rdtype))
-    ax = jnp.arange(Thx)
-    ay = jnp.arange(Thy)
+
+    ger = jnp.pad(gr, ((0, 0), (0, Thx), (0, Thy)), mode="wrap")
+    gei = jnp.pad(gi, ((0, 0), (0, Thx), (0, Thy)), mode="wrap")
+
+    def slice_one(pt, x, y):
+        return (lax.dynamic_slice(ger, (pt, x, y), (1, Thx, Thy))[0],
+                lax.dynamic_slice(gei, (pt, x, y), (1, Thx, Thy))[0])
 
     def tap_body(carry, t):
         def chunk_body(_, args):
@@ -144,11 +164,9 @@ def _degrid_all_taps(gr, gi, pu, pv, pw, txv, tyv, beta, k, nw, ntx,
             ptile = jnp.clip(
                 jnp.round(w0c[:, 0]).astype(jnp.int32)
                 + t.astype(jnp.int32), 0, nw - 1)
-            xi = (txc * txs)[:, None, None] + ax[None, :, None]
-            yi = (tyc * tys)[:, None, None] + ay[None, None, :]
-            pidx = ptile[:, None, None]
-            br = gr[pidx, xi, yi]
-            bi = gi[pidx, xi, yi]
+            sx = jnp.mod(txc * txs - h, Nx)
+            sy = jnp.mod(tyc * tys - h, Ny)
+            br, bi = jax.vmap(slice_one)(ptile, sx, sy)
             CU = es_kernel((xsx[None, None, :] - u[..., None]) / ko2,
                            beta, k)
             CV = es_kernel((xsy[None, None, :] - v[..., None]) / ko2,
@@ -208,7 +226,7 @@ def _dense_overlap(Y, nw, ntx, nty, txs, tys, k, Nx, Ny):
 
 
 def _prepare(uvw, freq, nx, ny, cellx, celly, epsilon, sigma, tile,
-             do_wgridding):
+             do_wgridding, x0=0.0, y0=0.0):
     """Host-side geometry + binning; returns everything static the
     device passes need."""
     k, beta = kernel_params(epsilon)
@@ -220,8 +238,8 @@ def _prepare(uvw, freq, nx, ny, cellx, celly, epsilon, sigma, tile,
     vg = (uvw_np[:, 1:2] * scale[None, :]) * celly * Ny
     wl = uvw_np[:, 2:3] * scale[None, :]
 
-    l = (np.arange(nx) - nx // 2) * cellx
-    m = (np.arange(ny) - ny // 2) * celly
+    l = (np.arange(nx) - nx // 2) * cellx + x0
+    m = (np.arange(ny) - ny // 2) * celly + y0
     eps_max = max(abs(l.min()), l.max()) ** 2 + \
         max(abs(m.min()), m.max()) ** 2
     nm1_min = -eps_max / (np.sqrt(max(1.0 - eps_max, 0.0)) + 1.0)
@@ -281,7 +299,7 @@ def _pad_tiles(order, tids, values, C):
 
 def mm_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
             do_wgridding=True, sigma=2.0, tile=128, capacity=128,
-            echunk=2048, dtype=None):
+            echunk=2048, dtype=None, x0=0.0, y0=0.0):
     """Build the reusable gridding plan: geometry, tile binning, entry
     padding and the device-resident position arrays. Everything here
     depends only on (uvw, freq, image geometry) — imaging reuses one
@@ -290,7 +308,8 @@ def mm_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
     call because ducc hides the cache internally)."""
     (k, beta, Nx, Ny, nw, w0, dw, ug, vg, wpos, p0, order, tids, ntx,
      nty, txs, tys) = _prepare(uvw, freq, nx, ny, cellx, celly,
-                               epsilon, sigma, tile, do_wgridding)
+                               epsilon, sigma, tile, do_wgridding,
+                               x0, y0)
     C = capacity
     (pu, pv, pwpos), utid, idx, pmask, counts = _pad_tiles(
         order, tids, [ug, vg, wpos], C)
@@ -325,7 +344,8 @@ def mm_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
         k=k, beta=beta, Nx=Nx, Ny=Ny, nw=nw, w0=w0, dw=dw, ntx=ntx,
         nty=nty, txs=txs, tys=tys, C=C, ntiles=ntiles, nchunk=nchunk,
         echunk=echunk, npad=npad, idx=idx, pmask=pmask, rdtype=dtype,
-        nx=nx, ny=ny, cellx=cellx, celly=celly,
+        nx=nx, ny=ny, cellx=cellx, celly=celly, x0=x0, y0=y0,
+        uvw=np.asarray(uvw), freq=np.asarray(freq),
         nrow=np.asarray(uvw).shape[0], nchan=np.asarray(freq).shape[0],
         chunked=chunked,
         pu_c=chunked(pu_loc, dtype, -2.0 * k),
@@ -338,7 +358,7 @@ def mm_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
 def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
                  cellx, celly, epsilon=1e-7, do_wgridding=True,
                  sigma=2.0, tile=128, capacity=None,
-                 divide_by_n=False, plan=None):
+                 divide_by_n=False, plan=None, x0=0.0, y0=0.0):
     """R.H via the matmul gridder. Semantics identical to
     ops.wgridder.vis2dirty_wgrid (validated against the DFT oracle).
     Pass plan=mm_plan(...) to amortise binning across calls."""
@@ -346,7 +366,8 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
         plan = mm_plan(uvw, freq, nx=nx, ny=ny, cellx=cellx,
                        celly=celly, epsilon=epsilon,
                        do_wgridding=do_wgridding, sigma=sigma,
-                       tile=tile, capacity=capacity or 128)
+                       tile=tile, capacity=capacity or 128, x0=x0,
+                       y0=y0)
     p = plan
     k, nw, ntx, nty, txs, tys, C = (p["k"], p["nw"], p["ntx"],
                                     p["nty"], p["txs"], p["tys"],
@@ -358,6 +379,9 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     if mask is not None:
         w = w * np.asarray(mask)
     visw = np.asarray(vis) * w
+    if p["x0"] or p["y0"]:
+        visw = visw * _centre_shift_np(p["uvw"], p["freq"], p["x0"],
+                                       p["y0"], +1.0)
     vr = visw.real.ravel()[p["idx"]]
     vi = visw.imag.ravel()[p["idx"]]
     vr[~p["pmask"]] = 0.0
@@ -390,12 +414,12 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     return _grid_to_image(grids_r, grids_i, p["nx"], p["ny"],
                           p["cellx"], p["celly"], k, p["beta"],
                           p["Nx"], p["Ny"], nw > 1, nw, p["w0"],
-                          p["dw"], divide_by_n)
+                          p["dw"], divide_by_n, p["x0"], p["y0"])
 
 
 def dirty2vis_mm(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
                  do_wgridding=True, sigma=2.0, tile=128, capacity=None,
-                 divide_by_n=False, plan=None, **kw):
+                 divide_by_n=False, plan=None, x0=0.0, y0=0.0, **kw):
     """R via the matmul degridder (gather twin of vis2dirty_mm).
     Pass plan=mm_plan(...) to amortise binning across calls."""
     nx, ny = image.shape
@@ -403,7 +427,8 @@ def dirty2vis_mm(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
         plan = mm_plan(uvw, freq, nx=nx, ny=ny, cellx=cellx,
                        celly=celly, epsilon=epsilon,
                        do_wgridding=do_wgridding, sigma=sigma,
-                       tile=tile, capacity=capacity or 128)
+                       tile=tile, capacity=capacity or 128, x0=x0,
+                       y0=y0)
     p = plan
     k, nw, ntx, nty, txs, tys, C = (p["k"], p["nw"], p["ntx"],
                                     p["nty"], p["txs"], p["tys"],
@@ -413,12 +438,12 @@ def dirty2vis_mm(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
     gr, gi = _image_to_grid(
         jnp.asarray(image).astype(p["rdtype"]), nx, ny, p["cellx"],
         p["celly"], k, p["beta"], p["Nx"], p["Ny"], nw > 1, nw,
-        p["w0"], p["dw"], divide_by_n, ext_k=k)
+        p["w0"], p["dw"], divide_by_n, p["x0"], p["y0"], split=True)
     float(jnp.sum(gi[0, 0, :8]))
 
     vr, vi = _degrid_all_taps(
         gr, gi, p["pu_c"], p["pv_c"], p["pw_c"], p["tx_c"], p["ty_c"],
-        p["beta"], k, nw, ntx, nty, txs, tys, C)
+        p["beta"], k, nw, ntx, nty, txs, tys, C, p["Nx"], p["Ny"])
     n_entries = p["nchunk"] * p["echunk"]
     vr = np.asarray(vr).reshape(n_entries, C)[:p["ntiles"]]
     vi = np.asarray(vi).reshape(n_entries, C)[:p["ntiles"]]
@@ -426,4 +451,8 @@ def dirty2vis_mm(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
     acci = np.zeros(p["nrow"] * p["nchan"])
     np.add.at(accr, p["idx"].ravel(), (vr * p["pmask"]).ravel())
     np.add.at(acci, p["idx"].ravel(), (vi * p["pmask"]).ravel())
-    return (accr + 1j * acci).reshape(p["nrow"], p["nchan"])
+    out = (accr + 1j * acci).reshape(p["nrow"], p["nchan"])
+    if p["x0"] or p["y0"]:
+        out = out * _centre_shift_np(p["uvw"], p["freq"], p["x0"],
+                                     p["y0"], -1.0)
+    return out

@@ -313,20 +313,17 @@ def dirty2vis_wgrid(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
 
 @partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny", "nw",
                                    "do_w", "divide_by_n", "x0", "y0",
-                                   "ext_k"))
+                                   "split"))
 def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
-                   nw, w0, dw, divide_by_n, x0=0.0, y0=0.0, ext_k=0):
-    """ext_k > 0 returns (real, imag) grids periodically extended by
-    ext_k/2 per side (for the tiled mm degridder) with the extension
-    done per plane inside the scan — the full complex stack would
-    otherwise coexist with both extended copies (multi-GB each at many
-    w-planes)."""
+                   nw, w0, dw, divide_by_n, x0=0.0, y0=0.0,
+                   split=False):
+    """split=True returns (real, imag) grids as two real arrays, the
+    split done per plane inside the scan (for the tiled mm degridder —
+    the full complex stack would otherwise coexist with both real
+    copies, multi-GB each at many w-planes)."""
     rdtype = image.dtype
 
-    def extend(g):
-        h = ext_k // 2
-        g = jnp.concatenate([g[-h:, :], g, g[:h, :]], axis=0)
-        g = jnp.concatenate([g[:, -h:], g, g[:, :h]], axis=1)
+    def splitg(g):
         return g.real.astype(rdtype), g.imag.astype(rdtype)
     li = (jnp.arange(nx) - nx // 2)
     mi = (jnp.arange(ny) - ny // 2)
@@ -360,13 +357,13 @@ def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
             ph = (-2.0 * jnp.pi * wpp) * nm1
             plane = img * lax.complex(jnp.cos(ph), jnp.sin(ph))
             g = plane_grid(plane)
-            return carry, (extend(g) if ext_k else g)
+            return carry, (splitg(g) if split else g)
 
         _, grids = lax.scan(one, 0, wp)
         return grids
     g = plane_grid(lax.complex(img, jnp.zeros_like(img)))
-    if ext_k:
-        gr, gi = extend(g)
+    if split:
+        gr, gi = splitg(g)
         return gr[None], gi[None]
     return g[None]
 
