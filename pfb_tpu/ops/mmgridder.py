@@ -67,8 +67,8 @@ def _bin_to_tiles(ug, vg, wplane, tx_size, ty_size, Nx, Ny, nw):
 
 @partial(jax.jit, static_argnames=("k", "nw", "ntx", "nty", "txs",
                                    "tys", "C"))
-def _grid_all_taps(pu, pv, vals, pw, txv, tyv, beta, k, nw, ntx,
-                   nty, txs, tys, C):
+def _grid_all_taps(pu, pv, vflat, idxc, pmc, pw, txv, tyv, beta, k,
+                   nw, ntx, nty, txs, tys, C):
     """The whole gridding accumulation — w-support taps x entry chunks
     — as ONE XLA program for one of the real/imag components. The
     chunked host loop this replaces spent ~100x the device time on
@@ -76,17 +76,24 @@ def _grid_all_taps(pu, pv, vals, pw, txv, tyv, beta, k, nw, ntx,
     imag run as separate programs because a joint (Yr, Yi) scan carry
     double-buffers to 2x the accumulator footprint.
 
-    pu, pv, vals, pw: (nchunk, echunk, C) tile-local u/v positions
-    (halo offset included), weighted vis component, fractional w-plane
-    coordinate (zeros when nw == 1); txv, tyv: (nchunk, echunk) int32
-    tile coordinates. Padded entries carry zero weights.
+    pu, pv, pw: (nchunk, echunk, C) tile-local u/v positions (halo
+    offset included) and fractional w-plane coordinate (zeros when
+    nw == 1); vflat: (nrow*nchan,) weighted vis component, gathered
+    on device by idxc (plan-resident entry indices) and masked by pmc
+    — uploading the raw component (4 MB) instead of the padded
+    host-gathered entries (14 MB) cut ~700 ms/component of host +
+    transfer time; txv, tyv: (nchunk, echunk) int32 tile coordinates.
+    Padded entries carry zero mask.
 
     Returns the dense per-(plane, tile) halo'd accumulator
-    (nw*ntx*nty, txs+k, tys+k) for _dense_overlap."""
+    (nw*ntx*nty, txs+k, tys+k) for _dense_overlap. (A window
+    scatter_add into a wrap-padded grid — the exact twin of the
+    degrid gathers — measured 3x slower: XLA serialises overlapping
+    window updates.)"""
     ko2 = k // 2
     Thx = txs + k
     Thy = tys + k
-    rdtype = vals.dtype
+    rdtype = vflat.dtype
     nseg = nw * ntx * nty
     xsx = jnp.arange(Thx, dtype=rdtype)
     xsy = jnp.arange(Thy, dtype=rdtype)
@@ -95,7 +102,8 @@ def _grid_all_taps(pu, pv, vals, pw, txv, tyv, beta, k, nw, ntx,
 
     def tap_body(carry, t):
         def chunk_body(Y, args):
-            u, v, w, w0c, txc, tyc = args
+            u, v, ix, pm, w0c, txc, tyc = args
+            w = vflat[ix] * pm
             # w-axis ES tap weight (1 for the nw == 1 pseudo-tap)
             cw = es_kernel((jnp.round(w0c) + t - w0c) / ko2, beta, k)
             w = w * cw
@@ -112,7 +120,7 @@ def _grid_all_taps(pu, pv, vals, pw, txv, tyv, beta, k, nw, ntx,
             return Y.at[tid].add(tiles), None
 
         carry, _ = lax.scan(chunk_body, carry,
-                            (pu, pv, vals, pw, txv, tyv))
+                            (pu, pv, idxc, pmc, pw, txv, tyv))
         return carry, None
 
     Y0 = jnp.zeros((nseg, Thx, Thy), rdtype)
@@ -121,9 +129,9 @@ def _grid_all_taps(pu, pv, vals, pw, txv, tyv, beta, k, nw, ntx,
 
 
 @partial(jax.jit, static_argnames=("k", "nw", "ntx", "nty", "txs",
-                                   "tys", "C", "Nx", "Ny"))
-def _degrid_all_taps(gr, gi, pu, pv, pw, txv, tyv, beta, k, nw, ntx,
-                     nty, txs, tys, C, Nx, Ny):
+                                   "tys", "C", "Nx", "Ny", "nvis"))
+def _degrid_all_taps(gr, gi, pu, pv, idxc, pmc, pw, txv, tyv, beta,
+                     k, nw, ntx, nty, txs, tys, C, Nx, Ny, nvis):
     """Gather twin of _grid_all_taps: the whole degrid — w-support
     taps x entry chunks, block gathers included — as ONE XLA program.
 
@@ -138,8 +146,9 @@ def _degrid_all_taps(gr, gi, pu, pv, pw, txv, tyv, beta, k, nw, ntx,
     w coordinate; txv, tyv: (nchunk, echunk) int32 tile coordinates.
     Padded entries (u = -2k) evaluate to zero kernel weight.
 
-    Returns per-entry visibilities (nchunk, echunk, C) x2 summed over
-    the w taps."""
+    Returns flat per-visibility components (nvis,) x2 summed over the
+    w taps, scattered on device by idxc/pmc (the host np.add.at +
+    14 MB readbacks cost more than the whole device pass)."""
     ko2 = k // 2
     h = k // 2
     Thx = txs + k
@@ -186,7 +195,11 @@ def _degrid_all_taps(gr, gi, pu, pv, pw, txv, tyv, beta, k, nw, ntx,
 
     acc0 = (jnp.zeros(pu.shape, rdtype), jnp.zeros(pu.shape, rdtype))
     (accr, acci), _ = lax.scan(tap_body, acc0, taps)
-    return accr, acci
+    fr = jnp.zeros((nvis,), rdtype).at[idxc.reshape(-1)].add(
+        (accr * pmc).reshape(-1))
+    fi = jnp.zeros((nvis,), rdtype).at[idxc.reshape(-1)].add(
+        (acci * pmc).reshape(-1))
+    return fr, fi
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8),
@@ -201,8 +214,8 @@ def _dense_overlap(Y, nw, ntx, nty, txs, tys, k, Nx, Ny):
     quadrants — base (txs, tys), x-strip (k, tys), y-strip (txs, k)
     and corner (k, k) — which land on the base region of the tile one
     step over (periodic): pure reshapes + rolls, no scatter, no scan.
-    Requires k <= txs and k <= tys (guaranteed by _choose_tile's
-    minimum tile size)."""
+    Requires k <= txs and k <= tys (guaranteed by the tile-size guard
+    in _prepare)."""
     X = Y.reshape(nw, ntx, nty, txs + k, tys + k)
 
     def one(xp):
@@ -257,7 +270,7 @@ def _prepare(uvw, freq, nx, ny, cellx, celly, epsilon, sigma, tile,
     p0f = p0.ravel()
     tx_size = _choose_tile(Nx, tile)
     ty_size = _choose_tile(Ny, tile)
-    # _dense_overlap folds each halo onto the single neighbouring tile
+    # the halo fold assumes each halo lands on one neighbouring tile
     if tx_size < k or ty_size < k:
         raise ValueError(
             f"tile size ({tx_size}x{ty_size}) must be >= kernel "
@@ -352,7 +365,8 @@ def mm_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
         pv_c=chunked(pv_loc, dtype, -2.0 * k),
         pw_c=chunked(pwpos if nw > 1 else np.zeros_like(pu_loc),
                      dtype),
-        tx_c=chunked(tx, np.int32), ty_c=chunked(ty, np.int32))
+        tx_c=chunked(tx, np.int32), ty_c=chunked(ty, np.int32),
+        idx_c=chunked(idx, np.int32), pm_c=chunked(pmask, dtype))
 
 
 def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
@@ -382,28 +396,24 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     if p["x0"] or p["y0"]:
         visw = visw * _centre_shift_np(p["uvw"], p["freq"], p["x0"],
                                        p["y0"], +1.0)
-    vr = visw.real.ravel()[p["idx"]]
-    vi = visw.imag.ravel()[p["idx"]]
-    vr[~p["pmask"]] = 0.0
-    vi[~p["pmask"]] = 0.0
+    vr_flat = jnp.asarray(visw.real.ravel().astype(rdtype))
+    vi_flat = jnp.asarray(visw.imag.ravel().astype(rdtype))
 
     # real / imag as separate program runs, each accumulator folded and
     # released before the next allocates: at many w-planes each dense
     # accumulator copy is GBs and the FFT stage needs the headroom
     # (a joint program's (Yr, Yi) scan carry double-buffers to 2x)
-    Yr = _grid_all_taps(p["pu_c"], p["pv_c"],
-                        p["chunked"](vr, rdtype), p["pw_c"],
-                        p["tx_c"], p["ty_c"], p["beta"], k, nw, ntx,
-                        nty, txs, tys, C)
+    Yr = _grid_all_taps(p["pu_c"], p["pv_c"], vr_flat, p["idx_c"],
+                        p["pm_c"], p["pw_c"], p["tx_c"], p["ty_c"],
+                        p["beta"], k, nw, ntx, nty, txs, tys, C)
     float(jnp.sum(Yr[0, 0, :8]))
     grids_r = _dense_overlap(Yr, nw, ntx, nty, txs, tys, k, p["Nx"],
                              p["Ny"])
     del Yr
     float(jnp.sum(grids_r[0, 0, :8]))
-    Yi = _grid_all_taps(p["pu_c"], p["pv_c"],
-                        p["chunked"](vi, rdtype), p["pw_c"],
-                        p["tx_c"], p["ty_c"], p["beta"], k, nw, ntx,
-                        nty, txs, tys, C)
+    Yi = _grid_all_taps(p["pu_c"], p["pv_c"], vi_flat, p["idx_c"],
+                        p["pm_c"], p["pw_c"], p["tx_c"], p["ty_c"],
+                        p["beta"], k, nw, ntx, nty, txs, tys, C)
     float(jnp.sum(Yi[0, 0, :8]))
     grids_i = _dense_overlap(Yi, nw, ntx, nty, txs, tys, k, p["Nx"],
                              p["Ny"])
@@ -441,17 +451,13 @@ def dirty2vis_mm(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
         p["w0"], p["dw"], divide_by_n, p["x0"], p["y0"], split=True)
     float(jnp.sum(gi[0, 0, :8]))
 
-    vr, vi = _degrid_all_taps(
-        gr, gi, p["pu_c"], p["pv_c"], p["pw_c"], p["tx_c"], p["ty_c"],
-        p["beta"], k, nw, ntx, nty, txs, tys, C, p["Nx"], p["Ny"])
-    n_entries = p["nchunk"] * p["echunk"]
-    vr = np.asarray(vr).reshape(n_entries, C)[:p["ntiles"]]
-    vi = np.asarray(vi).reshape(n_entries, C)[:p["ntiles"]]
-    accr = np.zeros(p["nrow"] * p["nchan"])
-    acci = np.zeros(p["nrow"] * p["nchan"])
-    np.add.at(accr, p["idx"].ravel(), (vr * p["pmask"]).ravel())
-    np.add.at(acci, p["idx"].ravel(), (vi * p["pmask"]).ravel())
-    out = (accr + 1j * acci).reshape(p["nrow"], p["nchan"])
+    fr, fi = _degrid_all_taps(
+        gr, gi, p["pu_c"], p["pv_c"], p["idx_c"], p["pm_c"],
+        p["pw_c"], p["tx_c"], p["ty_c"], p["beta"], k, nw, ntx, nty,
+        txs, tys, C, p["Nx"], p["Ny"], p["nrow"] * p["nchan"])
+    out = (np.asarray(fr).astype(np.float64) +
+           1j * np.asarray(fi).astype(np.float64)).reshape(
+               p["nrow"], p["nchan"])
     if p["x0"] or p["y0"]:
         out = out * _centre_shift_np(p["uvw"], p["freq"], p["x0"],
                                      p["y0"], -1.0)
