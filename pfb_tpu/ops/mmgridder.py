@@ -44,20 +44,33 @@ def _centre_shift_np(uvw, freq, x0, y0, sign):
     return np.exp(sign * 2j * np.pi * ph)
 
 
-def _choose_tile(N, want):
-    """Largest divisor of N that is <= want (tiles must cover the grid
-    exactly)."""
-    t = min(want, N)
-    while N % t:
-        t -= 1
-    return t
+def _tile_geometry(Nx, Ny, k, tile_u=None, tile_v=None):
+    """Pick (txs, tys): tile sizes need NOT divide the grid (the
+    overlap-add folds an extended grid back mod N), so they are chosen
+    for the hardware instead:
+
+    - u (sublane) axis: smallest txs >= k with txs + k a multiple of 8
+      — minimises the dense matmul height at zero sublane padding.
+    - v (lane) axis: tys = 128 - k so the halo'd width txs + k is
+      exactly one 128-lane block.
+
+    Each axis requires tile >= k (a tile's halo must land entirely on
+    its immediate neighbour for the quadrant fold).
+    """
+    if tile_u is None:
+        tile_u = k + (-2 * k) % 8
+    if tile_v is None:
+        tile_v = max(128 - k, k)
+    txs = max(min(tile_u, Nx), k)
+    tys = max(min(tile_v, Ny), k)
+    return txs, tys
 
 
 def _bin_to_tiles(ug, vg, wplane, tx_size, ty_size, Nx, Ny, nw):
     """Host-side binning: tile id per (vis, w-plane-base); returns
     (order, tile_ids, counts) with tiles keyed (wplane, tx, ty)."""
-    ntx = Nx // tx_size
-    nty = Ny // ty_size
+    ntx = -(-Nx // tx_size)
+    nty = -(-Ny // ty_size)
     tx = (np.mod(np.round(ug).astype(np.int64), Nx)) // tx_size
     ty = (np.mod(np.round(vg).astype(np.int64), Ny)) // ty_size
     tid = (wplane * ntx + tx) * nty + ty
@@ -66,9 +79,10 @@ def _bin_to_tiles(ug, vg, wplane, tx_size, ty_size, Nx, Ny, nw):
 
 
 @partial(jax.jit, static_argnames=("k", "nw", "ntx", "nty", "txs",
-                                   "tys", "C"))
+                                   "tys", "C", "precision"))
 def _grid_all_taps(pu, pv, vflat, idxc, pmc, pw, txv, tyv, beta, k,
-                   nw, ntx, nty, txs, tys, C):
+                   nw, ntx, nty, txs, tys, C,
+                   precision=lax.Precision.HIGHEST):
     """The whole gridding accumulation — w-support taps x entry chunks
     — as ONE XLA program for one of the real/imag components. The
     chunked host loop this replaces spent ~100x the device time on
@@ -97,41 +111,46 @@ def _grid_all_taps(pu, pv, vflat, idxc, pmc, pw, txv, tyv, beta, k,
     nseg = nw * ntx * nty
     xsx = jnp.arange(Thx, dtype=rdtype)
     xsy = jnp.arange(Thy, dtype=rdtype)
-    taps = (jnp.arange(-ko2 + 1, ko2 + 1, dtype=rdtype)
-            if nw > 1 else jnp.zeros((1,), rdtype))
+    ntaps = k if nw > 1 else 1
 
-    def tap_body(carry, t):
-        def chunk_body(Y, args):
-            u, v, ix, pm, w0c, txc, tyc = args
-            w = vflat[ix] * pm
-            # w-axis ES tap weight (1 for the nw == 1 pseudo-tap)
-            cw = es_kernel((jnp.round(w0c) + t - w0c) / ko2, beta, k)
-            w = w * cw
-            ptile = jnp.clip(
-                jnp.round(w0c[:, 0]).astype(jnp.int32)
-                + t.astype(jnp.int32), 0, nw - 1)
+    def chunk_body(Y, args):
+        u, v, ix, pm, w0c, txc, tyc = args
+        w = vflat[ix] * pm
+        # kernel factors are shared by every w tap — evaluate once
+        CU = es_kernel((xsx[None, None, :] - u[..., None]) / ko2,
+                       beta, k)
+        CV = es_kernel((xsy[None, None, :] - v[..., None]) / ko2,
+                       beta, k)
+        p0 = jnp.round(w0c)
+        pbase = jnp.round(w0c[:, 0]).astype(jnp.int32)
+        for i in range(ntaps):
+            t = i - (ko2 - 1) if nw > 1 else 0
+            if nw > 1:
+                # w-axis ES tap weight
+                cw = es_kernel((p0 + t - w0c) / ko2, beta, k)
+                wt = w * cw
+                ptile = jnp.clip(pbase + t, 0, nw - 1)
+            else:
+                wt = w
+                ptile = pbase
             tid = (ptile * ntx + txc) * nty + tyc
-            CU = es_kernel((xsx[None, None, :] - u[..., None]) / ko2,
-                           beta, k)
-            CV = es_kernel((xsy[None, None, :] - v[..., None]) / ko2,
-                           beta, k)
-            tiles = jnp.einsum("ecx,ecy->exy", CU * w[..., None], CV,
-                               precision=lax.Precision.HIGHEST)
-            return Y.at[tid].add(tiles), None
-
-        carry, _ = lax.scan(chunk_body, carry,
-                            (pu, pv, idxc, pmc, pw, txv, tyv))
-        return carry, None
+            tiles = jnp.einsum("ecx,ecy->exy", CU * wt[..., None], CV,
+                               precision=precision)
+            Y = Y.at[tid].add(tiles)
+        return Y, None
 
     Y0 = jnp.zeros((nseg, Thx, Thy), rdtype)
-    Y, _ = lax.scan(tap_body, Y0, taps)
+    Y, _ = lax.scan(chunk_body, Y0,
+                    (pu, pv, idxc, pmc, pw, txv, tyv))
     return Y
 
 
 @partial(jax.jit, static_argnames=("k", "nw", "ntx", "nty", "txs",
-                                   "tys", "C", "Nx", "Ny", "nvis"))
+                                   "tys", "C", "Nx", "Ny", "nvis",
+                                   "precision"))
 def _degrid_all_taps(gr, gi, pu, pv, idxc, pmc, pw, txv, tyv, beta,
-                     k, nw, ntx, nty, txs, tys, C, Nx, Ny, nvis):
+                     k, nw, ntx, nty, txs, tys, C, Nx, Ny, nvis,
+                     precision=lax.Precision.HIGHEST):
     """Gather twin of _grid_all_taps: the whole degrid — w-support
     taps x entry chunks, block gathers included — as ONE XLA program.
 
@@ -156,8 +175,7 @@ def _degrid_all_taps(gr, gi, pu, pv, idxc, pmc, pw, txv, tyv, beta,
     rdtype = gr.dtype
     xsx = jnp.arange(Thx, dtype=rdtype)
     xsy = jnp.arange(Thy, dtype=rdtype)
-    taps = (jnp.arange(-ko2 + 1, ko2 + 1, dtype=rdtype)
-            if nw > 1 else jnp.zeros((1,), rdtype))
+    ntaps = k if nw > 1 else 1
 
     ger = jnp.pad(gr, ((0, 0), (0, Thx), (0, Thy)), mode="wrap")
     gei = jnp.pad(gi, ((0, 0), (0, Thx), (0, Thy)), mode="wrap")
@@ -166,35 +184,36 @@ def _degrid_all_taps(gr, gi, pu, pv, idxc, pmc, pw, txv, tyv, beta,
         return (lax.dynamic_slice(ger, (pt, x, y), (1, Thx, Thy))[0],
                 lax.dynamic_slice(gei, (pt, x, y), (1, Thx, Thy))[0])
 
-    def tap_body(carry, t):
-        def chunk_body(_, args):
-            u, v, w0c, txc, tyc = args
-            cw = es_kernel((jnp.round(w0c) + t - w0c) / ko2, beta, k)
-            ptile = jnp.clip(
-                jnp.round(w0c[:, 0]).astype(jnp.int32)
-                + t.astype(jnp.int32), 0, nw - 1)
-            sx = jnp.mod(txc * txs - h, Nx)
-            sy = jnp.mod(tyc * tys - h, Ny)
+    def chunk_body(_, args):
+        u, v, w0c, txc, tyc = args
+        # kernel factors shared by every w tap — evaluate once
+        CU = es_kernel((xsx[None, None, :] - u[..., None]) / ko2,
+                       beta, k)
+        CV = es_kernel((xsy[None, None, :] - v[..., None]) / ko2,
+                       beta, k)
+        p0 = jnp.round(w0c)
+        pbase = jnp.round(w0c[:, 0]).astype(jnp.int32)
+        sx = jnp.mod(txc * txs - h, Nx)
+        sy = jnp.mod(tyc * tys - h, Ny)
+        vr = jnp.zeros(u.shape[:2], rdtype)
+        vi = jnp.zeros(u.shape[:2], rdtype)
+        for i in range(ntaps):
+            t = i - (ko2 - 1) if nw > 1 else 0
+            cw = (es_kernel((p0 + t - w0c) / ko2, beta, k)
+                  if nw > 1 else 1.0)
+            ptile = (jnp.clip(pbase + t, 0, nw - 1)
+                     if nw > 1 else pbase)
             br, bi = jax.vmap(slice_one)(ptile, sx, sy)
-            CU = es_kernel((xsx[None, None, :] - u[..., None]) / ko2,
-                           beta, k)
-            CV = es_kernel((xsy[None, None, :] - v[..., None]) / ko2,
-                           beta, k)
             t1 = jnp.einsum("ecx,exy->ecy", CU, br,
-                            precision=lax.Precision.HIGHEST)
-            vr = jnp.sum(t1 * CV, axis=-1) * cw
+                            precision=precision)
             t2 = jnp.einsum("ecx,exy->ecy", CU, bi,
-                            precision=lax.Precision.HIGHEST)
-            vi = jnp.sum(t2 * CV, axis=-1) * cw
-            return None, (vr, vi)
+                            precision=precision)
+            vr = vr + jnp.sum(t1 * CV, axis=-1) * cw
+            vi = vi + jnp.sum(t2 * CV, axis=-1) * cw
+        return None, (vr, vi)
 
-        _, (vr, vi) = lax.scan(chunk_body, None,
+    _, (accr, acci) = lax.scan(chunk_body, None,
                                (pu, pv, pw, txv, tyv))
-        accr, acci = carry
-        return (accr + vr, acci + vi), None
-
-    acc0 = (jnp.zeros(pu.shape, rdtype), jnp.zeros(pu.shape, rdtype))
-    (accr, acci), _ = lax.scan(tap_body, acc0, taps)
     fr = jnp.zeros((nvis,), rdtype).at[idxc.reshape(-1)].add(
         (accr * pmc).reshape(-1))
     fi = jnp.zeros((nvis,), rdtype).at[idxc.reshape(-1)].add(
@@ -205,41 +224,57 @@ def _degrid_all_taps(gr, gi, pu, pv, idxc, pmc, pw, txv, tyv, beta,
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8),
          donate_argnums=0)
 def _dense_overlap(Y, nw, ntx, nty, txs, tys, k, Nx, Ny):
-    """Vectorised overlap-add + periodic halo fold.
+    """Vectorised overlap-add + fold of the extended tile grid back
+    onto the periodic (Nx, Ny) grid.
 
     Y is the dense accumulator (nw*ntx*nty, txs+k, tys+k) with segment
     id (p*ntx + tx)*nty + ty; tile-local (i, j) sits at extended
     coordinate (tx*txs + i, ty*tys + j), which maps to global
-    (i - k/2 mod Nx, j - k/2 mod Ny). Each halo'd tile splits into 4
+    ((tx*txs + i - k/2) mod Nx, ...). Tile sizes need not divide the
+    grid: tiles cover an extended (ntx+1)*txs x (nty+1)*tys plane
+    (one spare tile row/column receives the last tiles' halos), which
+    is folded back mod N afterwards. Each halo'd tile splits into 4
     quadrants — base (txs, tys), x-strip (k, tys), y-strip (txs, k)
-    and corner (k, k) — which land on the base region of the tile one
-    step over (periodic): pure reshapes + rolls, no scatter, no scan.
-    Requires k <= txs and k <= tys (guaranteed by the tile-size guard
-    in _prepare)."""
+    and corner (k, k) — landing on the base region of the tile one
+    step over: pure reshapes, no scatter, no scan. Requires k <= txs
+    and k <= tys (guaranteed by _tile_geometry)."""
     X = Y.reshape(nw, ntx, nty, txs + k, tys + k)
+    Mx, My = (ntx + 1) * txs, (nty + 1) * tys
+
+    def fold_rows(G, N):
+        # add extended rows [N:] back onto [0:] (extended coords are
+        # periodic mod N); at most a few static iterations
+        while G.shape[0] > N:
+            take = min(G.shape[0] - N, N)
+            head = G[:N].at[:take].add(G[N:N + take])
+            G = head if G.shape[0] <= 2 * N else \
+                jnp.concatenate([head, G[2 * N:]], axis=0)
+        return G
 
     def one(xp):
         # one w-plane: (ntx, nty, txs+k, tys+k) -> (Nx, Ny); keeping
-        # the fold per-plane bounds the roll/transpose temporaries
+        # the fold per-plane bounds the transpose temporaries
         # (full-stack they are multi-GB at many w-planes)
-        def place(a, rollx, rolly):
-            Z = jnp.zeros((ntx, nty, txs, tys), Y.dtype)
-            Z = Z.at[..., :a.shape[-2], :a.shape[-1]].set(a)
-            Z = jnp.roll(Z, (rollx, rolly), axis=(0, 1))
-            return Z.transpose(0, 2, 1, 3).reshape(Nx, Ny)
+        def place(a, dx, dy):
+            Z = jnp.zeros((ntx + 1, nty + 1, txs, tys), Y.dtype)
+            Z = Z.at[dx:ntx + dx, dy:nty + dy,
+                     :a.shape[-2], :a.shape[-1]].set(a)
+            return Z.transpose(0, 2, 1, 3).reshape(Mx, My)
 
-        G = xp[..., :txs, :tys].transpose(0, 2, 1, 3).reshape(Nx, Ny)
+        G = place(xp[..., :txs, :tys], 0, 0)
         G = G + place(xp[..., txs:, :tys], 1, 0)
         G = G + place(xp[..., :txs, tys:], 0, 1)
         G = G + place(xp[..., txs:, tys:], 1, 1)
+        G = fold_rows(G, Nx)
+        G = fold_rows(G.T, Ny).T
         # global offset: extended coordinate e maps to global e - k/2
         return jnp.roll(G, (-(k // 2), -(k // 2)), axis=(-2, -1))
 
     return lax.map(one, X)
 
 
-def _prepare(uvw, freq, nx, ny, cellx, celly, epsilon, sigma, tile,
-             do_wgridding, x0=0.0, y0=0.0):
+def _prepare(uvw, freq, nx, ny, cellx, celly, epsilon, sigma, tile_u,
+             tile_v, do_wgridding, x0=0.0, y0=0.0):
     """Host-side geometry + binning; returns everything static the
     device passes need."""
     k, beta = kernel_params(epsilon)
@@ -268,13 +303,7 @@ def _prepare(uvw, freq, nx, ny, cellx, celly, epsilon, sigma, tile,
     vgf = vg.ravel()
     wposf = wpos.ravel()
     p0f = p0.ravel()
-    tx_size = _choose_tile(Nx, tile)
-    ty_size = _choose_tile(Ny, tile)
-    # the halo fold assumes each halo lands on one neighbouring tile
-    if tx_size < k or ty_size < k:
-        raise ValueError(
-            f"tile size ({tx_size}x{ty_size}) must be >= kernel "
-            f"support k={k}; use a larger tile or a larger grid")
+    tx_size, ty_size = _tile_geometry(Nx, Ny, k, tile_u, tile_v)
     order, tids, ntx, nty = _bin_to_tiles(ugf, vgf, p0f, tx_size,
                                           ty_size, Nx, Ny, nw)
     return (k, beta, Nx, Ny, nw, w0, dw, ugf, vgf, wposf, p0f, order,
@@ -311,18 +340,25 @@ def _pad_tiles(order, tids, values, C):
 
 
 def mm_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
-            do_wgridding=True, sigma=2.0, tile=128, capacity=128,
-            echunk=2048, dtype=None, x0=0.0, y0=0.0):
+            do_wgridding=True, sigma=2.0, tile=None, tile_u=None,
+            tile_v=None, capacity=128, echunk=2048, dtype=None,
+            x0=0.0, y0=0.0, precision=lax.Precision.HIGHEST):
     """Build the reusable gridding plan: geometry, tile binning, entry
     padding and the device-resident position arrays. Everything here
     depends only on (uvw, freq, image geometry) — imaging reuses one
     plan across every major-cycle matvec (the ducc0 wgridder exposes
     the same concept; reference pfb/operators/gridder.py re-plans per
-    call because ducc hides the cache internally)."""
+    call because ducc hides the cache internally).
+
+    tile_u/tile_v override the MXU-shaped tile defaults (see
+    _tile_geometry); tile sets both (legacy square tiles)."""
+    if tile is not None:
+        tile_u = tile_u or tile
+        tile_v = tile_v or tile
     (k, beta, Nx, Ny, nw, w0, dw, ug, vg, wpos, p0, order, tids, ntx,
      nty, txs, tys) = _prepare(uvw, freq, nx, ny, cellx, celly,
-                               epsilon, sigma, tile, do_wgridding,
-                               x0, y0)
+                               epsilon, sigma, tile_u, tile_v,
+                               do_wgridding, x0, y0)
     C = capacity
     (pu, pv, pwpos), utid, idx, pmask, counts = _pad_tiles(
         order, tids, [ug, vg, wpos], C)
@@ -357,6 +393,7 @@ def mm_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
         k=k, beta=beta, Nx=Nx, Ny=Ny, nw=nw, w0=w0, dw=dw, ntx=ntx,
         nty=nty, txs=txs, tys=tys, C=C, ntiles=ntiles, nchunk=nchunk,
         echunk=echunk, npad=npad, idx=idx, pmask=pmask, rdtype=dtype,
+        precision=precision,
         nx=nx, ny=ny, cellx=cellx, celly=celly, x0=x0, y0=y0,
         uvw=np.asarray(uvw), freq=np.asarray(freq),
         nrow=np.asarray(uvw).shape[0], nchan=np.asarray(freq).shape[0],
@@ -371,7 +408,7 @@ def mm_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
 
 def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
                  cellx, celly, epsilon=1e-7, do_wgridding=True,
-                 sigma=2.0, tile=128, capacity=None,
+                 sigma=2.0, tile=None, capacity=None,
                  divide_by_n=False, plan=None, x0=0.0, y0=0.0):
     """R.H via the matmul gridder. Semantics identical to
     ops.wgridder.vis2dirty_wgrid (validated against the DFT oracle).
@@ -403,9 +440,11 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     # released before the next allocates: at many w-planes each dense
     # accumulator copy is GBs and the FFT stage needs the headroom
     # (a joint program's (Yr, Yi) scan carry double-buffers to 2x)
+    prec = p.get("precision", lax.Precision.HIGHEST)
     Yr = _grid_all_taps(p["pu_c"], p["pv_c"], vr_flat, p["idx_c"],
                         p["pm_c"], p["pw_c"], p["tx_c"], p["ty_c"],
-                        p["beta"], k, nw, ntx, nty, txs, tys, C)
+                        p["beta"], k, nw, ntx, nty, txs, tys, C,
+                        precision=prec)
     float(jnp.sum(Yr[0, 0, :8]))
     grids_r = _dense_overlap(Yr, nw, ntx, nty, txs, tys, k, p["Nx"],
                              p["Ny"])
@@ -413,7 +452,8 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     float(jnp.sum(grids_r[0, 0, :8]))
     Yi = _grid_all_taps(p["pu_c"], p["pv_c"], vi_flat, p["idx_c"],
                         p["pm_c"], p["pw_c"], p["tx_c"], p["ty_c"],
-                        p["beta"], k, nw, ntx, nty, txs, tys, C)
+                        p["beta"], k, nw, ntx, nty, txs, tys, C,
+                        precision=prec)
     float(jnp.sum(Yi[0, 0, :8]))
     grids_i = _dense_overlap(Yi, nw, ntx, nty, txs, tys, k, p["Nx"],
                              p["Ny"])
@@ -428,7 +468,7 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
 
 
 def dirty2vis_mm(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
-                 do_wgridding=True, sigma=2.0, tile=128, capacity=None,
+                 do_wgridding=True, sigma=2.0, tile=None, capacity=None,
                  divide_by_n=False, plan=None, x0=0.0, y0=0.0, **kw):
     """R via the matmul degridder (gather twin of vis2dirty_mm).
     Pass plan=mm_plan(...) to amortise binning across calls."""
@@ -454,7 +494,8 @@ def dirty2vis_mm(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
     fr, fi = _degrid_all_taps(
         gr, gi, p["pu_c"], p["pv_c"], p["idx_c"], p["pm_c"],
         p["pw_c"], p["tx_c"], p["ty_c"], p["beta"], k, nw, ntx, nty,
-        txs, tys, C, p["Nx"], p["Ny"], p["nrow"] * p["nchan"])
+        txs, tys, C, p["Nx"], p["Ny"], p["nrow"] * p["nchan"],
+        precision=p.get("precision", lax.Precision.HIGHEST))
     out = (np.asarray(fr).astype(np.float64) +
            1j * np.asarray(fi).astype(np.float64)).reshape(
                p["nrow"], p["nchan"])

@@ -1,0 +1,116 @@
+"""Gridder throughput bench (TPU): Mvis/s for vis2dirty / dirty2vis.
+
+Case from BASELINE.md: 1M vis (125k rows x 8 chan), 1024^2 image,
+w-gridding on, epsilon 1e-5. Timing forces a real-scalar readback
+(block_until_ready does not block on the axon relay).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_case(nrow=125_000, nchan=8, nx=1024, seed=0):
+    rng = np.random.default_rng(seed)
+    # MeerKAT-ish uv distribution: gaussian ball + long tails
+    uvw = rng.normal(scale=1000.0, size=(nrow, 3))
+    uvw[:, 2] *= 0.1
+    freq = np.linspace(0.9e9, 1.1e9, nchan)
+    vis = (rng.normal(size=(nrow, nchan)) +
+           1j * rng.normal(size=(nrow, nchan))).astype(np.complex64)
+    wgt = rng.random((nrow, nchan)).astype(np.float32)
+    umax = np.abs(uvw[:, :2]).max() * freq[-1] / 299792458.0
+    cell = 1.0 / (2.0 * umax * 2.0)  # x2 oversampling of critical
+    return uvw, freq, vis, wgt, nx, cell
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nrow", type=int, default=125_000)
+    ap.add_argument("--nchan", type=int, default=8)
+    ap.add_argument("--nx", type=int, default=1024)
+    ap.add_argument("--epsilon", type=float, default=1e-5)
+    ap.add_argument("--tile", type=int, default=0)
+    ap.add_argument("--capacity", type=int, default=0)
+    ap.add_argument("--no-w", action="store_true")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--check", action="store_true",
+                    help="validate vs DFT oracle on a small subset")
+    args = ap.parse_args()
+
+    from pfb_tpu.ops.mmgridder import dirty2vis_mm, mm_plan, vis2dirty_mm
+
+    uvw, freq, vis, wgt, nx, cell = make_case(args.nrow, args.nchan,
+                                              args.nx)
+    nvis = args.nrow * args.nchan
+    kw = {}
+    if args.tile:
+        kw["tile"] = args.tile
+    if args.capacity:
+        kw["capacity"] = args.capacity
+
+    t0 = time.perf_counter()
+    plan = mm_plan(uvw, freq, nx=nx, ny=nx, cellx=cell, celly=cell,
+                   epsilon=args.epsilon, do_wgridding=not args.no_w,
+                   **kw)
+    t_plan = time.perf_counter() - t0
+    print(f"plan: {t_plan:.2f}s  k={plan['k']} nw={plan['nw']} "
+          f"Nx={plan['Nx']} ntx={plan['ntx']} nty={plan['nty']} "
+          f"txs={plan['txs']} tys={plan['tys']} C={plan['C']} "
+          f"ntiles={plan['ntiles']} nchunk={plan['nchunk']}", flush=True)
+
+    # vis2dirty
+    img = None
+    for r in range(args.reps):
+        t0 = time.perf_counter()
+        img = vis2dirty_mm(uvw, freq, vis, wgt=wgt, nx=nx, ny=nx,
+                           cellx=cell, celly=cell, plan=plan)
+        float(jnp.sum(img))
+        dt = time.perf_counter() - t0
+        print(f"vis2dirty rep{r}: {dt:.3f}s  {nvis/dt/1e6:.2f} Mvis/s",
+              flush=True)
+    v2d_t = dt
+
+    # dirty2vis
+    image = np.asarray(img).astype(np.float32)
+    for r in range(args.reps):
+        t0 = time.perf_counter()
+        out = dirty2vis_mm(uvw, freq, jnp.asarray(image), cell, cell,
+                           plan=plan)
+        dt = time.perf_counter() - t0
+        print(f"dirty2vis rep{r}: {dt:.3f}s  {nvis/dt/1e6:.2f} Mvis/s",
+              flush=True)
+    d2v_t = dt
+
+    print(json.dumps({
+        "metric": "mm_gridder_Mvis_per_s",
+        "vis2dirty": round(nvis / v2d_t / 1e6, 3),
+        "dirty2vis": round(nvis / d2v_t / 1e6, 3),
+        "nvis": nvis, "nx": nx, "epsilon": args.epsilon,
+        "wgridding": not args.no_w}))
+
+    if args.check:
+        from pfb_tpu.ops.dft import vis2dirty_dft
+        sel = slice(0, 2000)
+        ref = np.asarray(vis2dirty_dft(
+            jnp.asarray(uvw[sel]), jnp.asarray(freq),
+            jnp.asarray(vis[sel]), wgt=jnp.asarray(wgt[sel]),
+            nx=256, ny=256, cellx=cell, celly=cell, do_wterm=True))
+        got = np.asarray(vis2dirty_mm(
+            uvw[sel], freq, vis[sel], wgt=wgt[sel], nx=256, ny=256,
+            cellx=cell, celly=cell, epsilon=args.epsilon,
+            do_wgridding=True))
+        err = np.abs(got - ref).max() / np.abs(ref).max()
+        print(f"oracle check (2k rows, 256^2): rel err {err:.2e}")
+
+
+if __name__ == "__main__":
+    main()
