@@ -129,14 +129,13 @@ def _grid_all_taps(pu, pv, vflat, idxc, pmc, pw, txv, tyv, beta, k,
                 # w-axis ES tap weight
                 cw = es_kernel((p0 + t - w0c) / ko2, beta, k)
                 wt = w * cw
-                ptile = jnp.clip(pbase + t, 0, nw - 1)
             else:
                 wt = w
-                ptile = pbase
+            ptile = jnp.clip(pbase + t, 0, nw - 1)
             tid = (ptile * ntx + txc) * nty + tyc
             tiles = jnp.einsum("ecx,ecy->exy", CU * wt[..., None], CV,
                                precision=precision)
-            Y = Y.at[tid].add(tiles)
+            Y = Y.at[tid].add(tiles, indices_are_sorted=True)
         return Y, None
 
     Y0 = jnp.zeros((nseg, Thx, Thy), rdtype)
@@ -180,9 +179,12 @@ def _degrid_all_taps(gr, gi, pu, pv, idxc, pmc, pw, txv, tyv, beta,
     ger = jnp.pad(gr, ((0, 0), (0, Thx), (0, Thy)), mode="wrap")
     gei = jnp.pad(gi, ((0, 0), (0, Thx), (0, Thy)), mode="wrap")
 
-    def slice_one(pt, x, y):
-        return (lax.dynamic_slice(ger, (pt, x, y), (1, Thx, Thy))[0],
-                lax.dynamic_slice(gei, (pt, x, y), (1, Thx, Thy))[0])
+    def slice_window(pt, x, y):
+        # ONE (ntaps, Thx, Thy) window per entry spanning the entry's
+        # whole w support (the w planes a vis touches are contiguous;
+        # k separate 12KB slices were DMA-latency-bound)
+        return (lax.dynamic_slice(ger, (pt, x, y), (ntaps, Thx, Thy)),
+                lax.dynamic_slice(gei, (pt, x, y), (ntaps, Thx, Thy)))
 
     def chunk_body(_, args):
         u, v, w0c, txc, tyc = args
@@ -193,20 +195,20 @@ def _degrid_all_taps(gr, gi, pu, pv, idxc, pmc, pw, txv, tyv, beta,
                        beta, k)
         p0 = jnp.round(w0c)
         pbase = jnp.round(w0c[:, 0]).astype(jnp.int32)
+        pstart = jnp.clip(pbase - (ko2 - 1) if nw > 1 else pbase,
+                          0, nw - ntaps)
         sx = jnp.mod(txc * txs - h, Nx)
         sy = jnp.mod(tyc * tys - h, Ny)
+        br, bi = jax.vmap(slice_window)(pstart, sx, sy)
         vr = jnp.zeros(u.shape[:2], rdtype)
         vi = jnp.zeros(u.shape[:2], rdtype)
         for i in range(ntaps):
             t = i - (ko2 - 1) if nw > 1 else 0
             cw = (es_kernel((p0 + t - w0c) / ko2, beta, k)
                   if nw > 1 else 1.0)
-            ptile = (jnp.clip(pbase + t, 0, nw - 1)
-                     if nw > 1 else pbase)
-            br, bi = jax.vmap(slice_one)(ptile, sx, sy)
-            t1 = jnp.einsum("ecx,exy->ecy", CU, br,
+            t1 = jnp.einsum("ecx,exy->ecy", CU, br[:, i],
                             precision=precision)
-            t2 = jnp.einsum("ecx,exy->ecy", CU, bi,
+            t2 = jnp.einsum("ecx,exy->ecy", CU, bi[:, i],
                             precision=precision)
             vr = vr + jnp.sum(t1 * CV, axis=-1) * cw
             vi = vi + jnp.sum(t2 * CV, axis=-1) * cw
@@ -380,7 +382,9 @@ def mm_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
         dtype = jnp.zeros(0).dtype  # honours jax_enable_x64
 
     # padded entries: zero weight; u/v at -2k so the kernel support
-    # mask kills them; w position 0 -> valid (clipped) plane 0
+    # mask kills them; tile/plane coords at their MAXIMUM (tid clips to
+    # nseg-1) so per-chunk tile ids stay sorted — the grid scatter
+    # promises indices_are_sorted
     def chunked(a, dt, fill=0.0):
         a = np.asarray(a)
         if npad:
@@ -401,8 +405,9 @@ def mm_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
         pu_c=chunked(pu_loc, dtype, -2.0 * k),
         pv_c=chunked(pv_loc, dtype, -2.0 * k),
         pw_c=chunked(pwpos if nw > 1 else np.zeros_like(pu_loc),
-                     dtype),
-        tx_c=chunked(tx, np.int32), ty_c=chunked(ty, np.int32),
+                     dtype, fill=float(nw + k)),
+        tx_c=chunked(tx, np.int32, fill=ntx - 1),
+        ty_c=chunked(ty, np.int32, fill=nty - 1),
         idx_c=chunked(idx, np.int32), pm_c=chunked(pmask, dtype))
 
 

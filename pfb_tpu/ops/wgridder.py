@@ -231,10 +231,37 @@ def vis2dirty_wgrid(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
                           divide_by_n, x0, y0)
 
 
+def _ifft2_stack(gr, gi):
+    """Unnormalised inverse 2D FFT of a (..., N, N) real/imag pair.
+
+    f32 runs on the MXU via the four-step matmul FFT (XLA's TPU FFT is
+    far off the roofline at these sizes — see ops/mmfft.py); f64 (the
+    CPU-parity path) keeps the exact jnp.fft."""
+    if gr.dtype == jnp.float32:
+        from pfb_tpu.ops.mmfft import fft2_mm
+        # unnormalised inverse = conj(forward(conj(.)))
+        yr, yi = fft2_mm(gr, -gi, inverse=False)
+        return yr, -yi
+    full = jnp.fft.ifft2(lax.complex(gr, gi)) * \
+        (gr.shape[-2] * gr.shape[-1])
+    return full.real, full.imag
+
+
+def _fft2_stack(xr, xi):
+    """Forward 2D FFT of a (..., N, N) real/imag pair (f32 on the MXU,
+    f64 exact)."""
+    if xr.dtype == jnp.float32:
+        from pfb_tpu.ops.mmfft import fft2_mm
+        return fft2_mm(xr, xi, inverse=False)
+    full = jnp.fft.fft2(lax.complex(xr, xi))
+    return full.real, full.imag
+
+
 @partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny", "nw",
-                                   "do_w", "divide_by_n", "x0", "y0"))
+                                   "do_w", "divide_by_n", "x0", "y0",
+                                   "wchunk"))
 def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
-                   nw, w0, dw, divide_by_n, x0=0.0, y0=0.0):
+                   nw, w0, dw, divide_by_n, x0=0.0, y0=0.0, wchunk=4):
     rdtype = gr.dtype
 
     # l, m and grid corrections
@@ -248,34 +275,44 @@ def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
     llg, mmg = jnp.meshgrid(ll, mm, indexing="ij")
     nm1 = nterm(llg, mmg).astype(rdtype)
 
-    def plane_image(grp, gip):
-        # inverse DFT of one plane: sum_p G(p) e^{+2 pi i p s / N}
-        full = jnp.fft.ifft2(lax.complex(grp, gip)) * (Nx * Ny)
-        rolled = jnp.roll(full, (nx // 2, ny // 2), axis=(-2, -1))
-        return rolled[..., :nx, :ny]
+    def plane_images(grp, gip):
+        # inverse DFT of a plane batch: sum_p G(p) e^{+2 pi i p s / N}
+        ir, ii = _ifft2_stack(grp, gip)
+        ir = jnp.roll(ir, (nx // 2, ny // 2), axis=(-2, -1))[..., :nx,
+                                                            :ny]
+        ii = jnp.roll(ii, (nx // 2, ny // 2), axis=(-2, -1))[..., :nx,
+                                                            :ny]
+        return ir, ii
 
     if do_w:
-        # per-plane ifft + phase e^{+2 pi i w_p (n-1)}, accumulated with
-        # a scan so neither the image stack nor its FFT workspace is
-        # ever resident for all planes at once
-        wp = w0 + dw * jnp.arange(nw)
+        # batches of wchunk planes: batched MXU FFTs, then only the
+        # REAL part of sum_p img_p e^{+2 pi i w_p (n-1)} is accumulated
+        # (the imaginary part of the final image is discarded anyway)
+        wc = min(wchunk, nw)
+        nc = -(-nw // wc)
+        npad = nc * wc - nw
+        grp = jnp.pad(gr, ((0, npad), (0, 0), (0, 0)))
+        gip = jnp.pad(gi, ((0, npad), (0, 0), (0, 0)))
+        wp = w0 + dw * jnp.arange(nc * wc, dtype=rdtype)
 
         def accum(carry, args):
-            grp, gip, wpp = args
-            imgp = plane_image(grp, gip)
-            ph = (2.0 * jnp.pi * wpp) * nm1
-            return carry + imgp * lax.complex(jnp.cos(ph),
-                                              jnp.sin(ph)), None
+            grb, gib, wpb = args
+            ir, ii = plane_images(grb, gib)
+            ph = (2.0 * jnp.pi) * wpb[:, None, None] * nm1[None]
+            contrib = ir * jnp.cos(ph) - ii * jnp.sin(ph)
+            return carry + jnp.sum(contrib, axis=0), None
 
-        img0 = jnp.zeros((nx, ny), jnp.result_type(rdtype,
-                                                   jnp.complex64))
-        img, _ = lax.scan(accum, img0, (gr, gi, wp))
+        img0 = jnp.zeros((nx, ny), rdtype)
+        img, _ = lax.scan(
+            accum, img0,
+            (grp.reshape(nc, wc, Nx, Ny), gip.reshape(nc, wc, Nx, Ny),
+             wp.reshape(nc, wc)))
         cw = _es_kernel_ft(nm1 * dw, beta, k).astype(rdtype)
         img = img / cw
     else:
-        img = plane_image(gr[0], gi[0])
+        img, _ = plane_images(gr[0], gi[0])
 
-    out = img.real / (cx[:, None] * cy[None, :])
+    out = img / (cx[:, None] * cy[None, :])
     if divide_by_n:
         out = out / (nm1 + 1.0)
     return out
@@ -313,18 +350,15 @@ def dirty2vis_wgrid(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
 
 @partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny", "nw",
                                    "do_w", "divide_by_n", "x0", "y0",
-                                   "split"))
+                                   "split", "wchunk"))
 def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
                    nw, w0, dw, divide_by_n, x0=0.0, y0=0.0,
-                   split=False):
-    """split=True returns (real, imag) grids as two real arrays, the
-    split done per plane inside the scan (for the tiled mm degridder —
-    the full complex stack would otherwise coexist with both real
-    copies, multi-GB each at many w-planes)."""
+                   split=False, wchunk=4):
+    """split=True returns (real, imag) grids as two real arrays (the
+    native representation — complex is only assembled on request for
+    the wgrid backend's _interp)."""
     rdtype = image.dtype
 
-    def splitg(g):
-        return g.real.astype(rdtype), g.imag.astype(rdtype)
     li = (jnp.arange(nx) - nx // 2)
     mi = (jnp.arange(ny) - ny // 2)
     cx = _es_kernel_ft(li / Nx, beta, k).astype(rdtype)
@@ -338,34 +372,41 @@ def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
     if divide_by_n:
         img = img / (nm1 + 1.0)
 
-    def plane_grid(plane):
+    def plane_grids(pr, pi):
         # embed at s = i - nx//2 (inverse of the roll+crop) and forward
-        # DFT: G(p) = sum_s f(s) e^{-2 pi i p s / N}
-        full = jnp.zeros((Nx, Ny), plane.dtype)
-        full = full.at[:nx, :ny].set(plane)
-        full = jnp.roll(full, (-(nx // 2), -(ny // 2)), axis=(-2, -1))
-        return jnp.fft.fft2(full)
+        # DFT: G(p) = sum_s f(s) e^{-2 pi i p s / N}; batched over the
+        # leading plane axis
+        shape = pr.shape[:-2] + (Nx, Ny)
+        fr = jnp.zeros(shape, rdtype).at[..., :nx, :ny].set(pr)
+        fi = jnp.zeros(shape, rdtype).at[..., :nx, :ny].set(pi)
+        fr = jnp.roll(fr, (-(nx // 2), -(ny // 2)), axis=(-2, -1))
+        fi = jnp.roll(fi, (-(nx // 2), -(ny // 2)), axis=(-2, -1))
+        return _fft2_stack(fr, fi)
 
     if do_w:
         cw = _es_kernel_ft(nm1 * dw, beta, k).astype(rdtype)
         img = img / cw
-        wp = w0 + dw * jnp.arange(nw)
+        wc = min(wchunk, nw)
+        nc = -(-nw // wc)
+        wp = w0 + dw * jnp.arange(nc * wc, dtype=rdtype)
 
-        # per-plane phase + FFT in a scan: only one plane's FFT
-        # workspace is ever live
-        def one(carry, wpp):
-            ph = (-2.0 * jnp.pi * wpp) * nm1
-            plane = img * lax.complex(jnp.cos(ph), jnp.sin(ph))
-            g = plane_grid(plane)
-            return carry, (splitg(g) if split else g)
+        # batches of wchunk planes: phase the image onto each plane and
+        # run one batched MXU FFT per chunk
+        def one(carry, wpb):
+            ph = (-2.0 * jnp.pi) * wpb[:, None, None] * nm1[None]
+            gr, gi = plane_grids(img[None] * jnp.cos(ph),
+                                 img[None] * jnp.sin(ph))
+            return carry, (gr, gi)
 
-        _, grids = lax.scan(one, 0, wp)
-        return grids
-    g = plane_grid(lax.complex(img, jnp.zeros_like(img)))
+        _, (gr, gi) = lax.scan(one, 0, wp.reshape(nc, wc))
+        gr = gr.reshape(nc * wc, Nx, Ny)[:nw]
+        gi = gi.reshape(nc * wc, Nx, Ny)[:nw]
+    else:
+        gr, gi = plane_grids(img[None], jnp.zeros_like(img)[None])
+
     if split:
-        gr, gi = splitg(g)
-        return gr[None], gi[None]
-    return g[None]
+        return gr, gi
+    return lax.complex(gr, gi)
 
 
 @partial(jax.jit, static_argnames=("k", "Nx", "Ny", "row_chunk", "nw",
