@@ -28,6 +28,9 @@ def get_backend(backend):
     if backend == "mm":
         from pfb_tpu.ops.mmgridder import dirty2vis_mm, vis2dirty_mm
         return dirty2vis_mm, vis2dirty_mm
+    if backend == "pg":
+        from pfb_tpu.ops.pgridder import dirty2vis_pg, vis2dirty_pg
+        return dirty2vis_pg, vis2dirty_pg
     raise ValueError(f"Unknown gridder backend {backend}")
 
 

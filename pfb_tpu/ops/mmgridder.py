@@ -104,7 +104,8 @@ def _grid_all_taps(pu, pv, vflat, idxc, pmc, pw, txv, tyv, beta, k,
     scatter_add into a wrap-padded grid — the exact twin of the
     degrid gathers — measured 3x slower: XLA serialises overlapping
     window updates.)"""
-    ko2 = k // 2
+    ko2 = k / 2.0
+    korig = (k - 1) // 2
     Thx = txs + k
     Thy = tys + k
     rdtype = vflat.dtype
@@ -124,7 +125,7 @@ def _grid_all_taps(pu, pv, vflat, idxc, pmc, pw, txv, tyv, beta, k,
         p0 = jnp.round(w0c)
         pbase = jnp.round(w0c[:, 0]).astype(jnp.int32)
         for i in range(ntaps):
-            t = i - (ko2 - 1) if nw > 1 else 0
+            t = i - korig if nw > 1 else 0
             if nw > 1:
                 # w-axis ES tap weight
                 cw = es_kernel((p0 + t - w0c) / ko2, beta, k)
@@ -167,7 +168,8 @@ def _degrid_all_taps(gr, gi, pu, pv, idxc, pmc, pw, txv, tyv, beta,
     Returns flat per-visibility components (nvis,) x2 summed over the
     w taps, scattered on device by idxc/pmc (the host np.add.at +
     14 MB readbacks cost more than the whole device pass)."""
-    ko2 = k // 2
+    ko2 = k / 2.0
+    korig = (k - 1) // 2
     h = k // 2
     Thx = txs + k
     Thy = tys + k
@@ -195,7 +197,7 @@ def _degrid_all_taps(gr, gi, pu, pv, idxc, pmc, pw, txv, tyv, beta,
                        beta, k)
         p0 = jnp.round(w0c)
         pbase = jnp.round(w0c[:, 0]).astype(jnp.int32)
-        pstart = jnp.clip(pbase - (ko2 - 1) if nw > 1 else pbase,
+        pstart = jnp.clip(pbase - korig if nw > 1 else pbase,
                           0, nw - ntaps)
         sx = jnp.mod(txc * txs - h, Nx)
         sy = jnp.mod(tyc * tys - h, Ny)
@@ -203,7 +205,7 @@ def _degrid_all_taps(gr, gi, pu, pv, idxc, pmc, pw, txv, tyv, beta,
         vr = jnp.zeros(u.shape[:2], rdtype)
         vi = jnp.zeros(u.shape[:2], rdtype)
         for i in range(ntaps):
-            t = i - (ko2 - 1) if nw > 1 else 0
+            t = i - korig if nw > 1 else 0
             cw = (es_kernel((p0 + t - w0c) / ko2, beta, k)
                   if nw > 1 else 1.0)
             t1 = jnp.einsum("ecx,exy->ecy", CU, br[:, i],
@@ -223,15 +225,14 @@ def _degrid_all_taps(gr, gi, pu, pv, idxc, pmc, pw, txv, tyv, beta,
     return fr, fi
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8),
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7),
          donate_argnums=0)
-def _dense_overlap(Y, nw, ntx, nty, txs, tys, k, Nx, Ny):
-    """Vectorised overlap-add + fold of the extended tile grid back
-    onto the periodic (Nx, Ny) grid.
+def _fold_tiles(X, ntx, nty, txs, tys, k, Nx, Ny):
+    """Vectorised overlap-add + fold of a halo'd tile stack back onto
+    the periodic (Nx, Ny) grid.
 
-    Y is the dense accumulator (nw*ntx*nty, txs+k, tys+k) with segment
-    id (p*ntx + tx)*nty + ty; tile-local (i, j) sits at extended
-    coordinate (tx*txs + i, ty*tys + j), which maps to global
+    X is (nplane, ntx, nty, txs+k, tys+k); tile-local (i, j) sits at
+    extended coordinate (tx*txs + i, ty*tys + j), which maps to global
     ((tx*txs + i - k/2) mod Nx, ...). Tile sizes need not divide the
     grid: tiles cover an extended (ntx+1)*txs x (nty+1)*tys plane
     (one spare tile row/column receives the last tiles' halos), which
@@ -240,7 +241,6 @@ def _dense_overlap(Y, nw, ntx, nty, txs, tys, k, Nx, Ny):
     and corner (k, k) — landing on the base region of the tile one
     step over: pure reshapes, no scatter, no scan. Requires k <= txs
     and k <= tys (guaranteed by _tile_geometry)."""
-    X = Y.reshape(nw, ntx, nty, txs + k, tys + k)
     Mx, My = (ntx + 1) * txs, (nty + 1) * tys
 
     def fold_rows(G, N):
@@ -258,7 +258,7 @@ def _dense_overlap(Y, nw, ntx, nty, txs, tys, k, Nx, Ny):
         # the fold per-plane bounds the transpose temporaries
         # (full-stack they are multi-GB at many w-planes)
         def place(a, dx, dy):
-            Z = jnp.zeros((ntx + 1, nty + 1, txs, tys), Y.dtype)
+            Z = jnp.zeros((ntx + 1, nty + 1, txs, tys), X.dtype)
             Z = Z.at[dx:ntx + dx, dy:nty + dy,
                      :a.shape[-2], :a.shape[-1]].set(a)
             return Z.transpose(0, 2, 1, 3).reshape(Mx, My)
@@ -273,6 +273,14 @@ def _dense_overlap(Y, nw, ntx, nty, txs, tys, k, Nx, Ny):
         return jnp.roll(G, (-(k // 2), -(k // 2)), axis=(-2, -1))
 
     return lax.map(one, X)
+
+
+def _dense_overlap(Y, nw, ntx, nty, txs, tys, k, Nx, Ny):
+    """Fold the dense per-(w-plane, tile) accumulator
+    (nw*ntx*nty, txs+k, tys+k), segment id (p*ntx + tx)*nty + ty,
+    onto the periodic grid stack (nw, Nx, Ny)."""
+    return _fold_tiles(Y.reshape(nw, ntx, nty, txs + k, tys + k),
+                       ntx, nty, txs, tys, k, Nx, Ny)
 
 
 def _prepare(uvw, freq, nx, ny, cellx, celly, epsilon, sigma, tile_u,

@@ -1,0 +1,348 @@
+"""Fused Pallas ES gridder — the speed-of-light uv (de)gridding pass.
+
+The mm gridder (ops/mmgridder.py) already removed the scatter hazard by
+turning each uv tile's accumulation into dense matmuls, but in XLA the
+pass is HBM-bound: the (C, Thy) kernel factors spill to HBM and are
+re-read for every w tap, and the accumulator round-trips through a
+scatter per tap (~6-7 GB of traffic per component at the 1M-vis bench).
+This module fuses the whole pass into ONE Pallas kernel:
+
+- visibilities are binned per uv TILE only (not per w plane); one
+  kernel invocation owns an output block holding the tile's FULL w
+  column for both components, shape (2, nw, Thx, Thy), resident in
+  VMEM across consecutive entries of the same tile (Pallas
+  revisit-accumulate: the block is flushed to HBM only when the
+  scalar-prefetched tile id changes),
+- the 1-D kernel factors CU (Thx, C), CV (C, Thy) and the per-plane w
+  taps CW (nw, C) are evaluated on the VPU and never touch HBM,
+- each component's spread is ONE MXU matmul per entry:
+  (nw*Thx, C) @ (C, Thy), M = nw*Thx ~ 100+ rows — good systolic-array
+  utilisation,
+- every uv tile gets at least one (possibly all-padding) entry so
+  every output block is written: no donated-zeros aliasing tricks.
+
+Output layout (2, nw, ntiles, Thx, Thy) feeds the quadrant fold
+(overlap-add of tile halos, reused from ops.mmgridder._fold_tiles)
+without any transpose. Semantics identical to ducc0
+vis2dirty/dirty2vis (reference pfb/operators/gridder.py:10), validated
+against the exact-DFT oracle.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pfb_tpu.ops.dft import LIGHTSPEED, nterm
+from pfb_tpu.ops.mmgridder import (_bin_to_tiles, _centre_shift_np,
+                                   _pad_tiles, _tile_geometry)
+from pfb_tpu.ops.wgridder import (_es_kernel_ft, _grid_setup, _w_params,
+                                  kernel_params)
+
+
+def _es(x, beta, k):
+    arg = jnp.maximum(1.0 - x * x, 0.0)
+    return jnp.where(jnp.abs(x) <= 1.0,
+                     jnp.exp(beta * k * (jnp.sqrt(arg) - 1.0)), 0.0)
+
+
+def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
+               do_wgridding=True, sigma=2.0, capacity=128, tile_u=None,
+               tile_v=None, dtype=None, x0=0.0, y0=0.0):
+    """Reusable plan for the Pallas gridder: geometry + per-uv-tile
+    binning (all w planes of a tile belong to the same entry stream).
+    Reuse one plan across every matvec of a major cycle."""
+    k, beta = kernel_params(epsilon)
+    Nx, Ny = _grid_setup(nx, ny, cellx, celly, sigma)
+    uvw_np = np.asarray(uvw)
+    freq_np = np.asarray(freq)
+    scale = freq_np / LIGHTSPEED
+    ug = (uvw_np[:, 0:1] * scale[None, :]) * cellx * Nx
+    vg = (uvw_np[:, 1:2] * scale[None, :]) * celly * Ny
+    wl = uvw_np[:, 2:3] * scale[None, :]
+
+    l = (np.arange(nx) - nx // 2) * cellx + x0
+    m = (np.arange(ny) - ny // 2) * celly + y0
+    eps_max = max(abs(l.min()), l.max()) ** 2 + \
+        max(abs(m.min()), m.max()) ** 2
+    nm1_min = -eps_max / (np.sqrt(max(1.0 - eps_max, 0.0)) + 1.0)
+    if do_wgridding:
+        nw, w0, dw = _w_params(uvw_np, freq_np, nm1_min, sigma, k)
+    else:
+        nw, w0, dw = 1, 0.0, 1.0
+    wpos = ((wl - w0) / dw).ravel() if nw > 1 else \
+        np.zeros(ug.size)
+
+    ugf, vgf = ug.ravel(), vg.ravel()
+    txs, tys = _tile_geometry(Nx, Ny, k, tile_u, tile_v)
+    order, tids, ntx, nty = _bin_to_tiles(
+        ugf, vgf, np.zeros(ugf.size, np.int64), txs, tys, Nx, Ny, 1)
+    C = capacity
+    (pu, pv, pw), utid, idx, pmask, _ = _pad_tiles(order, tids,
+                                                   [ugf, vgf, wpos], C)
+
+    # one all-padding entry for every uv tile with no visibilities so
+    # the kernel writes every output block (u=-2k keeps CU identically
+    # zero; w position mid-range keeps the plane taps finite)
+    ntiles = ntx * nty
+    missing = np.setdiff1d(np.arange(ntiles), utid)
+    if missing.size:
+        nm = missing.size
+        pu = np.concatenate([pu, np.full((nm, C), -2.0 * k)])
+        pv = np.concatenate([pv, np.full((nm, C), -2.0 * k)])
+        pw = np.concatenate([pw, np.zeros((nm, C))])
+        idx = np.concatenate([idx, np.zeros((nm, C), idx.dtype)])
+        pmask = np.concatenate([pmask, np.zeros((nm, C), bool)])
+        utid = np.concatenate([utid, missing])
+        order2 = np.argsort(utid, kind="stable")
+        pu, pv, pw = pu[order2], pv[order2], pw[order2]
+        idx, pmask, utid = idx[order2], pmask[order2], utid[order2]
+
+    nentries = utid.size
+    ty = utid % nty
+    tx = utid // nty
+    h = k // 2
+    pu_loc = np.mod(pu, Nx) - (tx * txs)[:, None] + h
+    pv_loc = np.mod(pv, Ny) - (ty * tys)[:, None] + h
+    pu_loc = np.where(pu_loc < -txs, pu_loc + Nx, pu_loc)
+    pu_loc = np.where(pu_loc > 2 * txs + k, pu_loc - Nx, pu_loc)
+    pv_loc = np.where(pv_loc < -tys, pv_loc + Ny, pv_loc)
+    pv_loc = np.where(pv_loc > 2 * tys + k, pv_loc - Ny, pv_loc)
+
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype  # honours jax_enable_x64
+
+    # (nentries, 8, C) position pack: rows 0-2 = u, v, w; rows 3-4 are
+    # filled with the weighted vis components per call; 5-7 pad the
+    # sublane dim to the f32 (8, 128) tile
+    pos = np.zeros((nentries, 8, C), np.float64)
+    pos[:, 0] = pu_loc
+    pos[:, 1] = pv_loc
+    pos[:, 2] = pw
+    return dict(
+        k=k, beta=beta, Nx=Nx, Ny=Ny, nw=nw, w0=w0, dw=dw, ntx=ntx,
+        nty=nty, txs=txs, tys=tys, C=C, nentries=nentries,
+        rdtype=dtype, nx=nx, ny=ny, cellx=cellx, celly=celly, x0=x0,
+        y0=y0, uvw=uvw_np, freq=freq_np, nrow=uvw_np.shape[0],
+        nchan=freq_np.shape[0],
+        pos=jnp.asarray(pos.astype(dtype)),
+        tid=jnp.asarray(utid.astype(np.int32)),
+        idx=jnp.asarray(idx.astype(np.int32)),
+        pm=jnp.asarray(pmask.astype(dtype)))
+
+
+def _grid_kernel(tid_ref, pk_ref, out_ref, *, k, beta, nw, Thx, Thy,
+                 C, prec):
+    e = pl.program_id(0)
+    ep = jnp.maximum(e - 1, 0)
+    first = jnp.logical_or(e == 0, tid_ref[e] != tid_ref[ep])
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    dt = out_ref.dtype
+    kh = k / 2.0
+    u = pk_ref[0, 0, :]
+    v = pk_ref[0, 1, :]
+    wf = pk_ref[0, 2, :]
+    # Mosaic iota is integer-only; cast to the compute dtype after
+    xs = lax.broadcasted_iota(jnp.int32, (Thx, C), 0).astype(dt)
+    CUT = _es((xs - u[None, :]) / kh, beta, k)          # (Thx, C)
+    ys = lax.broadcasted_iota(jnp.int32, (C, Thy), 1).astype(dt)
+    CV = _es((ys - v[:, None]) / kh, beta, k)           # (C, Thy)
+    ps = lax.broadcasted_iota(jnp.int32, (nw, C), 0).astype(dt)
+    CW = _es((ps - wf[None, :]) / kh, beta, k) if nw > 1 else \
+        jnp.ones((nw, C), dt)                           # (nw, C)
+
+    for comp in (0, 1):
+        val = pk_ref[0, 3 + comp, :]
+        s = CW * val[None, :]                           # (nw, C)
+        lhs = CUT[None, :, :] * s[:, None, :]           # (nw, Thx, C)
+        res = lax.dot_general(
+            lhs.reshape(nw * Thx, C), CV,
+            (((1,), (0,)), ((), ())), precision=prec,
+            preferred_element_type=dt)
+        out_ref[comp, :, 0] += res.reshape(nw, Thx, Thy)
+
+
+@partial(jax.jit, static_argnames=("beta", "k", "nw", "ntiles", "Thx",
+                                   "Thy", "C", "interpret", "precision"))
+def _grid_pallas(tid, packed, beta, k, nw, ntiles, Thx, Thy, C,
+                 interpret=False, precision=lax.Precision.HIGHEST):
+    dt = packed.dtype
+    kern = partial(_grid_kernel, k=k, beta=beta, nw=nw, Thx=Thx,
+                   Thy=Thy, C=C, prec=precision)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(packed.shape[0],),
+        in_specs=[pl.BlockSpec((1, 8, C), lambda e, tid: (e, 0, 0))],
+        out_specs=pl.BlockSpec((2, nw, 1, Thx, Thy),
+                               lambda e, tid: (0, 0, tid[e], 0, 0)),
+    )
+    kw = dict(interpret=interpret)
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, nw, ntiles, Thx, Thy), dt),
+        **kw)(tid, packed)
+
+
+@partial(jax.jit, static_argnames=("nvis",))
+def _pack_vis(pos, idx, pm, vr_flat, vi_flat, nvis):
+    """Fill rows 3-4 of the position pack with the masked weighted
+    visibility components, gathered on device."""
+    vr = vr_flat[idx] * pm
+    vi = vi_flat[idx] * pm
+    return pos.at[:, 3, :].set(vr).at[:, 4, :].set(vi)
+
+
+def vis2dirty_pg(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
+                 cellx, celly, epsilon=1e-7, do_wgridding=True,
+                 sigma=2.0, capacity=None, divide_by_n=False,
+                 plan=None, x0=0.0, y0=0.0, interpret=None, **kw):
+    """R.H via the fused Pallas gridder. Semantics identical to
+    ops.wgridder.vis2dirty_wgrid (validated against the DFT oracle).
+    Pass plan=pgrid_plan(...) to amortise binning across calls."""
+    if plan is None:
+        plan = pgrid_plan(uvw, freq, nx=nx, ny=ny, cellx=cellx,
+                          celly=celly, epsilon=epsilon,
+                          do_wgridding=do_wgridding, sigma=sigma,
+                          capacity=capacity or 128, x0=x0, y0=y0)
+    p = plan
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rdtype = p["rdtype"]
+    k, nw, ntx, nty, txs, tys = (p["k"], p["nw"], p["ntx"], p["nty"],
+                                 p["txs"], p["tys"])
+    Thx, Thy = txs + k, tys + k
+
+    w = np.ones(vis.shape, np.float64) if wgt is None else \
+        np.asarray(wgt, np.float64)
+    if mask is not None:
+        w = w * np.asarray(mask)
+    visw = np.asarray(vis) * w
+    if p["x0"] or p["y0"]:
+        visw = visw * _centre_shift_np(p["uvw"], p["freq"], p["x0"],
+                                       p["y0"], +1.0)
+    vr_flat = jnp.asarray(visw.real.ravel().astype(rdtype))
+    vi_flat = jnp.asarray(visw.imag.ravel().astype(rdtype))
+    packed = _pack_vis(p["pos"], p["idx"], p["pm"], vr_flat, vi_flat,
+                       int(p["nrow"]) * int(p["nchan"]))
+
+    Y = _grid_pallas(p["tid"], packed, float(p["beta"]), k, nw, ntx * nty,
+                     Thx, Thy, p["C"], interpret=interpret)
+
+    from pfb_tpu.ops.mmgridder import _fold_tiles
+    X = Y.reshape(2 * nw, ntx, nty, Thx, Thy)
+    folded = _fold_tiles(X, ntx, nty, txs, tys, k, p["Nx"], p["Ny"])
+    grids_r, grids_i = folded[:nw], folded[nw:]
+
+    from pfb_tpu.ops.wgridder import _grid_to_image
+    return _grid_to_image(grids_r, grids_i, p["nx"], p["ny"],
+                          p["cellx"], p["celly"], k, p["beta"],
+                          p["Nx"], p["Ny"], nw > 1, nw, p["w0"],
+                          p["dw"], divide_by_n, p["x0"], p["y0"])
+
+
+@partial(jax.jit, static_argnames=("k", "nw", "ntx", "nty", "txs",
+                                   "tys", "C", "Nx", "Ny", "nvis",
+                                   "precision"))
+def _degrid_all_planes(gr, gi, pos, idx, pm, beta, k, nw, ntx, nty,
+                       txs, tys, C, Nx, Ny, nvis,
+                       precision=lax.Precision.HIGHEST):
+    """Gather twin of the Pallas grid pass with per-uv-tile binning:
+    per entry, slice the tile's full (nw, Thx, Thy) halo'd window from
+    the wrap-padded grids and contract over all planes at once —
+    V_c = sum_p cw[p,c] * sum_xy CU[c,x] G[p,x,y] CV[c,y]."""
+    kh = k / 2.0
+    h = k // 2
+    Thx, Thy = txs + k, tys + k
+    rdtype = gr.dtype
+    xsx = jnp.arange(Thx, dtype=rdtype)
+    xsy = jnp.arange(Thy, dtype=rdtype)
+
+    ger = jnp.pad(gr, ((0, 0), (0, Thx), (0, Thy)), mode="wrap")
+    gei = jnp.pad(gi, ((0, 0), (0, Thx), (0, Thy)), mode="wrap")
+    nentries = pos.shape[0]
+    # tile coordinates recovered from the entry stream order would need
+    # the tid; pass tile starts through pos rows 5-6 instead
+    sx = pos[:, 5, 0].astype(jnp.int32)
+    sy = pos[:, 6, 0].astype(jnp.int32)
+
+    def slice_window(x, y):
+        z = jnp.zeros((), x.dtype)
+        return (lax.dynamic_slice(ger, (z, x, y), (nw, Thx, Thy)),
+                lax.dynamic_slice(gei, (z, x, y), (nw, Thx, Thy)))
+
+    def one(args):
+        pk, x, y = args
+        u, v, wf = pk[0], pk[1], pk[2]
+        br, bi = slice_window(x, y)
+        CU = _es((xsx[None, :] - u[:, None]) / kh, beta, k)  # (C, Thx)
+        CV = _es((xsy[None, :] - v[:, None]) / kh, beta, k)  # (C, Thy)
+        CW = _es((jnp.arange(nw, dtype=rdtype)[:, None] - wf[None, :])
+                 / kh, beta, k) if nw > 1 else jnp.ones((nw, C), rdtype)
+        # T[p, c, y] = sum_x CU[c, x] G[p, x, y]
+        tr = jnp.einsum("cx,pxy->pcy", CU, br, precision=precision)
+        ti = jnp.einsum("cx,pxy->pcy", CU, bi, precision=precision)
+        # V[c] = sum_p CW[p, c] sum_y T[p, c, y] CV[c, y]
+        vr = jnp.sum(jnp.sum(tr * CV[None], axis=-1) * CW, axis=0)
+        vi = jnp.sum(jnp.sum(ti * CV[None], axis=-1) * CW, axis=0)
+        return vr, vi
+
+    accr, acci = lax.map(one, (pos, sx, sy), batch_size=512)
+    fr = jnp.zeros((nvis,), rdtype).at[idx.reshape(-1)].add(
+        (accr * pm).reshape(-1))
+    fi = jnp.zeros((nvis,), rdtype).at[idx.reshape(-1)].add(
+        (acci * pm).reshape(-1))
+    return fr, fi
+
+
+def dirty2vis_pg(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
+                 do_wgridding=True, sigma=2.0, capacity=None,
+                 divide_by_n=False, plan=None, x0=0.0, y0=0.0, **kw):
+    """R via the all-planes degridder (gather twin of vis2dirty_pg).
+    Pass plan=pgrid_plan(...) to amortise binning across calls."""
+    nx, ny = image.shape
+    if plan is None:
+        plan = pgrid_plan(uvw, freq, nx=nx, ny=ny, cellx=cellx,
+                          celly=celly, epsilon=epsilon,
+                          do_wgridding=do_wgridding, sigma=sigma,
+                          capacity=capacity or 128, x0=x0, y0=y0)
+    p = plan
+    k, nw, ntx, nty, txs, tys = (p["k"], p["nw"], p["ntx"], p["nty"],
+                                 p["txs"], p["tys"])
+    if "pos_d" not in p:
+        # degrid-side pack: rows 5-6 carry the window starts
+        h = k // 2
+        tid = np.asarray(p["tid"])
+        ty = tid % nty
+        tx = tid // nty
+        pos = np.asarray(p["pos"]).copy()
+        pos[:, 5, :] = (np.mod(tx * txs - h, p["Nx"]))[:, None]
+        pos[:, 6, :] = (np.mod(ty * tys - h, p["Ny"]))[:, None]
+        p["pos_d"] = jnp.asarray(pos.astype(p["rdtype"]))
+
+    from pfb_tpu.ops.wgridder import _image_to_grid
+    gr, gi = _image_to_grid(
+        jnp.asarray(image).astype(p["rdtype"]), nx, ny, p["cellx"],
+        p["celly"], k, p["beta"], p["Nx"], p["Ny"], nw > 1, nw,
+        p["w0"], p["dw"], divide_by_n, p["x0"], p["y0"], split=True)
+    fr, fi = _degrid_all_planes(
+        gr, gi, p["pos_d"], p["idx"], p["pm"], p["beta"], k, nw, ntx,
+        nty, txs, tys, p["C"], p["Nx"], p["Ny"],
+        int(p["nrow"]) * int(p["nchan"]))
+    out = (np.asarray(fr).astype(np.float64) +
+           1j * np.asarray(fi).astype(np.float64)).reshape(
+               p["nrow"], p["nchan"])
+    if p["x0"] or p["y0"]:
+        out = out * _centre_shift_np(p["uvw"], p["freq"], p["x0"],
+                                     p["y0"], -1.0)
+    return out

@@ -33,17 +33,30 @@ from jax import lax
 from pfb_tpu.ops.dft import LIGHTSPEED, nterm
 
 
-def kernel_params(epsilon):
-    """(support k, beta) for a target accuracy at oversampling 2.0.
+# per-support ES shape parameter and the max relative error it
+# achieves vs the exact-DFT oracle at oversampling sigma=2 with
+# w-gridding on (scripts/calibrate_beta.py). Odd supports land the
+# nearest grid point at |offset| <= 0.5 and gain ~1.5 decades over the
+# adjacent even support, so the ladder uses odd k beyond 4.
+_BETA_TABLE = (
+    (4, 2.40, 1.5e-02),
+    (5, 2.25, 1.6e-04),
+    (7, 2.30, 2.5e-06),
+    (9, 2.25, 4.0e-08),
+    (11, 2.27, 5.0e-10),
+    (13, 2.30, 6.0e-12),
+)
 
-    Calibrated against the DFT oracle (tests/test_wgridder.py): at
-    sigma=2, beta=2.3 the max relative error follows
-    ~10^(-0.73 k + 1.1), so k = (log10(1/eps) + 1.5) / 0.73.
-    """
-    k = int(np.ceil((-np.log10(epsilon) + 1.5) / 0.73))
-    k = max(4, min(18, k))
-    k += k % 2  # even support
-    return k, 2.3
+
+def kernel_params(epsilon):
+    """(support k, beta) for a target accuracy at oversampling 2.0:
+    the smallest calibrated support whose measured oracle error clears
+    the requested epsilon with a 2x margin (the calibration is one
+    random uv case; the margin absorbs case-to-case variation)."""
+    for k, beta, err in _BETA_TABLE:
+        if err <= 0.5 * epsilon:
+            return k, beta
+    return _BETA_TABLE[-1][0], _BETA_TABLE[-1][1]
 
 
 def es_kernel(x, beta, k):
@@ -92,8 +105,9 @@ def _spread(uvw, freq, vis_w, nx, ny, cellx, celly, k, beta, Nx, Ny,
     vr = jnp.pad(vis_w.real, ((0, npad), (0, 0)))
     vi = jnp.pad(vis_w.imag, ((0, npad), (0, 0)))
 
-    ko2 = k // 2
-    offs = jnp.arange(-ko2 + 1, ko2 + 1)  # k offsets around rounded pos
+    ko2 = k / 2.0
+    korig = (k - 1) // 2
+    offs = jnp.arange(-korig, k - korig)  # k offsets around rounded pos
 
     def chunk_fn(carry, args):
         gr, gi = carry
@@ -416,8 +430,9 @@ def _interp(grids, uvw, freq, cellx, celly, k, beta, Nx, Ny, row_chunk,
     nrow = uvw.shape[0]
     nchan = freq.shape[0]
     scale = freq / LIGHTSPEED
-    ko2 = k // 2
-    offs = jnp.arange(-ko2 + 1, ko2 + 1)
+    ko2 = k / 2.0
+    korig = (k - 1) // 2
+    offs = jnp.arange(-korig, k - korig)
 
     nchunk = -(-nrow // row_chunk)
     npad = nchunk * row_chunk - nrow

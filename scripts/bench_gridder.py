@@ -42,18 +42,27 @@ def main():
     ap.add_argument("--capacity", type=int, default=0)
     ap.add_argument("--no-w", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--backend", choices=("mm", "pg"), default="mm")
     ap.add_argument("--check", action="store_true",
                     help="validate vs DFT oracle on a small subset")
     args = ap.parse_args()
 
-    from pfb_tpu.ops.mmgridder import dirty2vis_mm, mm_plan, vis2dirty_mm
+    if args.backend == "pg":
+        from pfb_tpu.ops.pgridder import (dirty2vis_pg as dirty2vis_mm,
+                                          pgrid_plan as mm_plan,
+                                          vis2dirty_pg as vis2dirty_mm)
+    else:
+        from pfb_tpu.ops.mmgridder import (dirty2vis_mm, mm_plan,
+                                           vis2dirty_mm)
 
     uvw, freq, vis, wgt, nx, cell = make_case(args.nrow, args.nchan,
                                               args.nx)
     nvis = args.nrow * args.nchan
     kw = {}
-    if args.tile:
+    if args.tile and args.backend == "mm":
         kw["tile"] = args.tile
+    elif args.tile:
+        kw["tile_u"] = kw["tile_v"] = args.tile
     if args.capacity:
         kw["capacity"] = args.capacity
 
@@ -65,7 +74,8 @@ def main():
     print(f"plan: {t_plan:.2f}s  k={plan['k']} nw={plan['nw']} "
           f"Nx={plan['Nx']} ntx={plan['ntx']} nty={plan['nty']} "
           f"txs={plan['txs']} tys={plan['tys']} C={plan['C']} "
-          f"ntiles={plan['ntiles']} nchunk={plan['nchunk']}", flush=True)
+          f"ntiles={plan.get('ntiles')} "
+          f"nentries={plan.get('nentries')}", flush=True)
 
     # vis2dirty
     img = None
@@ -91,7 +101,7 @@ def main():
     d2v_t = dt
 
     print(json.dumps({
-        "metric": "mm_gridder_Mvis_per_s",
+        "metric": f"{args.backend}_gridder_Mvis_per_s",
         "vis2dirty": round(nvis / v2d_t / 1e6, 3),
         "dirty2vis": round(nvis / d2v_t / 1e6, 3),
         "nvis": nvis, "nx": nx, "epsilon": args.epsilon,

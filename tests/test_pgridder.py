@@ -1,0 +1,78 @@
+"""Fused Pallas ES gridder (interpret mode on CPU) vs the DFT oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pfb_tpu.ops.dft import dirty2vis_dft, vis2dirty_dft
+from pfb_tpu.ops.pgridder import dirty2vis_pg, pgrid_plan, vis2dirty_pg
+from pfb_tpu.utils.simulation import image_size_for, simulate_obs
+
+pmp = pytest.mark.parametrize
+
+
+@pytest.fixture(scope="module")
+def obs():
+    return simulate_obs(nant=7, ntime=6, nchan=2, seed=3)
+
+
+@pmp("do_w", [False, True])
+@pmp("shift", [False, True])
+def test_vis2dirty_pg_matches_dft(obs, do_w, shift):
+    nx, cell = image_size_for(obs, fov_deg=0.2)
+    nx = min(nx, 64)
+    x0, y0 = (1e-3, -2e-3) if shift else (0.0, 0.0)
+    rng = np.random.default_rng(0)
+    nrow, nchan = obs.uvw.shape[0], obs.freq.size
+    vis = rng.normal(size=(nrow, nchan)) + \
+        1j * rng.normal(size=(nrow, nchan))
+    wgt = rng.random((nrow, nchan))
+    ref = np.asarray(vis2dirty_dft(
+        jnp.asarray(obs.uvw), jnp.asarray(obs.freq), jnp.asarray(vis),
+        wgt=jnp.asarray(wgt), nx=nx, ny=nx, cellx=cell, celly=cell,
+        do_wterm=do_w, x0=x0, y0=y0))
+    got = np.asarray(vis2dirty_pg(
+        obs.uvw, obs.freq, vis, wgt=wgt, nx=nx, ny=nx, cellx=cell,
+        celly=cell, epsilon=1e-7, do_wgridding=do_w, x0=x0, y0=y0))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-6
+
+
+@pmp("do_w", [False, True])
+def test_dirty2vis_pg_matches_dft(obs, do_w):
+    nx, cell = image_size_for(obs, fov_deg=0.2)
+    nx = min(nx, 64)
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(nx, nx))
+    ref = np.asarray(dirty2vis_dft(
+        jnp.asarray(obs.uvw), jnp.asarray(obs.freq), jnp.asarray(img),
+        cell, cell, do_wterm=do_w))
+    got = np.asarray(dirty2vis_pg(
+        obs.uvw, obs.freq, jnp.asarray(img), cell, cell, epsilon=1e-7,
+        do_wgridding=do_w))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-6
+
+
+def test_pg_plan_reuse(obs):
+    """A cached pgrid_plan gives identical results for both directions
+    (the plan is what the major cycle amortises across matvecs)."""
+    nx, cell = image_size_for(obs, fov_deg=0.2)
+    nx = min(nx, 64)
+    rng = np.random.default_rng(5)
+    nrow, nchan = obs.uvw.shape[0], obs.freq.size
+    vis = rng.normal(size=(nrow, nchan)) + \
+        1j * rng.normal(size=(nrow, nchan))
+    img = rng.normal(size=(nx, nx))
+    plan = pgrid_plan(obs.uvw, obs.freq, nx=nx, ny=nx, cellx=cell,
+                      celly=cell, epsilon=1e-7, do_wgridding=True)
+    a = np.asarray(vis2dirty_pg(obs.uvw, obs.freq, vis, nx=nx, ny=nx,
+                                cellx=cell, celly=cell, plan=plan))
+    b = np.asarray(vis2dirty_pg(obs.uvw, obs.freq, vis, nx=nx, ny=nx,
+                                cellx=cell, celly=cell, epsilon=1e-7,
+                                do_wgridding=True))
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)
+    va = np.asarray(dirty2vis_pg(obs.uvw, obs.freq, jnp.asarray(img),
+                                 cell, cell, plan=plan))
+    vb = np.asarray(dirty2vis_pg(obs.uvw, obs.freq, jnp.asarray(img),
+                                 cell, cell, epsilon=1e-7,
+                                 do_wgridding=True))
+    np.testing.assert_allclose(va, vb, rtol=0, atol=0)
