@@ -171,7 +171,10 @@ def vis2dirty_dft(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
                           preferred_element_type=rdtype)
         return carry + acc, None
 
-    dirty0 = jnp.zeros((nx * ny,), rdtype)
+    # derive the carry init from the data so it inherits any varying
+    # manual axes when this runs inside shard_map (scan requires carry
+    # in/out VMA types to match)
+    dirty0 = jnp.zeros((nx * ny,), rdtype) + wv.reshape(-1)[0] * 0
     dirty, _ = lax.scan(chunk_fn, dirty0,
                         (uvw_p.reshape(nchunk, row_chunk, 3),
                          wv.reshape(nchunk, row_chunk, nchan),

@@ -21,11 +21,12 @@ This module fuses the whole pass into ONE Pallas kernel:
 - every uv tile gets at least one (possibly all-padding) entry so
   every output block is written: no donated-zeros aliasing tricks.
 
-Output layout (2, nw, ntiles, Thx, Thy) feeds the quadrant fold
-(overlap-add of tile halos, reused from ops.mmgridder._fold_tiles)
-without any transpose. Semantics identical to ducc0
-vis2dirty/dirty2vis (reference pfb/operators/gridder.py:10), validated
-against the exact-DFT oracle.
+The full adjoint (pack -> spread -> tile fold -> w-plane iFFTs -> grid
+corrections) and forward (grid -> gather/contract -> vis) run as ONE
+jitted program each — a single dispatch over the remote runtime, no
+host round trips; `make_hessian_pg` chains them into a device-resident
+R.H W R. Semantics identical to ducc0 vis2dirty/dirty2vis (reference
+pfb/operators/gridder.py:10), validated against the exact-DFT oracle.
 """
 
 from functools import partial
@@ -37,10 +38,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pfb_tpu.ops.dft import LIGHTSPEED, nterm
-from pfb_tpu.ops.mmgridder import (_bin_to_tiles, _centre_shift_np,
+from pfb_tpu.ops.dft import LIGHTSPEED
+from pfb_tpu.ops.mmgridder import (_bin_to_tiles, _fold_tiles,
                                    _pad_tiles, _tile_geometry)
-from pfb_tpu.ops.wgridder import (_es_kernel_ft, _grid_setup, _w_params,
+from pfb_tpu.ops.wgridder import (_grid_setup, _grid_to_image,
+                                  _image_to_grid, _w_params,
                                   kernel_params)
 
 
@@ -116,27 +118,31 @@ def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # honours jax_enable_x64
 
-    # (nentries, 8, C) position pack: rows 0-2 = u, v, w; rows 3-4 are
-    # filled with the weighted vis components per call; 5-7 pad the
-    # sublane dim to the f32 (8, 128) tile
+    # (nentries, 8, C) position pack: rows 0-2 = tile-local u, v and
+    # fractional w-plane coordinate; rows 5-6 = the tile's wrap-padded
+    # window start (degrid side); 3-4/7 pad the sublane dim to the f32
+    # (8, 128) tile
     pos = np.zeros((nentries, 8, C), np.float64)
     pos[:, 0] = pu_loc
     pos[:, 1] = pv_loc
     pos[:, 2] = pw
+    pos[:, 5] = (np.mod(tx * txs - h, Nx))[:, None]
+    pos[:, 6] = (np.mod(ty * tys - h, Ny))[:, None]
     return dict(
-        k=k, beta=beta, Nx=Nx, Ny=Ny, nw=nw, w0=w0, dw=dw, ntx=ntx,
-        nty=nty, txs=txs, tys=tys, C=C, nentries=nentries,
+        k=k, beta=float(beta), Nx=Nx, Ny=Ny, nw=nw, w0=w0, dw=dw,
+        ntx=ntx, nty=nty, txs=txs, tys=tys, C=C, nentries=nentries,
         rdtype=dtype, nx=nx, ny=ny, cellx=cellx, celly=celly, x0=x0,
-        y0=y0, uvw=uvw_np, freq=freq_np, nrow=uvw_np.shape[0],
-        nchan=freq_np.shape[0],
+        y0=y0, nrow=uvw_np.shape[0], nchan=freq_np.shape[0],
         pos=jnp.asarray(pos.astype(dtype)),
         tid=jnp.asarray(utid.astype(np.int32)),
         idx=jnp.asarray(idx.astype(np.int32)),
-        pm=jnp.asarray(pmask.astype(dtype)))
+        pm=jnp.asarray(pmask.astype(dtype)),
+        uvw_d=jnp.asarray(uvw_np.astype(dtype)),
+        freq_d=jnp.asarray(freq_np.astype(dtype)))
 
 
-def _grid_kernel(tid_ref, pk_ref, out_ref, *, k, beta, nw, Thx, Thy,
-                 C, prec):
+def _grid_kernel(tid_ref, pk_ref, vis_ref, out_ref, *, k, beta, nw,
+                 Thx, Thy, C, prec):
     e = pl.program_id(0)
     ep = jnp.maximum(e - 1, 0)
     first = jnp.logical_or(e == 0, tid_ref[e] != tid_ref[ep])
@@ -160,7 +166,7 @@ def _grid_kernel(tid_ref, pk_ref, out_ref, *, k, beta, nw, Thx, Thy,
         jnp.ones((nw, C), dt)                           # (nw, C)
 
     for comp in (0, 1):
-        val = pk_ref[0, 3 + comp, :]
+        val = vis_ref[0, comp, :]
         s = CW * val[None, :]                           # (nw, C)
         lhs = CUT[None, :, :] * s[:, None, :]           # (nw, Thx, C)
         res = lax.dot_general(
@@ -170,17 +176,16 @@ def _grid_kernel(tid_ref, pk_ref, out_ref, *, k, beta, nw, Thx, Thy,
         out_ref[comp, :, 0] += res.reshape(nw, Thx, Thy)
 
 
-@partial(jax.jit, static_argnames=("beta", "k", "nw", "ntiles", "Thx",
-                                   "Thy", "C", "interpret", "precision"))
-def _grid_pallas(tid, packed, beta, k, nw, ntiles, Thx, Thy, C,
+def _grid_pallas(tid, pos, vispack, beta, k, nw, ntiles, Thx, Thy, C,
                  interpret=False, precision=lax.Precision.HIGHEST):
-    dt = packed.dtype
+    dt = vispack.dtype
     kern = partial(_grid_kernel, k=k, beta=beta, nw=nw, Thx=Thx,
                    Thy=Thy, C=C, prec=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(packed.shape[0],),
-        in_specs=[pl.BlockSpec((1, 8, C), lambda e, tid: (e, 0, 0))],
+        grid=(pos.shape[0],),
+        in_specs=[pl.BlockSpec((1, 8, C), lambda e, tid: (e, 0, 0)),
+                  pl.BlockSpec((1, 2, C), lambda e, tid: (e, 0, 0))],
         out_specs=pl.BlockSpec((2, nw, 1, Thx, Thy),
                                lambda e, tid: (0, 0, tid[e], 0, 0)),
     )
@@ -191,16 +196,56 @@ def _grid_pallas(tid, packed, beta, k, nw, ntiles, Thx, Thy, C,
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, nw, ntiles, Thx, Thy), dt),
-        **kw)(tid, packed)
+        **kw)(tid, pos, vispack)
 
 
-@partial(jax.jit, static_argnames=("nvis",))
-def _pack_vis(pos, idx, pm, vr_flat, vi_flat, nvis):
-    """Fill rows 3-4 of the position pack with the masked weighted
-    visibility components, gathered on device."""
-    vr = vr_flat[idx] * pm
-    vi = vi_flat[idx] * pm
-    return pos.at[:, 3, :].set(vr).at[:, 4, :].set(vi)
+def _shift_phases(uvw, freq, x0, y0):
+    """cos/sin of the centre-shift phase per (row, chan)."""
+    scale = freq / LIGHTSPEED
+    ph = (uvw[:, 0:1] * x0 + uvw[:, 1:2] * y0) * scale[None, :]
+    ph = 2.0 * jnp.pi * (ph - jnp.round(ph))
+    return jnp.cos(ph), jnp.sin(ph)
+
+
+@partial(jax.jit, static_argnames=(
+    "beta", "k", "nw", "ntx", "nty", "txs", "tys", "C", "Nx", "Ny",
+    "nx", "ny", "cellx", "celly", "w0", "dw", "x0", "y0",
+    "divide_by_n", "interpret", "precision"))
+def _pg_adjoint(vr, vi, wflat, tid, pos, idx, pm, uvw, freq, *, beta,
+                k, nw, ntx, nty, txs, tys, C, Nx, Ny, nx, ny, cellx,
+                celly, w0, dw, x0, y0, divide_by_n, interpret,
+                precision=lax.Precision.HIGHEST):
+    """The WHOLE adjoint as one XLA program: weight+shift the vis
+    components, gather-pack per tile entry, Pallas spread, tile fold,
+    w-plane iFFTs and grid corrections."""
+    Thx, Thy = txs + k, tys + k
+    if x0 or y0:
+        cs, sn = _shift_phases(uvw, freq, x0, y0)
+        vr, vi = vr * cs - vi * sn, vr * sn + vi * cs
+    if wflat is not None:
+        vr = vr * wflat
+        vi = vi * wflat
+    vr, vi = vr.reshape(-1), vi.reshape(-1)
+    vispack = jnp.stack([vr[idx] * pm, vi[idx] * pm], axis=1)
+
+    Y = _grid_pallas(tid, pos, vispack, beta, k, nw, ntx * nty, Thx,
+                     Thy, C, interpret=interpret, precision=precision)
+    folded = _fold_tiles(Y.reshape(2 * nw, ntx, nty, Thx, Thy), ntx,
+                         nty, txs, tys, k, Nx, Ny)
+    return _grid_to_image(folded[:nw], folded[nw:], nx, ny, cellx,
+                          celly, k, beta, Nx, Ny, nw > 1, nw, w0, dw,
+                          divide_by_n, x0, y0)
+
+
+def _adjoint_from_plan(p, vr, vi, wflat, interpret):
+    return _pg_adjoint(
+        vr, vi, wflat, p["tid"], p["pos"], p["idx"], p["pm"],
+        p["uvw_d"], p["freq_d"], beta=p["beta"], k=p["k"], nw=p["nw"],
+        ntx=p["ntx"], nty=p["nty"], txs=p["txs"], tys=p["tys"],
+        C=p["C"], Nx=p["Nx"], Ny=p["Ny"], nx=p["nx"], ny=p["ny"],
+        cellx=p["cellx"], celly=p["celly"], w0=float(p["w0"]),
+        dw=float(p["dw"]), x0=p["x0"], y0=p["y0"], divide_by_n=False,
+        interpret=interpret)
 
 
 def vis2dirty_pg(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
@@ -219,72 +264,52 @@ def vis2dirty_pg(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     rdtype = p["rdtype"]
-    k, nw, ntx, nty, txs, tys = (p["k"], p["nw"], p["ntx"], p["nty"],
-                                 p["txs"], p["tys"])
-    Thx, Thy = txs + k, tys + k
 
-    w = np.ones(vis.shape, np.float64) if wgt is None else \
-        np.asarray(wgt, np.float64)
+    w = None
+    if wgt is not None:
+        w = jnp.asarray(np.asarray(wgt).astype(rdtype))
     if mask is not None:
-        w = w * np.asarray(mask)
-    visw = np.asarray(vis) * w
-    if p["x0"] or p["y0"]:
-        visw = visw * _centre_shift_np(p["uvw"], p["freq"], p["x0"],
-                                       p["y0"], +1.0)
-    vr_flat = jnp.asarray(visw.real.ravel().astype(rdtype))
-    vi_flat = jnp.asarray(visw.imag.ravel().astype(rdtype))
-    packed = _pack_vis(p["pos"], p["idx"], p["pm"], vr_flat, vi_flat,
-                       int(p["nrow"]) * int(p["nchan"]))
-
-    Y = _grid_pallas(p["tid"], packed, float(p["beta"]), k, nw, ntx * nty,
-                     Thx, Thy, p["C"], interpret=interpret)
-
-    from pfb_tpu.ops.mmgridder import _fold_tiles
-    X = Y.reshape(2 * nw, ntx, nty, Thx, Thy)
-    folded = _fold_tiles(X, ntx, nty, txs, tys, k, p["Nx"], p["Ny"])
-    grids_r, grids_i = folded[:nw], folded[nw:]
-
-    from pfb_tpu.ops.wgridder import _grid_to_image
-    return _grid_to_image(grids_r, grids_i, p["nx"], p["ny"],
-                          p["cellx"], p["celly"], k, p["beta"],
-                          p["Nx"], p["Ny"], nw > 1, nw, p["w0"],
-                          p["dw"], divide_by_n, p["x0"], p["y0"])
+        m = jnp.asarray(np.asarray(mask).astype(rdtype))
+        w = m if w is None else w * m
+    vis = np.asarray(vis)
+    vr = jnp.asarray(vis.real.astype(rdtype))
+    vi = jnp.asarray(vis.imag.astype(rdtype))
+    return _adjoint_from_plan(p, vr, vi, w, interpret)
 
 
-@partial(jax.jit, static_argnames=("k", "nw", "ntx", "nty", "txs",
-                                   "tys", "C", "Nx", "Ny", "nvis",
-                                   "precision"))
-def _degrid_all_planes(gr, gi, pos, idx, pm, beta, k, nw, ntx, nty,
-                       txs, tys, C, Nx, Ny, nvis,
-                       precision=lax.Precision.HIGHEST):
-    """Gather twin of the Pallas grid pass with per-uv-tile binning:
-    per entry, slice the tile's full (nw, Thx, Thy) halo'd window from
-    the wrap-padded grids and contract over all planes at once —
-    V_c = sum_p cw[p,c] * sum_xy CU[c,x] G[p,x,y] CV[c,y]."""
+@partial(jax.jit, static_argnames=(
+    "beta", "k", "nw", "txs", "tys", "C", "Nx", "Ny", "nx", "ny",
+    "cellx", "celly", "w0", "dw", "x0", "y0", "divide_by_n", "nvis",
+    "precision"))
+def _pg_forward(image, pos, idx, pm, uvw, freq, *, beta, k, nw, txs,
+                tys, C, Nx, Ny, nx, ny, cellx, celly, w0, dw, x0, y0,
+                divide_by_n, nvis, precision=lax.Precision.HIGHEST):
+    """The WHOLE forward (degrid) as one XLA program: grid corrections
+    + per-w-plane FFTs, then per tile entry slice the full (nw, Thx,
+    Thy) halo'd window from the wrap-padded grids and contract over all
+    planes at once — V_c = sum_p cw[p,c] sum_xy CU[c,x] G[p,x,y]
+    CV[c,y] — and scatter back to (nrow, nchan) components."""
     kh = k / 2.0
-    h = k // 2
     Thx, Thy = txs + k, tys + k
-    rdtype = gr.dtype
+    rdtype = image.dtype
+
+    gr, gi = _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx,
+                            Ny, nw > 1, nw, w0, dw, divide_by_n, x0,
+                            y0, split=True)
+
     xsx = jnp.arange(Thx, dtype=rdtype)
     xsy = jnp.arange(Thy, dtype=rdtype)
-
     ger = jnp.pad(gr, ((0, 0), (0, Thx), (0, Thy)), mode="wrap")
     gei = jnp.pad(gi, ((0, 0), (0, Thx), (0, Thy)), mode="wrap")
-    nentries = pos.shape[0]
-    # tile coordinates recovered from the entry stream order would need
-    # the tid; pass tile starts through pos rows 5-6 instead
     sx = pos[:, 5, 0].astype(jnp.int32)
     sy = pos[:, 6, 0].astype(jnp.int32)
-
-    def slice_window(x, y):
-        z = jnp.zeros((), x.dtype)
-        return (lax.dynamic_slice(ger, (z, x, y), (nw, Thx, Thy)),
-                lax.dynamic_slice(gei, (z, x, y), (nw, Thx, Thy)))
 
     def one(args):
         pk, x, y = args
         u, v, wf = pk[0], pk[1], pk[2]
-        br, bi = slice_window(x, y)
+        z = jnp.zeros((), x.dtype)
+        br = lax.dynamic_slice(ger, (z, x, y), (nw, Thx, Thy))
+        bi = lax.dynamic_slice(gei, (z, x, y), (nw, Thx, Thy))
         CU = _es((xsx[None, :] - u[:, None]) / kh, beta, k)  # (C, Thx)
         CV = _es((xsy[None, :] - v[:, None]) / kh, beta, k)  # (C, Thy)
         CW = _es((jnp.arange(nw, dtype=rdtype)[:, None] - wf[None, :])
@@ -293,23 +318,44 @@ def _degrid_all_planes(gr, gi, pos, idx, pm, beta, k, nw, ntx, nty,
         tr = jnp.einsum("cx,pxy->pcy", CU, br, precision=precision)
         ti = jnp.einsum("cx,pxy->pcy", CU, bi, precision=precision)
         # V[c] = sum_p CW[p, c] sum_y T[p, c, y] CV[c, y]
-        vr = jnp.sum(jnp.sum(tr * CV[None], axis=-1) * CW, axis=0)
-        vi = jnp.sum(jnp.sum(ti * CV[None], axis=-1) * CW, axis=0)
-        return vr, vi
+        fr = jnp.sum(jnp.sum(tr * CV[None], axis=-1) * CW, axis=0)
+        fi = jnp.sum(jnp.sum(ti * CV[None], axis=-1) * CW, axis=0)
+        return fr, fi
 
     accr, acci = lax.map(one, (pos, sx, sy), batch_size=512)
     fr = jnp.zeros((nvis,), rdtype).at[idx.reshape(-1)].add(
         (accr * pm).reshape(-1))
     fi = jnp.zeros((nvis,), rdtype).at[idx.reshape(-1)].add(
         (acci * pm).reshape(-1))
+    nchan = freq.shape[0]
+    fr = fr.reshape(-1, nchan)
+    fi = fi.reshape(-1, nchan)
+    if x0 or y0:
+        cs, sn = _shift_phases(uvw, freq, x0, y0)
+        fr, fi = fr * cs + fi * sn, fi * cs - fr * sn
     return fr, fi
+
+
+def _forward_from_plan(p, image):
+    return _pg_forward(
+        image, p["pos"], p["idx"], p["pm"], p["uvw_d"], p["freq_d"],
+        beta=p["beta"], k=p["k"], nw=p["nw"], txs=p["txs"],
+        tys=p["tys"], C=p["C"], Nx=p["Nx"], Ny=p["Ny"], nx=p["nx"],
+        ny=p["ny"], cellx=p["cellx"], celly=p["celly"],
+        w0=float(p["w0"]), dw=float(p["dw"]), x0=p["x0"], y0=p["y0"],
+        divide_by_n=False,
+        nvis=int(p["nrow"]) * int(p["nchan"]))
 
 
 def dirty2vis_pg(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
                  do_wgridding=True, sigma=2.0, capacity=None,
-                 divide_by_n=False, plan=None, x0=0.0, y0=0.0, **kw):
+                 divide_by_n=False, plan=None, x0=0.0, y0=0.0,
+                 split=False, **kw):
     """R via the all-planes degridder (gather twin of vis2dirty_pg).
-    Pass plan=pgrid_plan(...) to amortise binning across calls."""
+    Pass plan=pgrid_plan(...) to amortise binning across calls;
+    split=True returns device-resident (real, imag) components
+    (complex device->host transfer is unsupported on some TPU
+    runtimes)."""
     nx, ny = image.shape
     if plan is None:
         plan = pgrid_plan(uvw, freq, nx=nx, ny=ny, cellx=cellx,
@@ -317,32 +363,32 @@ def dirty2vis_pg(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
                           do_wgridding=do_wgridding, sigma=sigma,
                           capacity=capacity or 128, x0=x0, y0=y0)
     p = plan
-    k, nw, ntx, nty, txs, tys = (p["k"], p["nw"], p["ntx"], p["nty"],
-                                 p["txs"], p["tys"])
-    if "pos_d" not in p:
-        # degrid-side pack: rows 5-6 carry the window starts
-        h = k // 2
-        tid = np.asarray(p["tid"])
-        ty = tid % nty
-        tx = tid // nty
-        pos = np.asarray(p["pos"]).copy()
-        pos[:, 5, :] = (np.mod(tx * txs - h, p["Nx"]))[:, None]
-        pos[:, 6, :] = (np.mod(ty * tys - h, p["Ny"]))[:, None]
-        p["pos_d"] = jnp.asarray(pos.astype(p["rdtype"]))
+    fr, fi = _forward_from_plan(
+        p, jnp.asarray(image).astype(p["rdtype"]))
+    if split:
+        return fr, fi
+    return (np.asarray(fr).astype(np.float64) +
+            1j * np.asarray(fi).astype(np.float64))
 
-    from pfb_tpu.ops.wgridder import _image_to_grid
-    gr, gi = _image_to_grid(
-        jnp.asarray(image).astype(p["rdtype"]), nx, ny, p["cellx"],
-        p["celly"], k, p["beta"], p["Nx"], p["Ny"], nw > 1, nw,
-        p["w0"], p["dw"], divide_by_n, p["x0"], p["y0"], split=True)
-    fr, fi = _degrid_all_planes(
-        gr, gi, p["pos_d"], p["idx"], p["pm"], p["beta"], k, nw, ntx,
-        nty, txs, tys, p["C"], p["Nx"], p["Ny"],
-        int(p["nrow"]) * int(p["nchan"]))
-    out = (np.asarray(fr).astype(np.float64) +
-           1j * np.asarray(fi).astype(np.float64)).reshape(
-               p["nrow"], p["nchan"])
-    if p["x0"] or p["y0"]:
-        out = out * _centre_shift_np(p["uvw"], p["freq"], p["x0"],
-                                     p["y0"], -1.0)
-    return out
+
+def make_hessian_pg(plan, wgt=None, mask=None):
+    """Device-resident R.H W R for one dataset through the Pallas
+    gridder: x -> vis2dirty(wgt * dirty2vis(x)), one jitted program,
+    nothing leaves the device between major iterations (the exact
+    residual of reference hessian.py:62-106 with divide_by_n=False).
+    """
+    p = plan
+    rdtype = p["rdtype"]
+    w = None
+    if wgt is not None:
+        w = jnp.asarray(np.asarray(wgt).astype(rdtype))
+    if mask is not None:
+        m = jnp.asarray(np.asarray(mask).astype(rdtype))
+        w = m if w is None else w * m
+    interpret = jax.default_backend() != "tpu"
+
+    def matvec(x):
+        fr, fi = _forward_from_plan(p, x.astype(rdtype))
+        return _adjoint_from_plan(p, fr, fi, w, interpret)
+
+    return matvec

@@ -151,13 +151,22 @@ def _dual_update_dist(vp, v, lam, sigma, weight):
 
 
 def primal_dual_dist(mesh, psi, lastsize, nu=None, tol=1e-5, maxit=500,
-                     positivity=1, gamma=1.0):
-    """Band-sharded primal-dual backward step.
+                     positivity=1, gamma=1.0, rmsfactor=1.0, alpha=4.0,
+                     maxreweight=50):
+    """Band-sharded primal-dual backward step with the single-device
+    solver's reweight-on-converge restart (opt/primal_dual.py:86-93):
+    when the relative change drops below tol and reweighting is enabled,
+    the l1 weights are refreshed from the psum'd MFS coefficients and
+    iteration continues.
 
     Returns a jitted function
-        f(x, v, data, psfhat, l1weight, lam, L) -> (x, v)
+        f(x, v, data, psfhat, l1weight, lam, L, rms_comps, do_reweight)
+            -> (x, v, l1weight, niters)
     with x, data (nband, nx, ny) and v (nband, nbasis, Nymax, Nxmax)
-    sharded over 'band'; l1weight replicated; lam, L scalars.
+    sharded over 'band'; l1weight and rms_comps
+    (nbasis, Nymax, Nxmax) replicated; lam, L scalars; do_reweight a
+    traced bool so one compiled program serves both phases of the
+    major cycle.
     """
     from pfb_tpu.ops.psi import psi_dot, psi_hdot
     from pfb_tpu.opt.primal_dual import apply_positivity
@@ -168,7 +177,8 @@ def primal_dual_dist(mesh, psi, lastsize, nu=None, tol=1e-5, maxit=500,
     coeff = P("band", None, None, None)
     wspec = P(None, None, None)
 
-    def local(x, v, data, psfhat, l1weight, lam, L):
+    def local(x, v, data, psfhat, l1weight, lam, L, rms_comps,
+              do_reweight):
         sigma = L / (2.0 * gamma) / nu
         tau = 0.9 / (L / (2.0 * gamma) + sigma * nu**2)
 
@@ -178,27 +188,161 @@ def primal_dual_dist(mesh, psi, lastsize, nu=None, tol=1e-5, maxit=500,
         def gnorm_sq(a):
             return lax.psum(jnp.sum(a * a), "band")
 
+        def reweight(xl):
+            # l1reweight_func with the band sum psum'd over the shards
+            # (reference utils/misc.py:1070-1080)
+            mfs = lax.psum(jnp.sum(psi_dot(xl, psi), axis=0), "band")
+            mcomps = jnp.abs(mfs)
+            return (1 + rmsfactor) / \
+                (1 + mcomps**alpha / rms_comps**alpha)
+
         def cond(state):
-            xp, vp, eps, k = state
-            return (eps > tol) & (k < maxit)
+            xp, vp, w, nrw, eps, done, k = state
+            return (~done) & (k < maxit)
 
         def body(state):
-            xp, vp, eps, k = state
+            xp, vp, w, nrw, eps, done, k = state
             vnew = _dual_update_dist(vp, psi_dot(xp, psi), lam, sigma,
-                                     l1weight)
+                                     w)
             xout = psi_hdot(2.0 * vnew - vp, psi) + grad(xp)
             xnew = apply_positivity(xp - tau * xout, positivity)
             num = gnorm_sq(xnew - xp)
             den = 1e-12 + gnorm_sq(xnew)
             eps = jnp.sqrt(num / den)
-            return xnew, vnew, eps, k + 1
+            converged = eps < tol
+            do_rw = converged & do_reweight & (nrw < maxreweight)
+            w = lax.cond(do_rw, lambda: reweight(xnew), lambda: w)
+            nrw = nrw + do_rw.astype(nrw.dtype)
+            done = converged & ~do_rw
+            return xnew, vnew, w, nrw, eps, done, k + 1
 
         dt = jnp.result_type(x.dtype, jnp.float32)
-        state0 = (x, v, jnp.asarray(1.0, dt), jnp.asarray(0, jnp.int32))
-        xf, vf, eps, k = lax.while_loop(cond, body, state0)
-        return xf, vf
+        state0 = (x, v, l1weight, jnp.asarray(0, jnp.int32),
+                  jnp.asarray(1.0, dt), jnp.asarray(False),
+                  jnp.asarray(0, jnp.int32))
+        xf, vf, wf, nrw, eps, done, k = lax.while_loop(cond, body,
+                                                       state0)
+        return xf, vf, wf, k[None]
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(cube, coeff, cube, cube, wspec, P(), P()),
-                   out_specs=(cube, coeff))
+                   in_specs=(cube, coeff, cube, cube, wspec, P(), P(),
+                             wspec, P()),
+                   out_specs=(cube, coeff, wspec, P(None)))
+
+    @jax.jit
+    def run(x, v, data, psfhat, l1weight, lam, L, rms_comps=None,
+            do_reweight=False):
+        if rms_comps is None:
+            rms_comps = jnp.ones_like(l1weight)
+        xf, vf, wf, k = fn(x, v, data, psfhat, l1weight, lam, L,
+                           rms_comps, jnp.asarray(do_reweight))
+        return xf, vf, wf, k[0]
+
+    return run
+
+
+def coeff_rms_dist(mesh, psi, pix_per_beam):
+    """Coefficient-space rms of a weighted residual cube with the MFS
+    band-sum psum'd across shards — the distributed twin of the
+    coeff_rms closure in workers/spotless.py (reference
+    spotless.py:213-223). `bandw` carries the per-band wsum/wsums
+    weighting (zero for empty bands), sharded with the cube."""
+    from pfb_tpu.ops.psi import psi_dot
+
+    cube = P("band", None, None)
+
+    def local(resid, bandw):
+        tmp = resid * bandw[:, None, None] / pix_per_beam
+        coeffs = psi_dot(tmp, psi)
+        mfs = lax.psum(jnp.sum(coeffs, axis=0), "band")
+        return jnp.std(mfs, axis=(-1, -2))
+
+    fn = shard_map(local, mesh=mesh, in_specs=(cube, P("band")),
+                   out_specs=P(None))
     return jax.jit(fn)
+
+
+def make_hessian_dds_dist(mesh, dds, nband, wsum, nx, ny,
+                          sigmainv=0.0):
+    """Band-sharded exact vis-space Hessian over datasets: the
+    distributed twin of ops.gridder.hessian_dds (reference
+    hessian.py:11-59 reduced per band on its own worker,
+    spotless.py:429-667 design intent).
+
+    Host-side prep stacks every band's datasets into
+    (nband, ndata, ...) arrays (row/data padding carries zero
+    weight+mask); the returned jitted matvec shard_maps over 'band'
+    and runs the exact-DFT R.H W R per local band with NO
+    communication — big cubes stay put.
+    """
+    from pfb_tpu.ops.dft import dirty2vis_dft, vis2dirty_dft
+    from pfb_tpu.ops.gridder import row_bucket
+
+    by_band = [[] for _ in range(nband)]
+    for ds in dds:
+        by_band[ds["bandid"]].append(ds)
+    ndata = max(len(g) for g in by_band)
+    R = row_bucket(max(ds["UVW"].shape[0] for ds in dds))
+    nchan = dds[0]["FREQ"].shape[0]
+    cell = float(dds[0]["cell_rad"])
+    x0 = float(dds[0].get("x0", 0.0))
+    y0 = float(dds[0].get("y0", 0.0))
+    for ds in dds:
+        assert ds["FREQ"].shape[0] == nchan, "ragged nchan"
+        assert float(ds["cell_rad"]) == cell
+
+    import numpy as np
+    uvw = np.zeros((nband, ndata, R, 3))
+    frq = np.ones((nband, ndata, nchan))
+    wgt = np.zeros((nband, ndata, R, nchan))
+    msk = np.zeros((nband, ndata, R, nchan))
+    for b, group in enumerate(by_band):
+        for d, ds in enumerate(group):
+            nr = ds["UVW"].shape[0]
+            uvw[b, d, :nr] = ds["UVW"]
+            frq[b, d] = ds["FREQ"]
+            wgt[b, d, :nr] = ds["WEIGHT"]
+            msk[b, d, :nr] = ds["MASK"]
+
+    cube = P("band", None, None)
+    dspec4 = P("band", None, None, None)
+
+    def local(x, uvw_l, frq_l, wgt_l, msk_l):
+        def one_band(x_b, uvw_b, frq_b, wgt_b, msk_b):
+            def one_ds(acc, args):
+                u, f, w, m = args
+                mvis = dirty2vis_dft(u, f, x_b, cell, cell, x0=x0,
+                                     y0=y0)
+                conv = vis2dirty_dft(u, f, mvis * m, wgt=w, mask=m,
+                                     nx=nx, ny=ny, cellx=cell,
+                                     celly=cell, x0=x0, y0=y0)
+                return acc + conv, None
+            out, _ = lax.scan(one_ds, jnp.zeros_like(x_b),
+                              (uvw_b, frq_b, wgt_b, msk_b))
+            return out
+
+        conv = jax.vmap(one_band)(x, uvw_l, frq_l, wgt_l, msk_l)
+        out = conv / wsum
+        if sigmainv:
+            out = out + x * sigmainv**2
+        return out
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(cube, dspec4, P("band", None, None),
+                             dspec4, dspec4),
+                   out_specs=cube)
+
+    from pfb_tpu.parallel.mesh import band_sharding
+    sh4 = jax.NamedSharding(mesh, dspec4)
+    sh3 = jax.NamedSharding(mesh, P("band", None, None))
+    args = (jax.device_put(jnp.asarray(uvw), sh4),
+            jax.device_put(jnp.asarray(frq), sh3),
+            jax.device_put(jnp.asarray(wgt), sh4),
+            jax.device_put(jnp.asarray(msk), sh4))
+
+    jfn = jax.jit(fn)
+
+    def matvec(x):
+        return jfn(x, *args)
+
+    return matvec

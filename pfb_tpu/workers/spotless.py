@@ -110,7 +110,12 @@ def _spotless(ddsi=None, output_filename=None, product="I",
     if dual is None or dual.shape[1] != nbasis:
         dual = np.zeros((nband, nbasis, psi.Nymax, psi.Nxmax),
                         dirty.dtype)
-    l1weight = jnp.ones((nbasis, psi.Nymax, psi.Nxmax), dirty.dtype)
+    if "L1WEIGHT" in dds[0]:  # resume (reference spotless.py:536-546)
+        l1weight = jnp.asarray(np.asarray(dds[0]["L1WEIGHT"],
+                                          dirty.dtype))
+    else:
+        l1weight = jnp.ones((nbasis, psi.Nymax, psi.Nxmax),
+                            dirty.dtype)
 
     rms = np.std(residual_mfs)
     rmax = np.abs(residual_mfs).max()
@@ -181,6 +186,8 @@ def _spotless(ddsi=None, output_filename=None, product="I",
                           "MODEL": model[b],
                           "DUAL": dual_np[b],
                           "MODEL_BEST": best_model[b]}
+                if i == 0:
+                    arrays["L1WEIGHT"] = np.asarray(l1weight)
                 attrs = {"niters": k + 1, "best_rms": float(best_rms),
                          "best_rmax": float(best_rmax),
                          "parametrisation": "id"}
@@ -210,3 +217,197 @@ def _spotless(ddsi=None, output_filename=None, product="I",
             dds2fits(dds, "MODEL", base, norm_wsum=False)
 
     return model, residual
+
+
+def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
+                   product="I", suffix="main", nband=None, niter=5,
+                   tol=5e-4, rmsfactor=1.0, init_factor=0.5, gamma=1.0,
+                   bases="self,db1,db2", nlevels=3, l1reweight_from=5,
+                   alpha=4.0, hessnorm=None, pm_tol=1e-5, pm_maxit=100,
+                   pd_tol=1e-5, pd_maxit=500, positivity=1,
+                   epsilon=1e-7, write=True, verbose=1, **kw):
+    """Mesh-resident spotless major cycle: the realisation of the
+    reference's distributed design intent (pfb/workers/spotless.py:
+    429-667, commented out upstream) as ONE SPMD program family.
+
+    Band-sharded DIRTY/MODEL/DUAL/RESIDUAL cubes stay device-resident
+    across major iterations; the PSF-Hessian data step, the primal-dual
+    backward step (with in-loop l1-reweight restart), the coefficient
+    rms and the exact vis-space residual all run under shard_map over
+    the 'band' mesh axis, communicating only through psums of scalars
+    and (nbasis, Nymax, Nxmax) coefficient band-sums. L1WEIGHT is
+    persisted for resume (reference spotless.py:536-546).
+    """
+    import jax
+    import jax.numpy as jnp
+    from pfb_tpu.parallel.dist import (coeff_rms_dist, hessian_psf_dist,
+                                       make_hessian_dds_dist,
+                                       power_method_dist,
+                                       primal_dual_dist)
+    from pfb_tpu.parallel.mesh import (band_sharding, coeff_sharding,
+                                       make_mesh, replicated)
+
+    dds_name = None
+    if ddsi is None:
+        dds_name = f"{output_filename}_{product.upper()}_{suffix}.dds"
+        dds = dstore.read_store(dds_name)
+    else:
+        dds = ddsi
+        if output_filename is not None:
+            dds_name = f"{output_filename}_{product.upper()}_{suffix}.dds"
+            if not dstore.store_exists(dds_name):
+                dstore.write_store(dds_name, dds)
+
+    freqs_out = np.unique([ds["freq_out"] for ds in dds])
+    nband = freqs_out.size if nband is None else nband
+    nx, ny = dds[0]["DIRTY"].shape
+    ny_psf = dds[0]["PSF"].shape[-1]
+
+    if mesh is None:
+        mesh = make_mesh(nspace=1)
+    nb_mesh = mesh.shape["band"]
+    assert nband % nb_mesh == 0, \
+        f"nband {nband} not divisible by mesh band axis {nb_mesh}"
+
+    dirty, model, residual, psf, psfhat, beam, wsums, dual = dds2cubes(
+        dds, nband, apparent=False)
+    wsum = wsums.sum()
+    psf_mfs = psf.sum(axis=0)
+    if residual is None:
+        residual = dirty.copy()
+    iter0 = int(dds[0].get("niters", 0))
+
+    bands = band_sharding(mesh)
+    coeffs = coeff_sharding(mesh)
+    repl = replicated(mesh)
+    bandv = jax.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("band"))
+
+    dirty_d = jax.device_put(jnp.asarray(dirty), bands)
+    model_d = jax.device_put(jnp.asarray(model), bands)
+    resid_d = jax.device_put(jnp.asarray(residual), bands)
+    psfhat_d = jax.device_put(jnp.asarray(psfhat), bands)
+
+    psf_convolve = hessian_psf_dist(mesh, ny_psf)
+    if hessnorm is None:
+        pm = power_method_dist(mesh, ny_psf, tol=pm_tol,
+                               maxit=pm_maxit)
+        b0 = jax.device_put(
+            jnp.asarray(np.random.default_rng(42).normal(
+                size=(nband, nx, ny)).astype(dirty.dtype)), bands)
+        beta, _ = pm(b0, psfhat_d)
+        hessnorm = float(beta) * 1.05  # reference spotless.py:193
+    if verbose:
+        log.info(f"spotless-dist: hessnorm = {hessnorm:.3e}")
+
+    bases_t = tuple(bases.split(","))
+    nbasis = len(bases_t)
+    psi = make_psi(nx, ny, bases_t, nlevels)
+
+    GaussPar = fitcleanbeam(psf_mfs[None], level=0.5, pixsize=1.0)[0]
+    pix_per_beam = GaussPar[0] * GaussPar[1] * np.pi / 4
+
+    # per-band wsum weighting for the coefficient rms
+    fsel = wsums > 0
+    bandw = np.ones(nband, dirty.dtype)  # empty bands pass through
+    bandw[fsel] = wsum / wsums[fsel]
+    bandw_d = jax.device_put(jnp.asarray(bandw), bandv)
+    coeff_rms = coeff_rms_dist(mesh, psi, pix_per_beam)
+    rms_comps = np.asarray(coeff_rms(resid_d, bandw_d))[:, None, None]
+
+    if dual is None or dual.shape[1] != nbasis:
+        dual = np.zeros((nband, nbasis, psi.Nymax, psi.Nxmax),
+                        dirty.dtype)
+    dual_d = jax.device_put(jnp.asarray(dual), coeffs)
+    if "L1WEIGHT" in dds[0]:
+        l1weight = np.asarray(dds[0]["L1WEIGHT"], dirty.dtype)
+    else:
+        l1weight = np.ones((nbasis, psi.Nymax, psi.Nxmax), dirty.dtype)
+    l1w_d = jax.device_put(jnp.asarray(l1weight), repl)
+
+    pd = primal_dual_dist(mesh, psi, ny_psf, nu=nbasis, tol=pd_tol,
+                          maxit=pd_maxit, positivity=positivity,
+                          gamma=gamma, rmsfactor=rmsfactor, alpha=alpha)
+    hess_exact = make_hessian_dds_dist(mesh, dds, nband, wsum, nx, ny)
+
+    residual_mfs = np.asarray(jnp.sum(resid_d, axis=0))
+    rms = np.std(residual_mfs)
+    rmax = np.abs(residual_mfs).max()
+    best_rms, best_rmax = rms, rmax
+    best_model = np.asarray(model_d)
+    diverge_count = 0
+    if verbose:
+        log.info(f"spotless-dist iter {iter0}: peak residual = "
+                 f"{rmax:.3e}, rms = {rms:.3e}")
+
+    for k in range(iter0, iter0 + niter):
+        modelp = np.asarray(model_d)
+        data = resid_d + psf_convolve(model_d, psfhat_d)
+
+        rf = init_factor * rmsfactor if k == iter0 else rmsfactor
+        do_rw = k + 1 - iter0 >= l1reweight_from
+        rms_comps_d = jax.device_put(
+            jnp.asarray(rms_comps[:, 0, 0][:, None, None] *
+                        np.ones((1, psi.Nymax, psi.Nxmax),
+                                dirty.dtype)), repl) if do_rw else None
+
+        model_d, dual_d, l1w_d, pd_iters = pd(
+            model_d, dual_d, data, psfhat_d, l1w_d,
+            jnp.asarray(rf * rms, dirty.dtype),
+            jnp.asarray(hessnorm, dirty.dtype),
+            rms_comps=rms_comps_d, do_reweight=do_rw)
+
+        conv = hess_exact(model_d)
+        resid_d = dirty_d - conv
+        residual_mfs = np.asarray(jnp.sum(resid_d, axis=0))
+
+        rmsp = rms
+        rms = np.std(residual_mfs)
+        rmax = np.abs(residual_mfs).max()
+        model = np.asarray(model_d)
+        eps = np.linalg.norm(model - modelp) / np.linalg.norm(model)
+        if rms < best_rms:
+            best_rms, best_rmax = rms, rmax
+            best_model = model.copy()
+
+        if verbose:
+            log.info(f"spotless-dist iter {k + 1}: peak residual = "
+                     f"{rmax:.3e}, rms = {rms:.3e}, eps = {eps:.3e} "
+                     f"(pd iters {int(pd_iters)})")
+
+        if do_rw:
+            rms_comps = np.asarray(coeff_rms(resid_d,
+                                             bandw_d))[:, None, None]
+
+        if write and dds_name is not None:
+            dual_np = np.asarray(dual_d)
+            residual = np.asarray(resid_d)
+            l1w_np = np.asarray(l1w_d)
+            for i, ds in enumerate(dds):
+                b = ds["bandid"]
+                arrays = {"RESIDUAL": residual[b] * wsum,
+                          "MODEL": model[b],
+                          "DUAL": dual_np[b],
+                          "MODEL_BEST": best_model[b]}
+                if i == 0:
+                    arrays["L1WEIGHT"] = l1w_np
+                attrs = {"niters": k + 1, "best_rms": float(best_rms),
+                         "best_rmax": float(best_rmax),
+                         "parametrisation": "id"}
+                dstore.update_ds(dds_name, i, arrays, attrs)
+                ds.update(arrays)
+                ds.update(attrs)
+
+        if eps < tol:
+            if verbose:
+                log.info(f"spotless-dist: converged after {k + 1} "
+                         "iterations")
+            break
+        if rms > rmsp:
+            diverge_count += 1
+            if diverge_count > 3:
+                log.info("spotless-dist: algorithm diverging, "
+                         "terminating")
+                break
+
+    return np.asarray(model_d), np.asarray(resid_d)

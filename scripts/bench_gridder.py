@@ -17,6 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache (remote TPU compiles cost minutes)
+os.makedirs("/root/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 
 def make_case(nrow=125_000, nchan=8, nx=1024, seed=0):
     rng = np.random.default_rng(seed)
@@ -100,10 +105,49 @@ def main():
               flush=True)
     d2v_t = dt
 
+    # device-resident paths (pg): what a major cycle actually pays —
+    # vis components and model stay on device, no host round trips
+    dev = {}
+    if args.backend == "pg":
+        from pfb_tpu.ops.pgridder import (_adjoint_from_plan,
+                                          _forward_from_plan,
+                                          make_hessian_pg)
+        rdtype = plan["rdtype"]
+        vr = jnp.asarray((vis.real * wgt).astype(rdtype))
+        vi = jnp.asarray((vis.imag * wgt).astype(rdtype))
+        float(jnp.sum(vr) + jnp.sum(vi))
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            d = _adjoint_from_plan(plan, vr, vi, None, False)
+            float(jnp.sum(d))
+            dt = time.perf_counter() - t0
+            print(f"adjoint(dev) rep{r}: {dt:.3f}s  "
+                  f"{nvis/dt/1e6:.2f} Mvis/s", flush=True)
+        dev["adjoint_dev"] = round(nvis / dt / 1e6, 3)
+        x = jnp.asarray(image.astype(rdtype))
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            fr, fi = _forward_from_plan(plan, x)
+            float(jnp.sum(fr) + jnp.sum(fi))
+            dt = time.perf_counter() - t0
+            print(f"forward(dev) rep{r}: {dt:.3f}s  "
+                  f"{nvis/dt/1e6:.2f} Mvis/s", flush=True)
+        dev["forward_dev"] = round(nvis / dt / 1e6, 3)
+        hess = make_hessian_pg(plan, wgt=wgt)
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            hx = hess(x)
+            float(jnp.sum(hx))
+            dt = time.perf_counter() - t0
+            print(f"hessian rep{r}: {dt:.3f}s  "
+                  f"{nvis/dt/1e6:.2f} Mvis/s RT", flush=True)
+        dev["hessian_rt"] = round(nvis / dt / 1e6, 3)
+
     print(json.dumps({
         "metric": f"{args.backend}_gridder_Mvis_per_s",
         "vis2dirty": round(nvis / v2d_t / 1e6, 3),
         "dirty2vis": round(nvis / d2v_t / 1e6, 3),
+        **dev,
         "nvis": nvis, "nx": nx, "epsilon": args.epsilon,
         "wgridding": not args.no_w}))
 

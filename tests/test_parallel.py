@@ -134,10 +134,11 @@ def test_primal_dual_dist_matches_local(mesh8):
         mesh8, jax.sharding.PartitionSpec("band", None, None, None))
     pd = primal_dual_dist(mesh8, psi, lastsize, nu=nbasis, tol=1e-7,
                           maxit=300, positivity=1)
-    x_dist, v_dist = pd(jax.device_put(x0, sh), jax.device_put(v0, csh),
-                        jax.device_put(data, sh),
-                        jax.device_put(jnp.asarray(psfhat), sh),
-                        w, jnp.asarray(lam), jnp.asarray(L))
+    x_dist, v_dist, _, _ = pd(
+        jax.device_put(x0, sh), jax.device_put(v0, csh),
+        jax.device_put(data, sh),
+        jax.device_put(jnp.asarray(psfhat), sh),
+        w, jnp.asarray(lam), jnp.asarray(L))
     assert_allclose(np.asarray(x_dist), np.asarray(x_local),
                     rtol=1e-8, atol=1e-10)
     assert_allclose(np.asarray(v_dist), np.asarray(v_local),
