@@ -156,6 +156,157 @@ def hessian_slice(x, uvw, freq, wgt, mask, cellx, celly, x0=0.0, y0=0.0,
     return conv
 
 
+def stack_dds(dds, nband, use_beam=True, mask_image=None):
+    """Stack per-band dataset lists into dense (nband, ndata, ...)
+    arrays for batched/scanned Hessian evaluation. Padding datasets and
+    rows carry zero weight+mask so they contribute nothing; every
+    dataset must share nchan and cell size (one compiled program)."""
+    by_band = [[] for _ in range(nband)]
+    for ds in dds:
+        by_band[ds["bandid"]].append(ds)
+    ndata = max(len(g) for g in by_band)
+    R = row_bucket(max(ds["UVW"].shape[0] for ds in dds))
+    nchan = dds[0]["FREQ"].shape[0]
+    cell = float(dds[0]["cell_rad"])
+    x0 = float(dds[0].get("x0", 0.0))
+    y0 = float(dds[0].get("y0", 0.0))
+    for ds in dds:
+        assert ds["FREQ"].shape[0] == nchan, "ragged nchan"
+        assert float(ds["cell_rad"]) == cell, "mixed cell sizes"
+
+    uvw = np.zeros((nband, ndata, R, 3))
+    frq = np.ones((nband, ndata, nchan))
+    wgt = np.zeros((nband, ndata, R, nchan))
+    msk = np.zeros((nband, ndata, R, nchan))
+    beam = None
+    has_beam = use_beam and any("BEAM" in ds for ds in dds)
+    if has_beam or mask_image is not None:
+        nx, ny = dds[0]["DIRTY"].shape if "DIRTY" in dds[0] else \
+            mask_image.shape
+        beam = np.ones((nband, ndata, nx, ny))
+    for b, group in enumerate(by_band):
+        for d, ds in enumerate(group):
+            nr = ds["UVW"].shape[0]
+            uvw[b, d, :nr] = ds["UVW"]
+            frq[b, d] = ds["FREQ"]
+            wgt[b, d, :nr] = ds["WEIGHT"]
+            msk[b, d, :nr] = ds["MASK"]
+            if beam is not None:
+                bm = ds["BEAM"] if (use_beam and "BEAM" in ds) else 1.0
+                if mask_image is not None:
+                    bm = bm * mask_image
+                beam[b, d] = bm
+    return dict(uvw=uvw, freq=frq, wgt=wgt, mask=msk, beam=beam,
+                cell=cell, x0=x0, y0=y0, ndata=ndata, R=R,
+                nchan=nchan)
+
+
+def _hessian_stacked_local(x, uvw, frq, wgt, msk, beam, *, cell, x0,
+                           y0, nx, ny):
+    """R.H W R per band over stacked datasets: vmap over the band axis,
+    scan over the dataset axis (exact DFT)."""
+    def one_band(x_b, uvw_b, frq_b, wgt_b, msk_b, beam_b):
+        def one_ds(acc, args):
+            u, f, w, m, bm = args
+            xin = x_b * bm if bm is not None else x_b
+            mvis = dirty2vis_dft(u, f, xin, cell, cell, x0=x0, y0=y0)
+            conv = vis2dirty_dft(u, f, mvis * m, wgt=w, mask=m, nx=nx,
+                                 ny=ny, cellx=cell, celly=cell, x0=x0,
+                                 y0=y0)
+            if bm is not None:
+                conv = conv * bm
+            return acc + conv, None
+        xs = (uvw_b, frq_b, wgt_b, msk_b)
+        if beam_b is not None:
+            out, _ = jax.lax.scan(
+                lambda a, s: one_ds(a, s), jnp.zeros_like(x_b),
+                xs + (beam_b,))
+        else:
+            out, _ = jax.lax.scan(
+                lambda a, s: one_ds(a, s + (None,)),
+                jnp.zeros_like(x_b), xs)
+        return out
+
+    if beam is not None:
+        return jax.vmap(one_band)(x, uvw, frq, wgt, msk, beam)
+    return jax.vmap(lambda *a: one_band(*a, None))(x, uvw, frq, wgt,
+                                                   msk)
+
+
+def make_hessian_dds(dds, nband, wsum, nx, ny, sigmainv=0.0,
+                     mask_image=None, use_beam=True, backend="dft",
+                     epsilon=1e-7, do_wgridding=True):
+    """Build the exact-residual operator ONCE: a single compiled
+    program (dft) or a chain of fused per-dataset programs (pg), reused
+    across major iterations — replaces the per-call Python loop of
+    :func:`hessian_dds` (reference pfb/operators/hessian.py:11-59).
+    """
+    if backend == "pg":
+        from pfb_tpu.ops.pgridder import make_hessian_pg, pgrid_plan
+        per_ds = []
+        for ds in dds:
+            plan = pgrid_plan(
+                np.asarray(ds["UVW"]), np.asarray(ds["FREQ"]), nx=nx,
+                ny=ny, cellx=float(ds["cell_rad"]),
+                celly=float(ds["cell_rad"]), epsilon=epsilon,
+                do_wgridding=do_wgridding,
+                x0=float(ds.get("x0", 0.0)),
+                y0=float(ds.get("y0", 0.0)))
+            beam = None
+            if use_beam and "BEAM" in ds:
+                beam = jnp.asarray(np.asarray(ds["BEAM"]))
+            if mask_image is not None:
+                mi = jnp.asarray(mask_image)
+                beam = mi if beam is None else beam * mi
+            per_ds.append((ds["bandid"], beam,
+                           make_hessian_pg(plan, wgt=ds["WEIGHT"],
+                                           mask=ds["MASK"])))
+
+        def matvec_pg(x):
+            conv = [jnp.zeros_like(x[0]) for _ in range(nband)]
+            for b, beam, h in per_ds:
+                if beam is None:
+                    conv[b] = conv[b] + h(x[b])
+                else:
+                    conv[b] = conv[b] + beam * h(beam * x[b])
+            out = jnp.stack(conv) / wsum
+            if sigmainv:
+                out = out + x * sigmainv**2
+            return out
+
+        return matvec_pg
+
+    if backend != "dft":
+        def matvec_loop(x):
+            return hessian_dds(x, dds, wsum, sigmainv=sigmainv,
+                               mask_image=mask_image, use_beam=use_beam,
+                               backend=backend)
+        return matvec_loop
+
+    st = stack_dds(dds, nband, use_beam=use_beam,
+                   mask_image=mask_image)
+    kern = partial(_hessian_stacked_local, cell=st["cell"],
+                   x0=st["x0"], y0=st["y0"], nx=nx, ny=ny)
+    args = [jnp.asarray(st["uvw"]), jnp.asarray(st["freq"]),
+            jnp.asarray(st["wgt"]), jnp.asarray(st["mask"])]
+    has_beam = st["beam"] is not None
+    if has_beam:
+        args.append(jnp.asarray(st["beam"]))
+
+    @jax.jit
+    def matvec_dft(x, *a):
+        conv = kern(x, *a) if has_beam else kern(x, *a, None)
+        out = conv / wsum
+        if sigmainv:
+            out = out + x * sigmainv**2
+        return out
+
+    def matvec(x):
+        return matvec_dft(x, *args)
+
+    return matvec
+
+
 def hessian_dds(x, dds, wsum, sigmainv=0.0, mask_image=None,
                 use_beam=True, backend="dft"):
     """Vis-space Hessian reduced over datasets: the exact residual

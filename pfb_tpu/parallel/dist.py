@@ -263,82 +263,51 @@ def coeff_rms_dist(mesh, psi, pix_per_beam):
 
 
 def make_hessian_dds_dist(mesh, dds, nband, wsum, nx, ny,
-                          sigmainv=0.0):
+                          sigmainv=0.0, use_beam=True,
+                          mask_image=None):
     """Band-sharded exact vis-space Hessian over datasets: the
-    distributed twin of ops.gridder.hessian_dds (reference
+    distributed twin of ops.gridder.make_hessian_dds (reference
     hessian.py:11-59 reduced per band on its own worker,
     spotless.py:429-667 design intent).
 
     Host-side prep stacks every band's datasets into
     (nband, ndata, ...) arrays (row/data padding carries zero
-    weight+mask); the returned jitted matvec shard_maps over 'band'
-    and runs the exact-DFT R.H W R per local band with NO
-    communication — big cubes stay put.
+    weight+mask, see ops.gridder.stack_dds); the returned jitted matvec
+    shard_maps over 'band' and runs the exact-DFT R.H W R per local
+    band with NO communication — big cubes stay put.
     """
-    from pfb_tpu.ops.dft import dirty2vis_dft, vis2dirty_dft
-    from pfb_tpu.ops.gridder import row_bucket
+    from pfb_tpu.ops.gridder import (_hessian_stacked_local, stack_dds)
 
-    by_band = [[] for _ in range(nband)]
-    for ds in dds:
-        by_band[ds["bandid"]].append(ds)
-    ndata = max(len(g) for g in by_band)
-    R = row_bucket(max(ds["UVW"].shape[0] for ds in dds))
-    nchan = dds[0]["FREQ"].shape[0]
-    cell = float(dds[0]["cell_rad"])
-    x0 = float(dds[0].get("x0", 0.0))
-    y0 = float(dds[0].get("y0", 0.0))
-    for ds in dds:
-        assert ds["FREQ"].shape[0] == nchan, "ragged nchan"
-        assert float(ds["cell_rad"]) == cell
-
-    import numpy as np
-    uvw = np.zeros((nband, ndata, R, 3))
-    frq = np.ones((nband, ndata, nchan))
-    wgt = np.zeros((nband, ndata, R, nchan))
-    msk = np.zeros((nband, ndata, R, nchan))
-    for b, group in enumerate(by_band):
-        for d, ds in enumerate(group):
-            nr = ds["UVW"].shape[0]
-            uvw[b, d, :nr] = ds["UVW"]
-            frq[b, d] = ds["FREQ"]
-            wgt[b, d, :nr] = ds["WEIGHT"]
-            msk[b, d, :nr] = ds["MASK"]
+    st = stack_dds(dds, nband, use_beam=use_beam,
+                   mask_image=mask_image)
+    has_beam = st["beam"] is not None
+    kern = partial(_hessian_stacked_local, cell=st["cell"],
+                   x0=st["x0"], y0=st["y0"], nx=nx, ny=ny)
 
     cube = P("band", None, None)
     dspec4 = P("band", None, None, None)
 
-    def local(x, uvw_l, frq_l, wgt_l, msk_l):
-        def one_band(x_b, uvw_b, frq_b, wgt_b, msk_b):
-            def one_ds(acc, args):
-                u, f, w, m = args
-                mvis = dirty2vis_dft(u, f, x_b, cell, cell, x0=x0,
-                                     y0=y0)
-                conv = vis2dirty_dft(u, f, mvis * m, wgt=w, mask=m,
-                                     nx=nx, ny=ny, cellx=cell,
-                                     celly=cell, x0=x0, y0=y0)
-                return acc + conv, None
-            out, _ = lax.scan(one_ds, jnp.zeros_like(x_b),
-                              (uvw_b, frq_b, wgt_b, msk_b))
-            return out
-
-        conv = jax.vmap(one_band)(x, uvw_l, frq_l, wgt_l, msk_l)
+    def local(x, *a):
+        conv = kern(x, *a) if has_beam else kern(x, *a, None)
         out = conv / wsum
         if sigmainv:
             out = out + x * sigmainv**2
         return out
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(cube, dspec4, P("band", None, None),
-                             dspec4, dspec4),
+    in_specs = (cube, dspec4, P("band", None, None), dspec4, dspec4)
+    if has_beam:
+        in_specs = in_specs + (dspec4,)
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs,
                    out_specs=cube)
 
-    from pfb_tpu.parallel.mesh import band_sharding
     sh4 = jax.NamedSharding(mesh, dspec4)
     sh3 = jax.NamedSharding(mesh, P("band", None, None))
-    args = (jax.device_put(jnp.asarray(uvw), sh4),
-            jax.device_put(jnp.asarray(frq), sh3),
-            jax.device_put(jnp.asarray(wgt), sh4),
-            jax.device_put(jnp.asarray(msk), sh4))
+    args = [jax.device_put(jnp.asarray(st["uvw"]), sh4),
+            jax.device_put(jnp.asarray(st["freq"]), sh3),
+            jax.device_put(jnp.asarray(st["wgt"]), sh4),
+            jax.device_put(jnp.asarray(st["mask"]), sh4)]
+    if has_beam:
+        args.append(jax.device_put(jnp.asarray(st["beam"]), sh4))
 
     jfn = jax.jit(fn)
 

@@ -10,7 +10,7 @@ revert on failure).
 import numpy as np
 
 from pfb_tpu.config import to_device
-from pfb_tpu.ops.gridder import hessian_dds
+from pfb_tpu.ops.gridder import make_hessian_dds
 from pfb_tpu.ops.psf import hessian_psf_cube
 from pfb_tpu.opt.pcg import pcg, pcg_bands
 from pfb_tpu.utils import dstore
@@ -51,9 +51,12 @@ def _fluxmop(ddsi=None, output_filename=None, product="I",
     nx, ny = dirty.shape[-2:]
     lastsize = dds[0]["PSF"].shape[-1]
 
+    # exact-residual operator built once (one compiled program)
+    hess0 = make_hessian_dds(dds, nband, wsum, nx, ny, use_beam=False,
+                             backend=backend, epsilon=epsilon)
+
     def hess_exact(m):
-        return np.asarray(hessian_dds(jnp.asarray(m), dds, wsum,
-                                      use_beam=False, backend=backend))
+        return np.asarray(hess0(jnp.asarray(m)))
 
     # mask handling (reference fluxmop.py:126-156)
     if mask is None:
@@ -82,11 +85,10 @@ def _fluxmop(ddsi=None, output_filename=None, product="I",
                                       minit=cg_minit,
                                       backtrack=backtrack))
     else:
-        def A(x):
-            out = hessian_dds(x, dds, wsum, sigmainv=np.sqrt(sigmainv),
-                              mask_image=jnp.asarray(mask_im),
-                              use_beam=False, backend=backend)
-            return out
+        A = make_hessian_dds(dds, nband, wsum, nx, ny,
+                             sigmainv=np.sqrt(sigmainv),
+                             mask_image=mask_im, use_beam=False,
+                             backend=backend, epsilon=epsilon)
 
         update = np.asarray(pcg(A, b, tol=cg_tol, maxit=cg_maxit,
                                 minit=cg_minit, backtrack=backtrack))

@@ -27,7 +27,7 @@ from functools import partial
 import numpy as np
 
 from pfb_tpu.config import to_device
-from pfb_tpu.ops.gridder import hessian_dds
+from pfb_tpu.ops.gridder import make_hessian_dds
 from pfb_tpu.ops.psf import make_psf_convolve
 from pfb_tpu.ops.psi import make_psi, psi_dot, psi_hdot
 from pfb_tpu.opt.pcg import pcg
@@ -106,6 +106,10 @@ def _fwdbwd(ddsi=None, output_filename=None, product="I",
     if residual is None:
         residual = dirty.copy()
     nx, ny = dirty.shape[-2:]
+
+    # exact-residual operator built once (one compiled program)
+    hess = make_hessian_dds(dds, nband, wsum, nx, ny, use_beam=False,
+                            backend=backend)
     lastsize = dds[0]["PSF"].shape[-1]
 
     psf_convolve = make_psf_convolve(to_device(psfhat), lastsize)
@@ -135,9 +139,7 @@ def _fwdbwd(ddsi=None, output_filename=None, product="I",
     elif model.any() and not restart:
         x = np.asarray(finv(jnp.asarray(model)))
         model = np.asarray(func(jnp.asarray(x)))
-        residual = dirty - np.asarray(hessian_dds(
-            jnp.asarray(model), dds, wsum, use_beam=False,
-            backend=backend))
+        residual = dirty - np.asarray(hess(jnp.asarray(model)))
     else:
         x = np.zeros_like(dirty)
         model = np.asarray(func(jnp.asarray(x)))
@@ -204,9 +206,7 @@ def _fwdbwd(ddsi=None, output_filename=None, product="I",
             x = np.asarray(xp + gamma * delx)
 
         model = np.asarray(func(jnp.asarray(x)))
-        residual = dirty - np.asarray(hessian_dds(
-            jnp.asarray(model), dds, wsum, use_beam=False,
-            backend=backend))
+        residual = dirty - np.asarray(hess(jnp.asarray(model)))
         residual_mfs = residual.sum(axis=0)
         rms = np.std(residual_mfs)
         rmax = np.abs(residual_mfs).max()

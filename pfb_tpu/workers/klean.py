@@ -11,7 +11,7 @@ checkpoint/resume (resumes from the stored ``niters``).
 import numpy as np
 
 from pfb_tpu.deconv.clark import clark
-from pfb_tpu.ops.gridder import hessian_dds
+from pfb_tpu.ops.gridder import make_hessian_dds
 from pfb_tpu.opt.pcg import pcg_psf
 from pfb_tpu.utils import dstore
 from pfb_tpu.utils.logging import get_logger
@@ -76,6 +76,11 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
     psf_j = jnp.asarray(psf)
     wsums_j = jnp.asarray(wsums / wsum)
 
+    # exact-residual operator built once: one compiled program reused
+    # across major iterations (reference klean.py:175-178)
+    hess = make_hessian_dds(dds, nband, wsum, nx, ny, use_beam=False,
+                            backend=backend)
+
     if verbose:
         log.info(f"klean iter {iter0}: peak residual = {rmax:.3e}, "
               f"rms = {rms:.3e}")
@@ -92,8 +97,7 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
         model = model + np.asarray(x)
 
         # exact residual (reference klean.py:267-272)
-        conv = np.asarray(hessian_dds(jnp.asarray(model), dds, wsum,
-                                      use_beam=False, backend=backend))
+        conv = np.asarray(hess(jnp.asarray(model)))
         residual = dirty - conv
         residual_mfs = residual.sum(axis=0)
 
@@ -132,9 +136,7 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
                         minit=cg_minit, backtrack=backtrack)
             model = model + mop_gamma * np.asarray(x)
 
-            conv = np.asarray(hessian_dds(jnp.asarray(model), dds, wsum,
-                                          use_beam=False,
-                                          backend=backend))
+            conv = np.asarray(hess(jnp.asarray(model)))
             residual = dirty - conv
             residual_mfs = residual.sum(axis=0)
             rmsp = rms

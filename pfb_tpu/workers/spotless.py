@@ -11,7 +11,7 @@ from functools import partial
 
 import numpy as np
 
-from pfb_tpu.ops.gridder import hessian_dds
+from pfb_tpu.ops.gridder import make_hessian_dds
 from pfb_tpu.ops.psf import make_psf_convolve
 from pfb_tpu.ops.psi import make_psi, psi_dot, psi_hdot
 from pfb_tpu.opt.power_method import power_method
@@ -126,6 +126,11 @@ def _spotless(ddsi=None, output_filename=None, product="I",
         log.info(f"spotless iter {iter0}: peak residual = {rmax:.3e}, "
               f"rms = {rms:.3e}")
 
+    # exact-residual operator built once (one compiled program reused
+    # across major iterations; reference spotless.py:186-190)
+    hess = make_hessian_dds(dds, nband, wsum, nx, ny, use_beam=False,
+                            backend=backend)
+
     dual_j = jnp.asarray(dual)
     for k in range(iter0, iter0 + niter):
         modelp = model.copy()
@@ -157,8 +162,7 @@ def _spotless(ddsi=None, output_filename=None, product="I",
             gamma=gamma)
         model = np.asarray(model_j)
 
-        conv = np.asarray(hessian_dds(model_j, dds, wsum,
-                                      use_beam=False, backend=backend))
+        conv = np.asarray(hess(model_j))
         residual = dirty - conv
         residual_mfs = residual.sum(axis=0)
 
@@ -328,7 +332,8 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
     pd = primal_dual_dist(mesh, psi, ny_psf, nu=nbasis, tol=pd_tol,
                           maxit=pd_maxit, positivity=positivity,
                           gamma=gamma, rmsfactor=rmsfactor, alpha=alpha)
-    hess_exact = make_hessian_dds_dist(mesh, dds, nband, wsum, nx, ny)
+    hess_exact = make_hessian_dds_dist(mesh, dds, nband, wsum, nx, ny,
+                                       use_beam=False)
 
     residual_mfs = np.asarray(jnp.sum(resid_d, axis=0))
     rms = np.std(residual_mfs)
