@@ -70,12 +70,25 @@ def _frac_cycles(a, s):
     return (p - jnp.round(p)) + e
 
 
-@partial(jax.jit, static_argnames=("nx", "ny", "do_wterm", "row_chunk",
-                                   "divide_by_n", "x0", "y0"))
 def dirty2vis_dft(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
                   nx=None, ny=None, do_wterm=True, divide_by_n=False,
-                  row_chunk=128):
-    """R: (nx, ny) image -> (nrow, nchan) complex visibilities."""
+                  row_chunk=128, split=False):
+    """R: (nx, ny) image -> (nrow, nchan) complex visibilities.
+    split=True returns (real, imag) device arrays — use on TPU
+    runtimes where complex device<->host transfer is unsupported."""
+    vr, vi = _dirty2vis_impl(uvw, freq, image, cellx, celly, x0=x0,
+                             y0=y0, do_wterm=do_wterm,
+                             divide_by_n=divide_by_n,
+                             row_chunk=row_chunk)
+    if split:
+        return vr, vi
+    return vr + 1j * vi
+
+
+@partial(jax.jit, static_argnames=("do_wterm", "row_chunk",
+                                   "divide_by_n", "x0", "y0"))
+def _dirty2vis_impl(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
+                    do_wterm=True, divide_by_n=False, row_chunk=128):
     nx, ny = image.shape
     dtype = image.dtype
     ll, mm = _lm_grid(nx, ny, cellx, celly, x0, y0, dtype)
@@ -114,19 +127,39 @@ def dirty2vis_dft(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
         phase = (-2.0 * jnp.pi) * (cyc - jnp.round(cyc))
         vr = jnp.cos(phase) @ img_flat
         vi = jnp.sin(phase) @ img_flat
-        return vr + 1j * vi
+        return vr, vi
 
-    vis = lax.map(chunk_fn, uvw_p.reshape(nchunk, row_chunk, 3))
-    return vis.reshape(nchunk * row_chunk, nchan)[:nrow]
+    vr, vi = lax.map(chunk_fn, uvw_p.reshape(nchunk, row_chunk, 3))
+    return (vr.reshape(nchunk * row_chunk, nchan)[:nrow],
+            vi.reshape(nchunk * row_chunk, nchan)[:nrow])
+
+
+def vis2dirty_dft(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
+                  cellx, celly, x0=0.0, y0=0.0, do_wterm=True,
+                  divide_by_n=False, row_chunk=128):
+    """R.H: (nrow, nchan) visibilities -> (nx, ny) dirty image.
+    ``vis`` may be complex or a (real, imag) tuple; host numpy complex
+    is split host-side so no complex array ever crosses to the device
+    (unsupported on some TPU runtimes)."""
+    if isinstance(vis, (tuple, list)):
+        vr, vi = vis
+    elif isinstance(vis, np.ndarray):
+        vr = np.ascontiguousarray(vis.real)
+        vi = np.ascontiguousarray(vis.imag)
+    else:
+        vr, vi = vis.real, vis.imag
+    return _vis2dirty_impl(uvw, freq, vr, vi, wgt, mask, nx=nx, ny=ny,
+                           cellx=cellx, celly=celly, x0=x0, y0=y0,
+                           do_wterm=do_wterm, divide_by_n=divide_by_n,
+                           row_chunk=row_chunk)
 
 
 @partial(jax.jit, static_argnames=("nx", "ny", "do_wterm", "row_chunk",
                                    "divide_by_n", "x0", "y0"))
-def vis2dirty_dft(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
-                  cellx, celly, x0=0.0, y0=0.0, do_wterm=True,
-                  divide_by_n=False, row_chunk=128):
-    """R.H: (nrow, nchan) visibilities -> (nx, ny) dirty image."""
-    rdtype = jnp.finfo(vis.dtype).dtype
+def _vis2dirty_impl(uvw, freq, vr, vi, wgt=None, mask=None, *, nx, ny,
+                    cellx, celly, x0=0.0, y0=0.0, do_wterm=True,
+                    divide_by_n=False, row_chunk=128):
+    rdtype = jnp.finfo(jnp.result_type(vr)).dtype
     ll, mm = _lm_grid(nx, ny, cellx, celly, x0, y0, rdtype)
     nm1 = nterm(ll, mm)
     lmn = jnp.stack([ll.reshape(-1), mm.reshape(-1), nm1.reshape(-1)])
@@ -141,8 +174,8 @@ def vis2dirty_dft(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     nchunk = _row_chunks(nrow, row_chunk)
     npad = nchunk * row_chunk - nrow
     uvw_p = jnp.pad(uvw, ((0, npad), (0, 0)))
-    wv = jnp.pad(w * vis.real, ((0, npad), (0, 0)))
-    wi = jnp.pad(w * vis.imag, ((0, npad), (0, 0)))
+    wv = jnp.pad(w * vr, ((0, npad), (0, 0)))
+    wi = jnp.pad(w * vi, ((0, npad), (0, 0)))
     scale = (freq / LIGHTSPEED).astype(rdtype)
 
     sx = (jnp.arange(nx, dtype=rdtype) - nx // 2)

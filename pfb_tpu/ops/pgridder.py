@@ -110,24 +110,34 @@ def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
     h = k // 2
     pu_loc = np.mod(pu, Nx) - (tx * txs)[:, None] + h
     pv_loc = np.mod(pv, Ny) - (ty * tys)[:, None] + h
-    pu_loc = np.where(pu_loc < -txs, pu_loc + Nx, pu_loc)
-    pu_loc = np.where(pu_loc > 2 * txs + k, pu_loc - Nx, pu_loc)
-    pv_loc = np.where(pv_loc < -tys, pv_loc + Ny, pv_loc)
-    pv_loc = np.where(pv_loc > 2 * tys + k, pv_loc - Ny, pv_loc)
+    # legit local coords lie in [h-0.5, t+h+0.5); anything outside got
+    # there via the mod wrap (e.g. pos in (-0.5, 0) rounds into tile 0
+    # but mods to N-eps) — unwrap by one period. Thresholds must stay
+    # < N or the test never fires on small grids.
+    pu_loc = np.where(pu_loc < 0, pu_loc + Nx, pu_loc)
+    pu_loc = np.where(pu_loc > txs + k, pu_loc - Nx, pu_loc)
+    pv_loc = np.where(pv_loc < 0, pv_loc + Ny, pv_loc)
+    pv_loc = np.where(pv_loc > tys + k, pv_loc - Ny, pv_loc)
 
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # honours jax_enable_x64
 
     # (nentries, 8, C) position pack: rows 0-2 = tile-local u, v and
-    # fractional w-plane coordinate; rows 5-6 = the tile's wrap-padded
-    # window start (degrid side); 3-4/7 pad the sublane dim to the f32
-    # (8, 128) tile
+    # fractional w-plane coordinate (adjoint spread); rows 3-4 =
+    # window-local u, v and rows 5-6 the window start for the degrid
+    # side, where the window start is aligned DOWN to the f32 (8, 128)
+    # HBM tile so Mosaic can DMA the slice; row 7 pads the sublane dim
+    sx = np.mod(tx * txs - h, Nx)
+    sy = np.mod(ty * tys - h, Ny)
+    ax, ay = (sx // 8) * 8, (sy // 128) * 128
     pos = np.zeros((nentries, 8, C), np.float64)
     pos[:, 0] = pu_loc
     pos[:, 1] = pv_loc
     pos[:, 2] = pw
-    pos[:, 5] = (np.mod(tx * txs - h, Nx))[:, None]
-    pos[:, 6] = (np.mod(ty * tys - h, Ny))[:, None]
+    pos[:, 3] = pu_loc + (sx - ax)[:, None]
+    pos[:, 4] = pv_loc + (sy - ay)[:, None]
+    pos[:, 5] = ax[:, None]
+    pos[:, 6] = ay[:, None]
     return dict(
         k=k, beta=float(beta), Nx=Nx, Ny=Ny, nw=nw, w0=w0, dw=dw,
         ntx=ntx, nty=nty, txs=txs, tys=tys, C=C, nentries=nentries,
@@ -277,13 +287,97 @@ def vis2dirty_pg(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     return _adjoint_from_plan(p, vr, vi, w, interpret)
 
 
+def _degrid_kernel(tid_ref, stx_ref, sty_ref, pk_ref, gr_ref, gi_ref,
+                   out_ref, win_ref, sem_ref, *, k, beta, nw, ThxA,
+                   ThyA, C, prec):
+    """Gather twin of _grid_kernel: the tile's halo'd (nw, ThxA, ThyA)
+    window for both components is DMA'd HBM->VMEM only when the
+    scalar-prefetched tile id changes (window starts are (8, 128)-tile
+    aligned so the HBM slice is legal); each entry then runs ONE MXU
+    matmul per component, D = [win (nw*ThxA, ThyA)] @ [CVT (ThyA, C)],
+    finished by a VPU contraction against CW (x) CUT."""
+    e = pl.program_id(0)
+    ep = jnp.maximum(e - 1, 0)
+    changed = jnp.logical_or(e == 0, tid_ref[e] != tid_ref[ep])
+
+    @pl.when(changed)
+    def _():
+        # starts arrive as (8, 128)-tile indices: the explicit
+        # multiply lets Mosaic prove the HBM slice is tile-aligned
+        sx = stx_ref[e] * 8
+        sy = sty_ref[e] * 128
+        cr = pltpu.make_async_copy(
+            gr_ref.at[:, pl.ds(sx, ThxA), pl.ds(sy, ThyA)],
+            win_ref.at[0], sem_ref.at[0])
+        ci = pltpu.make_async_copy(
+            gi_ref.at[:, pl.ds(sx, ThxA), pl.ds(sy, ThyA)],
+            win_ref.at[1], sem_ref.at[1])
+        cr.start()
+        ci.start()
+        cr.wait()
+        ci.wait()
+
+    dt = out_ref.dtype
+    kh = k / 2.0
+    u = pk_ref[0, 3, :]
+    v = pk_ref[0, 4, :]
+    wf = pk_ref[0, 2, :]
+    xs = lax.broadcasted_iota(jnp.int32, (ThxA, C), 0).astype(dt)
+    CUT = _es((xs - u[None, :]) / kh, beta, k)          # (ThxA, C)
+    ys = lax.broadcasted_iota(jnp.int32, (ThyA, C), 0).astype(dt)
+    CVT = _es((ys - v[None, :]) / kh, beta, k)          # (ThyA, C)
+    ps = lax.broadcasted_iota(jnp.int32, (nw, C), 0).astype(dt)
+    CW = _es((ps - wf[None, :]) / kh, beta, k) if nw > 1 else \
+        jnp.ones((nw, C), dt)                           # (nw, C)
+    # A[(p, x), c] = CW[p, c] * CUT[x, c]
+    A = (CW[:, None, :] * CUT[None, :, :]).reshape(nw * ThxA, C)
+
+    for comp in (0, 1):
+        B = win_ref[comp].reshape(nw * ThxA, ThyA)
+        D = lax.dot_general(B, CVT, (((1,), (0,)), ((), ())),
+                            precision=prec,
+                            preferred_element_type=dt)  # (nw*ThxA, C)
+        out_ref[0, comp, :] = jnp.sum(A * D, axis=0)
+
+
+def _degrid_pallas(tid, stx, sty, pos, gr_pad, gi_pad, beta, k, nw,
+                   ThxA, ThyA, C, interpret=False,
+                   precision=lax.Precision.HIGHEST):
+    dt = gr_pad.dtype
+    kern = partial(_degrid_kernel, k=k, beta=beta, nw=nw, ThxA=ThxA,
+                   ThyA=ThyA, C=C, prec=precision)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(pos.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, 8, C), lambda e, *_: (e, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 2, C), lambda e, *_: (e, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, nw, ThxA, ThyA), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kw = dict(interpret=interpret)
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((pos.shape[0], 2, C), dt),
+        **kw)(tid, stx, sty, pos, gr_pad, gi_pad)
+
+
 @partial(jax.jit, static_argnames=(
     "beta", "k", "nw", "txs", "tys", "C", "Nx", "Ny", "nx", "ny",
     "cellx", "celly", "w0", "dw", "x0", "y0", "divide_by_n", "nvis",
-    "precision"))
-def _pg_forward(image, pos, idx, pm, uvw, freq, *, beta, k, nw, txs,
-                tys, C, Nx, Ny, nx, ny, cellx, celly, w0, dw, x0, y0,
-                divide_by_n, nvis, precision=lax.Precision.HIGHEST):
+    "engine", "interpret", "precision"))
+def _pg_forward(image, pos, idx, pm, uvw, freq, tid=None, *, beta, k,
+                nw, txs, tys, C, Nx, Ny, nx, ny, cellx, celly, w0, dw,
+                x0, y0, divide_by_n, nvis, engine="xla",
+                interpret=False, precision=lax.Precision.HIGHEST):
     """The WHOLE forward (degrid) as one XLA program: grid corrections
     + per-w-plane FFTs, then per tile entry slice the full (nw, Thx,
     Thy) halo'd window from the wrap-padded grids and contract over all
@@ -291,38 +385,50 @@ def _pg_forward(image, pos, idx, pm, uvw, freq, *, beta, k, nw, txs,
     CV[c,y] — and scatter back to (nrow, nchan) components."""
     kh = k / 2.0
     Thx, Thy = txs + k, tys + k
+    # degrid windows start at the (8, 128)-aligned tile boundary below
+    # the true window start (alignment offset folded into pos rows 3-4)
+    ThxA = -(-(Thx + 7) // 8) * 8
+    ThyA = -(-(Thy + 127) // 128) * 128
     rdtype = image.dtype
 
     gr, gi = _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx,
                             Ny, nw > 1, nw, w0, dw, divide_by_n, x0,
                             y0, split=True)
 
-    xsx = jnp.arange(Thx, dtype=rdtype)
-    xsy = jnp.arange(Thy, dtype=rdtype)
-    ger = jnp.pad(gr, ((0, 0), (0, Thx), (0, Thy)), mode="wrap")
-    gei = jnp.pad(gi, ((0, 0), (0, Thx), (0, Thy)), mode="wrap")
+    xsx = jnp.arange(ThxA, dtype=rdtype)
+    xsy = jnp.arange(ThyA, dtype=rdtype)
+    ger = jnp.pad(gr, ((0, 0), (0, ThxA), (0, ThyA)), mode="wrap")
+    gei = jnp.pad(gi, ((0, 0), (0, ThxA), (0, ThyA)), mode="wrap")
     sx = pos[:, 5, 0].astype(jnp.int32)
     sy = pos[:, 6, 0].astype(jnp.int32)
 
-    def one(args):
-        pk, x, y = args
-        u, v, wf = pk[0], pk[1], pk[2]
-        z = jnp.zeros((), x.dtype)
-        br = lax.dynamic_slice(ger, (z, x, y), (nw, Thx, Thy))
-        bi = lax.dynamic_slice(gei, (z, x, y), (nw, Thx, Thy))
-        CU = _es((xsx[None, :] - u[:, None]) / kh, beta, k)  # (C, Thx)
-        CV = _es((xsy[None, :] - v[:, None]) / kh, beta, k)  # (C, Thy)
-        CW = _es((jnp.arange(nw, dtype=rdtype)[:, None] - wf[None, :])
-                 / kh, beta, k) if nw > 1 else jnp.ones((nw, C), rdtype)
-        # T[p, c, y] = sum_x CU[c, x] G[p, x, y]
-        tr = jnp.einsum("cx,pxy->pcy", CU, br, precision=precision)
-        ti = jnp.einsum("cx,pxy->pcy", CU, bi, precision=precision)
-        # V[c] = sum_p CW[p, c] sum_y T[p, c, y] CV[c, y]
-        fr = jnp.sum(jnp.sum(tr * CV[None], axis=-1) * CW, axis=0)
-        fi = jnp.sum(jnp.sum(ti * CV[None], axis=-1) * CW, axis=0)
-        return fr, fi
+    if engine == "pallas":
+        # (8, 128)-tile indices of the aligned window starts
+        out = _degrid_pallas(tid, sx // 8, sy // 128, pos, ger, gei,
+                             beta, k, nw, ThxA, ThyA, C,
+                             interpret=interpret, precision=precision)
+        accr, acci = out[:, 0, :], out[:, 1, :]
+    else:
+        def one(args):
+            pk, x, y = args
+            u, v, wf = pk[3], pk[4], pk[2]
+            z = jnp.zeros((), x.dtype)
+            br = lax.dynamic_slice(ger, (z, x, y), (nw, ThxA, ThyA))
+            bi = lax.dynamic_slice(gei, (z, x, y), (nw, ThxA, ThyA))
+            CU = _es((xsx[None, :] - u[:, None]) / kh, beta, k)
+            CV = _es((xsy[None, :] - v[:, None]) / kh, beta, k)
+            CW = _es((jnp.arange(nw, dtype=rdtype)[:, None]
+                      - wf[None, :]) / kh, beta, k) if nw > 1 else \
+                jnp.ones((nw, C), rdtype)
+            # T[p, c, y] = sum_x CU[c, x] G[p, x, y]
+            tr = jnp.einsum("cx,pxy->pcy", CU, br, precision=precision)
+            ti = jnp.einsum("cx,pxy->pcy", CU, bi, precision=precision)
+            # V[c] = sum_p CW[p, c] sum_y T[p, c, y] CV[c, y]
+            fr = jnp.sum(jnp.sum(tr * CV[None], axis=-1) * CW, axis=0)
+            fi = jnp.sum(jnp.sum(ti * CV[None], axis=-1) * CW, axis=0)
+            return fr, fi
 
-    accr, acci = lax.map(one, (pos, sx, sy), batch_size=512)
+        accr, acci = lax.map(one, (pos, sx, sy), batch_size=512)
     fr = jnp.zeros((nvis,), rdtype).at[idx.reshape(-1)].add(
         (accr * pm).reshape(-1))
     fi = jnp.zeros((nvis,), rdtype).at[idx.reshape(-1)].add(
@@ -336,26 +442,27 @@ def _pg_forward(image, pos, idx, pm, uvw, freq, *, beta, k, nw, txs,
     return fr, fi
 
 
-def _forward_from_plan(p, image):
+def _forward_from_plan(p, image, engine="xla", interpret=False):
     return _pg_forward(
         image, p["pos"], p["idx"], p["pm"], p["uvw_d"], p["freq_d"],
-        beta=p["beta"], k=p["k"], nw=p["nw"], txs=p["txs"],
+        p["tid"], beta=p["beta"], k=p["k"], nw=p["nw"], txs=p["txs"],
         tys=p["tys"], C=p["C"], Nx=p["Nx"], Ny=p["Ny"], nx=p["nx"],
         ny=p["ny"], cellx=p["cellx"], celly=p["celly"],
         w0=float(p["w0"]), dw=float(p["dw"]), x0=p["x0"], y0=p["y0"],
-        divide_by_n=False,
+        divide_by_n=False, engine=engine, interpret=interpret,
         nvis=int(p["nrow"]) * int(p["nchan"]))
 
 
 def dirty2vis_pg(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
                  do_wgridding=True, sigma=2.0, capacity=None,
                  divide_by_n=False, plan=None, x0=0.0, y0=0.0,
-                 split=False, **kw):
+                 split=False, engine="pallas", interpret=None, **kw):
     """R via the all-planes degridder (gather twin of vis2dirty_pg).
     Pass plan=pgrid_plan(...) to amortise binning across calls;
     split=True returns device-resident (real, imag) components
     (complex device->host transfer is unsupported on some TPU
-    runtimes)."""
+    runtimes). engine='pallas' uses the DMA-windowed gather kernel,
+    'xla' the dynamic-slice lax.map formulation."""
     nx, ny = image.shape
     if plan is None:
         plan = pgrid_plan(uvw, freq, nx=nx, ny=ny, cellx=cellx,
@@ -363,15 +470,18 @@ def dirty2vis_pg(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
                           do_wgridding=do_wgridding, sigma=sigma,
                           capacity=capacity or 128, x0=x0, y0=y0)
     p = plan
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     fr, fi = _forward_from_plan(
-        p, jnp.asarray(image).astype(p["rdtype"]))
+        p, jnp.asarray(image).astype(p["rdtype"]),
+        engine=engine, interpret=interpret)
     if split:
         return fr, fi
     return (np.asarray(fr).astype(np.float64) +
             1j * np.asarray(fi).astype(np.float64))
 
 
-def make_hessian_pg(plan, wgt=None, mask=None):
+def make_hessian_pg(plan, wgt=None, mask=None, engine="pallas"):
     """Device-resident R.H W R for one dataset through the Pallas
     gridder: x -> vis2dirty(wgt * dirty2vis(x)), one jitted program,
     nothing leaves the device between major iterations (the exact
@@ -388,7 +498,8 @@ def make_hessian_pg(plan, wgt=None, mask=None):
     interpret = jax.default_backend() != "tpu"
 
     def matvec(x):
-        fr, fi = _forward_from_plan(p, x.astype(rdtype))
+        fr, fi = _forward_from_plan(p, x.astype(rdtype),
+                                    engine=engine, interpret=interpret)
         return _adjoint_from_plan(p, fr, fi, w, interpret)
 
     return matvec

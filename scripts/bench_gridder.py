@@ -125,14 +125,15 @@ def main():
                   f"{nvis/dt/1e6:.2f} Mvis/s", flush=True)
         dev["adjoint_dev"] = round(nvis / dt / 1e6, 3)
         x = jnp.asarray(image.astype(rdtype))
-        for r in range(args.reps):
-            t0 = time.perf_counter()
-            fr, fi = _forward_from_plan(plan, x)
-            float(jnp.sum(fr) + jnp.sum(fi))
-            dt = time.perf_counter() - t0
-            print(f"forward(dev) rep{r}: {dt:.3f}s  "
-                  f"{nvis/dt/1e6:.2f} Mvis/s", flush=True)
-        dev["forward_dev"] = round(nvis / dt / 1e6, 3)
+        for eng in ("xla", "pallas"):
+            for r in range(args.reps):
+                t0 = time.perf_counter()
+                fr, fi = _forward_from_plan(plan, x, engine=eng)
+                float(jnp.sum(fr) + jnp.sum(fi))
+                dt = time.perf_counter() - t0
+                print(f"forward(dev,{eng}) rep{r}: {dt:.3f}s  "
+                      f"{nvis/dt/1e6:.2f} Mvis/s", flush=True)
+            dev[f"forward_dev_{eng}"] = round(nvis / dt / 1e6, 3)
         hess = make_hessian_pg(plan, wgt=wgt)
         for r in range(args.reps):
             t0 = time.perf_counter()
