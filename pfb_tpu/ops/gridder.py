@@ -19,19 +19,37 @@ from pfb_tpu.ops.fft import make_psfhat
 from pfb_tpu.ops.weighting import counts_to_weights
 
 
-def get_backend(backend):
+def get_backend(backend, epsilon=None, do_wgridding=None):
+    """(dirty2vis, vis2dirty) for the named backend. When epsilon /
+    do_wgridding are given they are bound into the returned callables
+    (the schema->CLI->backend plumbing of reference
+    pfb/parser/gridding.yml:1-5); the exact-DFT oracle maps
+    do_wgridding onto its do_wterm switch and has no epsilon."""
     if backend == "dft":
-        return dirty2vis_dft, vis2dirty_dft
+        d2v, v2d = dirty2vis_dft, vis2dirty_dft
+        if do_wgridding is not None:
+            d2v = partial(d2v, do_wterm=do_wgridding)
+            v2d = partial(v2d, do_wterm=do_wgridding)
+        return d2v, v2d
     if backend == "wgrid":
         from pfb_tpu.ops.wgridder import dirty2vis_wgrid, vis2dirty_wgrid
-        return dirty2vis_wgrid, vis2dirty_wgrid
-    if backend == "mm":
+        d2v, v2d = dirty2vis_wgrid, vis2dirty_wgrid
+    elif backend == "mm":
         from pfb_tpu.ops.mmgridder import dirty2vis_mm, vis2dirty_mm
-        return dirty2vis_mm, vis2dirty_mm
-    if backend == "pg":
+        d2v, v2d = dirty2vis_mm, vis2dirty_mm
+    elif backend == "pg":
         from pfb_tpu.ops.pgridder import dirty2vis_pg, vis2dirty_pg
-        return dirty2vis_pg, vis2dirty_pg
-    raise ValueError(f"Unknown gridder backend {backend}")
+        d2v, v2d = dirty2vis_pg, vis2dirty_pg
+    else:
+        raise ValueError(f"Unknown gridder backend {backend}")
+    kw = {}
+    if epsilon is not None:
+        kw["epsilon"] = epsilon
+    if do_wgridding is not None:
+        kw["do_wgridding"] = do_wgridding
+    if kw:
+        d2v, v2d = partial(d2v, **kw), partial(v2d, **kw)
+    return d2v, v2d
 
 
 def row_bucket(nrow, minimum=64):
@@ -65,7 +83,8 @@ def image_data_products(uvw, freq, vis, wgt, mask, counts,
                         nx, ny, nx_psf, ny_psf, cellx, celly,
                         model=None, robustness=None, x0=0.0, y0=0.0,
                         l2reweight_dof=None, do_psf=True, do_weight=True,
-                        do_residual=True, backend="dft"):
+                        do_residual=True, backend="dft", epsilon=None,
+                        do_wgridding=None):
     """Compute DIRTY, WSUM, PSF(+PSFHAT), RESIDUAL and effective WEIGHT
     for one (time, band) dataset in one go
     (reference: pfb/operators/gridder.py:551-740).
@@ -77,7 +96,7 @@ def image_data_products(uvw, freq, vis, wgt, mask, counts,
     Rows are zero-padded to a power-of-two bucket so different datasets
     share one compiled program (padded rows have zero weight/mask).
     """
-    d2v, v2d = get_backend(backend)
+    d2v, v2d = get_backend(backend, epsilon, do_wgridding)
     out = {}
 
     nrow = uvw.shape[0]
@@ -141,10 +160,11 @@ def image_data_products(uvw, freq, vis, wgt, mask, counts,
 
 
 def hessian_slice(x, uvw, freq, wgt, mask, cellx, celly, x0=0.0, y0=0.0,
-                  beam=None, backend="dft"):
+                  beam=None, backend="dft", epsilon=None,
+                  do_wgridding=None):
     """One-dataset vis-space Hessian: beam * R.H W R (beam * x)
     (reference: pfb/operators/hessian.py:62-106, divide_by_n=False)."""
-    d2v, v2d = get_backend(backend)
+    d2v, v2d = get_backend(backend, epsilon, do_wgridding)
     uvw, wgt, mask = pad_rows(row_bucket(uvw.shape[0]), uvw, wgt, mask)
     xin = x * beam if beam is not None else x
     mvis = d2v(uvw, freq, xin, cellx, celly, x0=x0, y0=y0)
@@ -275,6 +295,48 @@ def make_hessian_dds(dds, nband, wsum, nx, ny, sigmainv=0.0,
             return out
 
         return matvec_pg
+
+    if backend == "mm":
+        from pfb_tpu.ops.mmgridder import (dirty2vis_mm, mm_plan,
+                                           vis2dirty_mm)
+        per_ds = []
+        for ds in dds:
+            uvw = np.asarray(ds["UVW"])
+            freq = np.asarray(ds["FREQ"])
+            cell = float(ds["cell_rad"])
+            x0 = float(ds.get("x0", 0.0))
+            y0 = float(ds.get("y0", 0.0))
+            plan = mm_plan(uvw, freq, nx=nx, ny=ny, cellx=cell,
+                           celly=cell, epsilon=epsilon,
+                           do_wgridding=do_wgridding, x0=x0, y0=y0)
+            beam = None
+            if use_beam and "BEAM" in ds:
+                beam = jnp.asarray(np.asarray(ds["BEAM"]))
+            if mask_image is not None:
+                mi = jnp.asarray(mask_image)
+                beam = mi if beam is None else beam * mi
+            per_ds.append((ds["bandid"], beam, plan, uvw, freq, cell,
+                           np.asarray(ds["WEIGHT"]),
+                           np.asarray(ds["MASK"])))
+
+        def matvec_mm(x):
+            conv = [jnp.zeros_like(x[0]) for _ in range(nband)]
+            for b, beam, plan, uvw, freq, cell, wgt, msk in per_ds:
+                xin = x[b] * beam if beam is not None else x[b]
+                mvis = dirty2vis_mm(uvw, freq, xin, cell, cell,
+                                    plan=plan)
+                c = vis2dirty_mm(uvw, freq, mvis * msk, wgt=wgt,
+                                 mask=msk, nx=nx, ny=ny, cellx=cell,
+                                 celly=cell, plan=plan)
+                if beam is not None:
+                    c = c * beam
+                conv[b] = conv[b] + c
+            out = jnp.stack(conv) / wsum
+            if sigmainv:
+                out = out + x * sigmainv**2
+            return out
+
+        return matvec_mm
 
     if backend != "dft":
         def matvec_loop(x):

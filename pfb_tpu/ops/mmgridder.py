@@ -379,10 +379,14 @@ def mm_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
     pu_loc = np.mod(pu, Nx) - (tx * txs)[:, None] + k // 2
     pv_loc = np.mod(pv, Ny) - (ty * tys)[:, None] + k // 2
     # wrap vis whose mod position landed a full grid away from its tile
-    pu_loc = np.where(pu_loc < -txs, pu_loc + Nx, pu_loc)
-    pu_loc = np.where(pu_loc > 2 * txs + k, pu_loc - Nx, pu_loc)
-    pv_loc = np.where(pv_loc < -tys, pv_loc + Ny, pv_loc)
-    pv_loc = np.where(pv_loc > 2 * tys + k, pv_loc - Ny, pv_loc)
+    # legit local coords lie in [h-0.5, t+h+0.5); anything outside
+    # got there via the mod wrap (e.g. pos in (-0.5, 0) rounds into
+    # tile 0 but mods to N-eps) — unwrap by one period. Thresholds
+    # must stay < N or the test never fires on small grids.
+    pu_loc = np.where(pu_loc < 0, pu_loc + Nx, pu_loc)
+    pu_loc = np.where(pu_loc > txs + k, pu_loc - Nx, pu_loc)
+    pv_loc = np.where(pv_loc < 0, pv_loc + Ny, pv_loc)
+    pv_loc = np.where(pv_loc > tys + k, pv_loc - Ny, pv_loc)
 
     nchunk = -(-ntiles // echunk)
     npad = nchunk * echunk - ntiles
