@@ -41,11 +41,19 @@ def update_ms_column(path, name, values):
 
 def simulate_ms(path, nant=7, ntime=8, nchan=4, nsource=10, fov_deg=1.0,
                 seed=420, gains=False, ncorr=2, pol="linear",
-                duration_h=1.0, extent=1000.0, noise=0.0):
+                duration_h=1.0, extent=1000.0, noise=0.0, nscan=1,
+                gain_mode="diag", gain_nt=None, gain_nf=None):
     """Simulate an observation with point sources (and optionally smooth
     gain corruptions) and write it as an npz MS. Returns
     (model_cube, Ix, Iy, nx, cell_rad, jones) — the ground truth the
-    e2e tests assert against (mirrors upstream test_klean.py:71-175)."""
+    e2e tests assert against (mirrors upstream test_klean.py:71-175).
+
+    nscan > 1 splits the unique times into scans (SCAN_NUMBER column);
+    gain_mode="full" corrupts with full 2x2 Jones (small leakages,
+    QuartiCal (t, a, f, dir, 2, 2) layout, forces ncorr=4); gain_nt /
+    gain_nf put the gains on a coarser (time, chan) grid than the data
+    so init's gain binning is exercised.
+    """
     import jax.numpy as jnp
 
     from pfb_tpu.ops.dft import dirty2vis_dft
@@ -66,6 +74,8 @@ def simulate_ms(path, nant=7, ntime=8, nchan=4, nsource=10, fov_deg=1.0,
             jnp.asarray(obs.uvw), jnp.asarray(obs.freq[c:c + 1]),
             jnp.asarray(model[c]), cell_rad, cell_rad))
 
+    if gains and gain_mode == "full":
+        ncorr = 4
     data = np.zeros((nrow, nchan, ncorr), dtype=np.complex128)
     data[..., 0] = vis
     data[..., -1] = vis
@@ -73,23 +83,52 @@ def simulate_ms(path, nant=7, ntime=8, nchan=4, nsource=10, fov_deg=1.0,
     rng = np.random.default_rng(seed)
     utime = np.unique(obs.time)
     tbin_map = np.searchsorted(utime, obs.time)
-    if gains:
-        # smooth random diag gains (GP-flavoured, like upstream
-        # test_klean.py:96-119 but with simple smooth draws)
-        t = np.linspace(0, 1, ntime)
-        nu = np.linspace(0, 1, nchan)
-        jones = np.zeros((ntime, nant, nchan, 1, 2), dtype=np.complex128)
+    gnt = int(gain_nt) if gain_nt else ntime
+    gnf = int(gain_nf) if gain_nf else nchan
+    gain_time = utime.reshape(gnt, -1).mean(-1) if gnt != ntime \
+        else utime
+    gain_freq = obs.freq.reshape(gnf, -1).mean(-1) if gnf != nchan \
+        else obs.freq
+    # (time, chan) bin of each data point on the gain grid
+    gt_of_row = np.clip(np.searchsorted(gain_time, obs.time,
+                                        side="right") - 1, 0, gnt - 1)
+    gf_of_chan = np.clip(np.searchsorted(gain_freq, obs.freq,
+                                         side="right") - 1, 0, gnf - 1)
+
+    def smooth(amp0, amp1):
+        t = np.linspace(0, 1, gnt)
+        nu = np.linspace(0, 1, gnf)
+        amp = amp0 + amp1 * (
+            np.sin(2 * np.pi * (t[:, None] + rng.random())) *
+            np.cos(2 * np.pi * (nu[None, :] + rng.random())))
+        phase = 0.3 * np.sin(
+            2 * np.pi * (t[:, None] * rng.random() + nu[None, :] *
+                         rng.random() + rng.random()))
+        return amp * np.exp(1j * phase)
+
+    if gains and gain_mode == "full":
+        # full 2x2: dominant diagonal + small leakage terms
+        jones = np.zeros((gnt, nant, gnf, 1, 2, 2), np.complex128)
+        for p in range(nant):
+            jones[:, p, :, 0, 0, 0] = smooth(1.0, 0.1)
+            jones[:, p, :, 0, 1, 1] = smooth(1.0, 0.1)
+            jones[:, p, :, 0, 0, 1] = smooth(0.0, 0.02)
+            jones[:, p, :, 0, 1, 0] = smooth(0.0, 0.02)
+        gp = jones[gt_of_row, obs.ant1.astype(int)][:, gf_of_chan, 0]
+        gq = jones[gt_of_row, obs.ant2.astype(int)][:, gf_of_chan, 0]
+        # V_pq = G_p V G_q^H with V = [[XX, 0], [0, YY]]
+        V = np.zeros((nrow, nchan, 2, 2), np.complex128)
+        V[..., 0, 0] = data[..., 0]
+        V[..., 1, 1] = data[..., -1]
+        out = np.einsum("rcij,rcjk,rclk->rcil", gp, V, np.conj(gq))
+        data = out.reshape(nrow, nchan, 4)
+    elif gains:
+        jones = np.zeros((gnt, nant, gnf, 1, 2), dtype=np.complex128)
         for p in range(nant):
             for c in range(2):
-                amp = 1.0 + 0.1 * (
-                    np.sin(2 * np.pi * (t[:, None] + rng.random())) *
-                    np.cos(2 * np.pi * (nu[None, :] + rng.random())))
-                phase = 0.3 * np.sin(
-                    2 * np.pi * (t[:, None] * rng.random() + nu[None, :] *
-                                 rng.random() + rng.random()))
-                jones[:, p, :, 0, c] = amp * np.exp(1j * phase)
-        gp = jones[tbin_map, obs.ant1, :, 0, :]
-        gq = jones[tbin_map, obs.ant2, :, 0, :]
+                jones[:, p, :, 0, c] = smooth(1.0, 0.1)
+        gp = jones[gt_of_row, obs.ant1.astype(int)][:, gf_of_chan, 0]
+        gq = jones[gt_of_row, obs.ant2.astype(int)][:, gf_of_chan, 0]
         data[..., 0] = gp[..., 0] * np.conj(gq[..., 0]) * data[..., 0]
         data[..., -1] = gp[..., 1] * np.conj(gq[..., 1]) * data[..., -1]
     else:
@@ -98,6 +137,12 @@ def simulate_ms(path, nant=7, ntime=8, nchan=4, nsource=10, fov_deg=1.0,
     if noise:
         data += noise * (rng.standard_normal(data.shape) +
                          1j * rng.standard_normal(data.shape))
+
+    scan = np.zeros(nrow, np.int32)
+    if nscan > 1:
+        bounds = np.array_split(np.arange(utime.size), nscan)
+        for si, b in enumerate(bounds):
+            scan[np.isin(tbin_map, b)] = si
 
     write_ms(path,
              DATA=data,
@@ -108,10 +153,13 @@ def simulate_ms(path, nant=7, ntime=8, nchan=4, nsource=10, fov_deg=1.0,
              FLAG=np.zeros(data.shape, bool),
              WEIGHT_SPECTRUM=np.ones(data.shape),
              FREQ=obs.freq,
+             FIELD_ID=np.zeros(nrow, np.int32),
+             DATA_DESC_ID=np.zeros(nrow, np.int32),
+             SCAN_NUMBER=scan,
              RA=np.array(obs.ra),
              DEC=np.array(obs.dec),
              POLTYPE=np.array(pol))
     if jones is not None:
-        np.savez(str(path) + ".gains.npz", jones=jones, gain_time=utime,
-                 gain_freq=obs.freq)
+        np.savez(str(path) + ".gains.npz", jones=jones,
+                 gain_time=gain_time, gain_freq=gain_freq)
     return model, Ix, Iy, nx, cell_rad, jones

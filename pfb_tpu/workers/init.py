@@ -1,12 +1,18 @@
 """init worker: MS (+ optional gain table) -> per-chunk Stokes
 visibility store (xds).
 
-TPU-native equivalent of pfb/workers/init.py + utils/stokes2vis.py:
-reads the npz MS, splits rows into time chunks (integrations_per_image)
-and channels into freq chunks (channels_per_image), computes
-Jones-corrected Stokes visibilities + weights with the sympy->jnp
-kernels, and writes an xds store with the reference's field names.
+TPU-native equivalent of pfb/workers/init.py + utils/stokes2vis.py +
+construct_mappings (utils/misc.py:250-487): reads the npz MS, groups
+rows per (FIELD_ID, DATA_DESC_ID, SCAN_NUMBER), splits each group's
+rows into time chunks (integrations_per_image) and channels into freq
+chunks (channels_per_image) after optional frequency-range filtering,
+computes Jones-corrected Stokes visibilities + weights with the
+sympy->jnp kernels (diag or full 2x2 mode, gains aligned onto the data
+grid by (time, chan) binning), optionally channel-averages, and writes
+an xds store with the reference's field names.
 """
+
+import re
 
 import numpy as np
 
@@ -15,104 +21,226 @@ from pfb_tpu.utils.ms import read_ms
 from pfb_tpu.utils.stokes import unity_jones, weight_data
 
 
+def _column_expr(msd, expr):
+    """Evaluate a data-column expression like "DATA-MODEL_DATA" or
+    "CORRECTED_DATA+MODEL_DATA" (reference stokes2vis.py:78-92)."""
+    toks = re.split(r"([+-])", expr.replace(" ", ""))
+    out = np.asarray(msd[toks[0]], np.complex128)
+    for op, name in zip(toks[1::2], toks[2::2]):
+        col = np.asarray(msd[name], np.complex128)
+        out = out + col if op == "+" else out - col
+    return out
+
+
+def _jones_mode(jones):
+    """Infer QuartiCal gain layout: (t, a, f, dir, 2) diag,
+    (t, a, f, dir, 2, 2) or (..., 4) full (flattened row-major)."""
+    if jones.ndim == 6 and jones.shape[-2:] == (2, 2):
+        return jones.reshape(jones.shape[:-2] + (4,)), "full"
+    if jones.shape[-1] == 4:
+        return jones, "full"
+    if jones.shape[-1] == 2:
+        return jones, "diag"
+    raise ValueError(f"Unrecognised jones shape {jones.shape}")
+
+
+def _bin_map(grid, values):
+    """Index of the gain-grid bin each value falls in (right-closed
+    lower bound — the (time, chan)-binned gain application of
+    reference utils/misc.py:415-439)."""
+    idx = np.searchsorted(np.asarray(grid), np.asarray(values),
+                          side="right") - 1
+    return np.clip(idx, 0, len(grid) - 1)
+
+
+def _chan_average(vis, wgt, freq, cb):
+    """Weighted channel averaging by factor cb (reference
+    stokes2vis.py 'chan-average': vis = sum(w v)/sum(w), w = sum(w))."""
+    nr, nc = vis.shape
+    if nc % cb:
+        raise ValueError(
+            f"chan_average={cb} does not divide nchan={nc}")
+    nco = nc // cb
+    wb = wgt.reshape(nr, nco, cb)
+    vb = (vis * wgt).reshape(nr, nco, cb).sum(-1)
+    ws = wb.sum(-1)
+    vis_o = np.where(ws > 0, vb / np.where(ws > 0, ws, 1.0), 0.0)
+    return vis_o, ws, freq.reshape(nco, cb).mean(-1)
+
+
 def _init(ms=None, output_filename=None, product="I",
           channels_per_image=None, integrations_per_image=-1,
           gain_table=None, data_column="DATA", weight_column=None,
           flag_column="FLAG", beam_model=None, max_field_of_view=3.0,
-          overwrite=True, write=True, **kw):
+          chan_average=1, freq_range=None, fields=None, ddids=None,
+          scans=None, overwrite=True, write=True, **kw):
     """Returns the list of xds datasets (and writes
     ``{output_filename}_{PRODUCT}.xds`` unless write=False).
 
     Chunking mirrors construct_mappings (utils/misc.py:250-487): rows
-    grouped by unique time into integrations_per_image-sized chunks;
-    channels into channels_per_image-sized chunks (-1/None = all).
+    grouped per (FIELD_ID, DATA_DESC_ID, SCAN_NUMBER), then by unique
+    time into integrations_per_image-sized chunks; channels filtered to
+    ``freq_range`` ("fmin:fmax" in Hz, either side optional) and split
+    into channels_per_image-sized chunks (-1/None = all), each
+    optionally averaged down by ``chan_average``. ``data_column``
+    accepts +/- arithmetic between columns ("DATA-MODEL_DATA").
     """
     msd = read_ms(ms) if isinstance(ms, (str, bytes)) or hasattr(
         ms, "__fspath__") else dict(ms)
 
-    data = msd[data_column]
-    nrow, nchan, ncorr = data.shape
+    data = _column_expr(msd, data_column)
+    nrow, nchan_ms, ncorr = data.shape
     uvw = msd["UVW"]
     time = msd["TIME"]
     ant1 = msd["ANTENNA1"]
     ant2 = msd["ANTENNA2"]
-    freq = msd["FREQ"]
+    freq_tab = np.asarray(msd["FREQ"], np.float64)
     flag = msd.get(flag_column, np.zeros(data.shape, bool))
     wgt = msd.get(weight_column or "WEIGHT_SPECTRUM",
                   np.ones(data.shape))
     pol = str(msd.get("POLTYPE", "linear"))
-    ra = float(msd.get("RA", 0.0))
-    dec = float(msd.get("DEC", 0.0))
 
-    utime = np.unique(time)
-    ntime = utime.size
-    tbin_map = np.searchsorted(utime, time)
+    fid = np.asarray(msd.get("FIELD_ID", np.zeros(nrow, np.int32)))
+    did = np.asarray(msd.get("DATA_DESC_ID", np.zeros(nrow, np.int32)))
+    sid = np.asarray(msd.get("SCAN_NUMBER", np.zeros(nrow, np.int32)))
+    # per-field phase centres (FIELD table analogue); scalars fall back
+    fra = np.atleast_1d(np.asarray(msd.get("FIELD_RA",
+                                           msd.get("RA", 0.0))))
+    fdec = np.atleast_1d(np.asarray(msd.get("FIELD_DEC",
+                                            msd.get("DEC", 0.0))))
+
     nant = int(max(ant1.max(), ant2.max())) + 1
 
     if gain_table is not None:
         g = np.load(gain_table) if isinstance(gain_table, str) else \
             gain_table
-        jones = g["jones"] if hasattr(g, "files") or isinstance(g, dict) \
-            else g
+        jones = np.asarray(g["jones"]) if hasattr(g, "files") or \
+            isinstance(g, dict) else np.asarray(g)
+        jones, mode = _jones_mode(jones)
+        gain_time = np.asarray(g["gain_time"]) if (
+            hasattr(g, "files") and "gain_time" in g.files) or (
+            isinstance(g, dict) and "gain_time" in g) else None
+        gain_freq = np.asarray(g["gain_freq"]) if (
+            hasattr(g, "files") and "gain_freq" in g.files) or (
+            isinstance(g, dict) and "gain_freq" in g) else None
     else:
-        jones = unity_jones(ntime, nant, nchan)
+        jones, mode = None, "diag"
+        gain_time = gain_freq = None
 
-    ipi = integrations_per_image
-    if ipi in (0, -1, None):
-        ipi = ntime
-    cpi = channels_per_image
-    if cpi in (0, -1, None):
-        cpi = nchan
+    if isinstance(freq_range, str) and freq_range:
+        lo, _, hi = freq_range.partition(":")
+        fmin = float(lo) if lo else -np.inf
+        fmax = float(hi) if hi else np.inf
+    elif freq_range is not None:
+        fmin, fmax = freq_range
+    else:
+        fmin, fmax = -np.inf, np.inf
 
-    # per-(row,chan) flag: flagged if any correlation flagged
-    flag_rc = flag.any(axis=-1)
+    # (field, ddid, scan) groups (reference misc.py:312-370)
+    groups = np.unique(np.stack([fid, did, sid], axis=1), axis=0)
+
+    import jax.numpy as jnp
+
+    from pfb_tpu.config import to_device, to_host
 
     datasets = []
-    for t0 in range(0, ntime, ipi):
-        tsel = (tbin_map >= t0) & (tbin_map < t0 + ipi)
-        rows = np.where(tsel)[0]
-        for c0 in range(0, nchan, cpi):
-            csel = slice(c0, min(c0 + cpi, nchan))
-            import jax.numpy as jnp
+    for f, d, s in groups:
+        if fields is not None and f not in np.atleast_1d(fields):
+            continue
+        if ddids is not None and d not in np.atleast_1d(ddids):
+            continue
+        if scans is not None and s not in np.atleast_1d(scans):
+            continue
+        gsel = (fid == f) & (did == d) & (sid == s)
+        grow = np.where(gsel)[0]
 
-            from pfb_tpu.config import to_device
-            vis, wout = weight_data(
-                to_device(data[rows][:, csel]),
-                jnp.asarray(wgt[rows][:, csel]),
-                jnp.asarray(flag_rc[rows][:, csel].astype(np.uint8)),
-                to_device(jones[:, :, csel]),
-                jnp.asarray(tbin_map[rows]),
-                jnp.asarray(ant1[rows]), jnp.asarray(ant2[rows]),
-                product=product, pol=pol, mode="diag")
-            mask = (~flag_rc[rows][:, csel]).astype(np.uint8)
-            from pfb_tpu.config import to_host
-            ds = {
-                "VIS": to_host(vis),
-                "WEIGHT": np.asarray(wout),
-                "MASK": mask,
-                "UVW": uvw[rows],
-                "FREQ": freq[csel],
-                "time_out": float(np.mean(utime[t0:t0 + ipi])),
-                "freq_out": float(np.mean(freq[csel])),
-                "freq_min": float(freq[csel].min()),
-                "freq_max": float(freq[csel].max()),
-                "time_min": float(utime[t0:t0 + ipi].min()),
-                "time_max": float(utime[t0:t0 + ipi].max()),
-                "ra": ra,
-                "dec": dec,
-                "product": product,
-            }
-            # primary beam on a coarse grid at freq_out (reference
-            # attaches BEAM/l_beam/m_beam per xds, stokes2vis.py:235-280)
-            from pfb_tpu.utils.beam import interp_beam
-            nb = 64
-            cell_b = max_field_of_view / nb
-            bvals, l_b, m_b = interp_beam(ds["freq_out"], nb, nb,
-                                          cell_b, btype=beam_model)
-            ds["BEAM"] = bvals
-            ds["l_beam"] = l_b
-            ds["m_beam"] = m_b
-            datasets.append(ds)
+        freq_g = freq_tab[d] if freq_tab.ndim == 2 else freq_tab
+        chans = np.where((freq_g >= fmin) & (freq_g <= fmax))[0]
+        if chans.size == 0:
+            continue
+        nchan = chans.size
+
+        utime = np.unique(time[grow])
+        ntime = utime.size
+        tbin = np.searchsorted(utime, time[grow])
+
+        ipi = integrations_per_image
+        if ipi in (0, -1, None):
+            ipi = ntime
+        cpi = channels_per_image
+        if cpi in (0, -1, None):
+            cpi = nchan
+
+        if jones is None:
+            # identity on the exact data grid
+            jones_g = unity_jones(ntime, nant, nchan)
+            tmap = tbin
+            fsel_gain = np.arange(nchan)
+        else:
+            # align gains onto the data grid by (time, chan) bins
+            tgrid = gain_time if gain_time is not None else utime
+            fgrid = gain_freq if gain_freq is not None else freq_g
+            tmap = _bin_map(tgrid, time[grow])
+            fsel_gain = _bin_map(fgrid, freq_g[chans])
+            jones_g = jones
+
+        flag_rc = flag[grow][:, chans].any(axis=-1)
+
+        for t0 in range(0, ntime, ipi):
+            tsel = (tbin >= t0) & (tbin < t0 + ipi)
+            rows = grow[tsel]
+            rloc = np.where(tsel)[0]
+            for c0 in range(0, nchan, cpi):
+                cloc = np.arange(c0, min(c0 + cpi, nchan))
+                csel = chans[cloc]
+                jsel = fsel_gain[cloc]
+                vis, wout = weight_data(
+                    to_device(data[rows][:, csel]),
+                    jnp.asarray(wgt[rows][:, csel]),
+                    jnp.asarray(
+                        flag_rc[rloc][:, cloc].astype(np.uint8)),
+                    to_device(np.ascontiguousarray(
+                        jones_g[:, :, jsel])),
+                    jnp.asarray(tmap[rloc]),
+                    jnp.asarray(ant1[rows]), jnp.asarray(ant2[rows]),
+                    product=product, pol=pol, mode=mode)
+                vis = to_host(vis)
+                wout = np.asarray(wout)
+                freq_c = freq_g[csel]
+                if chan_average and chan_average > 1:
+                    vis, wout, freq_c = _chan_average(
+                        vis, wout, freq_c, int(chan_average))
+                mask = (wout > 0).astype(np.uint8)
+                ds = {
+                    "VIS": vis,
+                    "WEIGHT": wout,
+                    "MASK": mask,
+                    "UVW": uvw[rows],
+                    "FREQ": freq_c,
+                    "time_out": float(np.mean(utime[t0:t0 + ipi])),
+                    "freq_out": float(np.mean(freq_c)),
+                    "freq_min": float(freq_c.min()),
+                    "freq_max": float(freq_c.max()),
+                    "time_min": float(utime[t0:t0 + ipi].min()),
+                    "time_max": float(utime[t0:t0 + ipi].max()),
+                    "ra": float(fra[min(f, fra.size - 1)]),
+                    "dec": float(fdec[min(f, fdec.size - 1)]),
+                    "fieldid": int(f),
+                    "ddid": int(d),
+                    "scanid": int(s),
+                    "product": product,
+                }
+                # primary beam on a coarse grid at freq_out (reference
+                # attaches BEAM/l_beam/m_beam, stokes2vis.py:235-280)
+                from pfb_tpu.utils.beam import interp_beam
+                nb = 64
+                cell_b = max_field_of_view / nb
+                bvals, l_b, m_b = interp_beam(ds["freq_out"], nb, nb,
+                                              cell_b, btype=beam_model)
+                ds["BEAM"] = bvals
+                ds["l_beam"] = l_b
+                ds["m_beam"] = m_b
+                datasets.append(ds)
 
     if write and output_filename is not None:
         name = f"{output_filename}_{product.upper()}.xds"

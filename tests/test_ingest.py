@@ -1,0 +1,129 @@
+"""Real-MS-shaped ingestion: (FIELD, DDID, SCAN) grouping, column
+arithmetic, frequency filtering, channel averaging, gain-grid binning
+and full-2x2 gains (reference construct_mappings utils/misc.py:250-487
++ single_stokes utils/stokes2vis.py:24-280)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from pfb_tpu.utils.ms import read_ms, simulate_ms, update_ms_column
+from pfb_tpu.workers.init import _column_expr, _init
+
+pmp = pytest.mark.parametrize
+
+
+@pytest.fixture(scope="module")
+def ms3scan(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ingest")
+    path = str(tmp / "t.npz")
+    model, Ix, Iy, nx, cell, _ = simulate_ms(
+        path, nant=7, ntime=12, nchan=8, nsource=3, fov_deg=0.3,
+        seed=11, nscan=3)
+    return dict(path=path, model=model, nx=nx, cell=cell)
+
+
+def test_scan_grouping(ms3scan):
+    """One xds per (scan, chan-chunk); rows within a scan's times."""
+    xds = _init(ms=ms3scan["path"], channels_per_image=4, write=False)
+    assert len(xds) == 3 * 2
+    scanids = sorted({ds["scanid"] for ds in xds})
+    assert scanids == [0, 1, 2]
+    ms = read_ms(ms3scan["path"])
+    for ds in xds:
+        assert ds["time_min"] >= ms["TIME"][
+            ms["SCAN_NUMBER"] == ds["scanid"]].min()
+        assert ds["time_max"] <= ms["TIME"][
+            ms["SCAN_NUMBER"] == ds["scanid"]].max()
+        assert ds["fieldid"] == 0 and ds["ddid"] == 0
+
+
+def test_scan_filter(ms3scan):
+    xds = _init(ms=ms3scan["path"], write=False, scans=[1])
+    assert len(xds) == 1 and xds[0]["scanid"] == 1
+
+
+def test_freq_range_filter(ms3scan):
+    ms = read_ms(ms3scan["path"])
+    freq = ms["FREQ"]
+    lo, hi = freq[2], freq[5]
+    xds = _init(ms=ms3scan["path"], write=False,
+                freq_range=f"{lo}:{hi}")
+    for ds in xds:
+        assert ds["FREQ"].size == 4
+        assert ds["FREQ"].min() >= lo and ds["FREQ"].max() <= hi
+
+
+def test_column_arithmetic(ms3scan):
+    """DATA-MODEL_DATA: writing DATA into MODEL_DATA gives zero vis."""
+    ms = read_ms(ms3scan["path"])
+    update_ms_column(ms3scan["path"], "MODEL_DATA", ms["DATA"])
+    expr = _column_expr(read_ms(ms3scan["path"]), "DATA-MODEL_DATA")
+    assert np.abs(expr).max() == 0.0
+    xds = _init(ms=ms3scan["path"], write=False,
+                data_column="DATA-MODEL_DATA", scans=[0])
+    assert np.abs(xds[0]["VIS"]).max() == 0.0
+    # and the weights are unchanged by the subtraction
+    xds_plain = _init(ms=ms3scan["path"], write=False, scans=[0])
+    assert_allclose(xds[0]["WEIGHT"], xds_plain[0]["WEIGHT"])
+
+
+def test_chan_average(ms3scan):
+    """chan_average=2: weighted average of vis, summed weights,
+    averaged freqs."""
+    plain = _init(ms=ms3scan["path"], write=False, scans=[0])[0]
+    avg = _init(ms=ms3scan["path"], write=False, scans=[0],
+                chan_average=2)[0]
+    nchan = plain["FREQ"].size
+    assert avg["FREQ"].size == nchan // 2
+    assert_allclose(avg["FREQ"], plain["FREQ"].reshape(-1, 2).mean(-1))
+    w = plain["WEIGHT"].reshape(plain["WEIGHT"].shape[0], -1, 2)
+    v = plain["VIS"].reshape(w.shape)
+    assert_allclose(avg["WEIGHT"], w.sum(-1))
+    assert_allclose(avg["VIS"], (v * w).sum(-1) / w.sum(-1), rtol=1e-12)
+
+
+def test_multifield(tmp_path):
+    """Two fields: per-field groups with per-field phase centres."""
+    path = str(tmp_path / "two.npz")
+    simulate_ms(path, nant=7, ntime=4, nchan=2, nsource=2,
+                fov_deg=0.3, seed=5)
+    ms = read_ms(path)
+    nrow = ms["DATA"].shape[0]
+    fid = np.zeros(nrow, np.int32)
+    fid[nrow // 2:] = 1
+    ms["FIELD_ID"] = fid
+    ms["FIELD_RA"] = np.array([1.0, 2.0])
+    ms["FIELD_DEC"] = np.array([-0.5, -0.6])
+    np.savez(path, **ms)
+    xds = _init(ms=path, write=False)
+    fids = sorted({ds["fieldid"] for ds in xds})
+    assert fids == [0, 1]
+    for ds in xds:
+        assert ds["ra"] == [1.0, 2.0][ds["fieldid"]]
+        assert ds["dec"] == [-0.5, -0.6][ds["fieldid"]]
+    xds0 = _init(ms=path, write=False, fields=[0])
+    assert all(ds["fieldid"] == 0 for ds in xds0)
+
+
+@pmp("gain_mode,gain_coarse", [("diag", False), ("full", False),
+                               ("full", True)])
+def test_gain_correction_recovers_vis(tmp_path, gain_mode, gain_coarse):
+    """Jones-corrupted data + the same Jones in init gives back the
+    uncorrupted Stokes-I visibilities (full 2x2 mode incl. leakage;
+    coarse gain grids exercise the (time, chan) binning)."""
+    path = str(tmp_path / "g.npz")
+    kw = dict(gain_nt=4, gain_nf=2) if gain_coarse else {}
+    simulate_ms(path, nant=7, ntime=8, nchan=4, nsource=3,
+                fov_deg=0.3, seed=21, gains=True, gain_mode=gain_mode,
+                **kw)
+    pathc = str(tmp_path / "c.npz")
+    model, Ix, Iy, nx, cell, _ = simulate_ms(
+        pathc, nant=7, ntime=8, nchan=4, nsource=3, fov_deg=0.3,
+        seed=21, gains=False)
+    clean = _init(ms=pathc, write=False)
+    corr = _init(ms=path, write=False,
+                 gain_table=path + ".gains.npz")
+    for dc, dg in zip(clean, corr):
+        scale = np.abs(dc["VIS"]).max()
+        assert np.abs(dg["VIS"] - dc["VIS"]).max() < 1e-9 * scale
