@@ -22,9 +22,16 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
           psf=True, psf_oversize=2.0, residual=True, weight=True,
           filter_extreme_counts_flag=False, filter_level=10.0,
           l2reweight_dof=None, overwrite=True, write=True,
-          backend="dft", x0=0.0, y0=0.0, **kw):
+          backend="dft", epsilon=1e-7, do_wgridding=True,
+          transfer_model_from=None, x0=0.0, y0=0.0, **kw):
     """Returns the list of dds datasets (and writes
-    ``{output_filename}_{PRODUCT}_{suffix}.dds`` unless write=False)."""
+    ``{output_filename}_{PRODUCT}_{suffix}.dds`` unless write=False).
+
+    ``transfer_model_from`` names an mds store (or passes its dict):
+    the fitted component model is rendered onto each dataset's image
+    grid at its (time_out, freq_out) and the RESIDUAL is computed at
+    grid time (reference grid.py:308-334). ``epsilon``/``do_wgridding``
+    plumb gridder accuracy to the backend (gridding.yml:1-5)."""
     if xdsi is None:
         xds = dstore.read_store(f"{output_filename}_{product.upper()}.xds")
     else:
@@ -68,6 +75,10 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
 
     real_type = xds[0]["WEIGHT"].dtype
 
+    mds = transfer_model_from
+    if isinstance(mds, (str, bytes)):
+        mds = dstore.read_store(str(mds))[0]
+
     dds = []
     for ds in xds:
         bandid = int(np.where(freqs_out == ds["freq_out"])[0][0])
@@ -92,11 +103,22 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
             counts = None
 
         model = ds.get("MODEL")
+        if mds is not None:
+            from pfb_tpu.models.comps import eval_coeffs_to_slice
+            model = eval_coeffs_to_slice(
+                ds["time_out"], ds["freq_out"], mds["coefficients"],
+                mds["location_x"], mds["location_y"],
+                mds["parametrisation"], mds["params"], mds["texpr"],
+                mds["fexpr"], mds["npix_x"], mds["npix_y"],
+                mds["cell_rad_x"], mds["cell_rad_y"],
+                mds.get("center_x", 0.0), mds.get("center_y", 0.0),
+                nx, ny, cell_rad, cell_rad, x0, y0)
         out = image_data_products(
             uvw, freq, vis, wgt, mask, counts, nx, ny, nx_psf, ny_psf,
             cell_rad, cell_rad, model=model, robustness=robustness,
             x0=x0, y0=y0, l2reweight_dof=l2reweight_dof, do_psf=psf,
-            do_weight=weight, do_residual=residual, backend=backend)
+            do_weight=weight, do_residual=residual, backend=backend,
+            epsilon=epsilon, do_wgridding=do_wgridding)
 
         out_ds = {
             "ra": ds["ra"], "dec": ds["dec"], "x0": x0, "y0": y0,
@@ -125,6 +147,8 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
             out_ds["WEIGHT"] = np.asarray(out["WEIGHT"])
         if "RESIDUAL" in out:
             out_ds["RESIDUAL"] = np.asarray(out["RESIDUAL"])
+        if model is not None:
+            out_ds["MODEL"] = np.asarray(model)
         if counts is not None:
             out_ds["COUNTS"] = np.asarray(counts)
         dds.append(out_ds)
