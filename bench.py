@@ -119,6 +119,48 @@ def main():
         "pcg_iters_per_s": round(pcg_iters_per_s, 2),
         "engine": engine,
     }
+
+    # ---- Pallas gridder throughput (device-resident, 1M vis,
+    # 1024^2, w-gridding on, eps 1e-5 — BASELINE.md's gridder case;
+    # ducc0-class CPU reaches 10-100 Mvis/s) ----
+    if platform == "tpu":
+        from pfb_tpu.ops.pgridder import (_adjoint_from_plan,
+                                          _forward_from_plan,
+                                          make_hessian_pg, pgrid_plan)
+        rng = np.random.default_rng(0)
+        nrow, nchan, nxg = 125_000, 8, 1024
+        uvw = rng.normal(scale=1000.0, size=(nrow, 3))
+        uvw[:, 2] *= 0.1
+        freq = np.linspace(0.9e9, 1.1e9, nchan)
+        umax = np.abs(uvw[:, :2]).max() * freq[-1] / 299792458.0
+        cell = 1.0 / (2.0 * umax * 2.0)
+        nvis = nrow * nchan
+        plan = pgrid_plan(uvw, freq, nx=nxg, ny=nxg, cellx=cell,
+                          celly=cell, epsilon=1e-5, do_wgridding=True)
+        vr = jnp.asarray(rng.normal(size=(nrow, nchan)).astype(
+            np.float32))
+        vi = jnp.asarray(rng.normal(size=(nrow, nchan)).astype(
+            np.float32))
+        img = _adjoint_from_plan(plan, vr, vi, None, False)
+        sync(img)
+        gtimes = {}
+        hess_pg = make_hessian_pg(plan)
+        for name, fn in (
+                ("adjoint", lambda: _adjoint_from_plan(
+                    plan, vr, vi, None, False)),
+                ("forward", lambda: _forward_from_plan(
+                    plan, img, engine="pallas")),
+                ("hessian", lambda: hess_pg(img))):
+            bestg = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = fn()
+                sync(r[0] if isinstance(r, tuple) else r)
+                bestg = min(bestg, time.perf_counter() - t0)
+            gtimes[name] = bestg
+        result["gridder_Mvis_per_s"] = {
+            k: round(nvis / v / 1e6, 2) for k, v in gtimes.items()}
+
     print(json.dumps(result))
 
 
