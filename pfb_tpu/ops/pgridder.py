@@ -54,10 +54,16 @@ def _es(x, beta, k):
 
 def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
                do_wgridding=True, sigma=2.0, capacity=128, tile_u=None,
-               tile_v=None, dtype=None, x0=0.0, y0=0.0):
+               tile_v=None, dtype=None, x0=0.0, y0=0.0, w_params=None,
+               nentries_to=None):
     """Reusable plan for the Pallas gridder: geometry + per-uv-tile
     binning (all w planes of a tile belong to the same entry stream).
-    Reuse one plan across every matvec of a major cycle."""
+    Reuse one plan across every matvec of a major cycle.
+
+    ``w_params=(nw, w0, dw)`` overrides the w-plane geometry (row
+    shards of one observation must agree on it); ``nentries_to`` pads
+    the entry stream with no-op entries so shards share one compiled
+    program shape."""
     k, beta = kernel_params(epsilon)
     Nx, Ny = _grid_setup(nx, ny, cellx, celly, sigma)
     uvw_np = np.asarray(uvw)
@@ -72,7 +78,9 @@ def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
     eps_max = max(abs(l.min()), l.max()) ** 2 + \
         max(abs(m.min()), m.max()) ** 2
     nm1_min = -eps_max / (np.sqrt(max(1.0 - eps_max, 0.0)) + 1.0)
-    if do_wgridding:
+    if w_params is not None:
+        nw, w0, dw = w_params
+    elif do_wgridding:
         nw, w0, dw = _w_params(uvw_np, freq_np, nm1_min, sigma, k)
     else:
         nw, w0, dw = 1, 0.0, 1.0
@@ -138,6 +146,24 @@ def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
     pos[:, 4] = pv_loc + (sy - ay)[:, None]
     pos[:, 5] = ax[:, None]
     pos[:, 6] = ay[:, None]
+
+    if nentries_to is not None:
+        if nentries_to < nentries:
+            raise ValueError(
+                f"nentries_to={nentries_to} < nentries={nentries}")
+        npe = nentries_to - nentries
+        if npe:
+            # no-op entries: same tile id as the last entry (revisit,
+            # so no fresh block zeroing is skipped), kernel coordinates
+            # at -2k (identically zero ES factors), zero mask
+            pade = np.repeat(pos[-1:], npe, axis=0)
+            pade[:, 0:2] = -2.0 * k
+            pade[:, 3:5] = -2.0 * k
+            pos = np.concatenate([pos, pade])
+            utid = np.concatenate([utid, np.full(npe, utid[-1])])
+            idx = np.concatenate([idx, np.zeros((npe, C), idx.dtype)])
+            pmask = np.concatenate([pmask, np.zeros((npe, C), bool)])
+            nentries = nentries_to
     return dict(
         k=k, beta=float(beta), Nx=Nx, Ny=Ny, nw=nw, w0=w0, dw=dw,
         ntx=ntx, nty=nty, txs=txs, tys=tys, C=C, nentries=nentries,
@@ -217,17 +243,14 @@ def _shift_phases(uvw, freq, x0, y0):
     return jnp.cos(ph), jnp.sin(ph)
 
 
-@partial(jax.jit, static_argnames=(
-    "beta", "k", "nw", "ntx", "nty", "txs", "tys", "C", "Nx", "Ny",
-    "nx", "ny", "cellx", "celly", "w0", "dw", "x0", "y0",
-    "divide_by_n", "interpret", "precision"))
-def _pg_adjoint(vr, vi, wflat, tid, pos, idx, pm, uvw, freq, *, beta,
-                k, nw, ntx, nty, txs, tys, C, Nx, Ny, nx, ny, cellx,
-                celly, w0, dw, x0, y0, divide_by_n, interpret,
-                precision=lax.Precision.HIGHEST):
-    """The WHOLE adjoint as one XLA program: weight+shift the vis
-    components, gather-pack per tile entry, Pallas spread, tile fold,
-    w-plane iFFTs and grid corrections."""
+def _spread_fold(vr, vi, wflat, tid, pos, idx, pm, uvw, freq, *, beta,
+                 k, nw, ntx, nty, txs, tys, C, x0, y0, Nx, Ny,
+                 interpret, precision=lax.Precision.HIGHEST):
+    """Weight+shift the vis components, gather-pack per tile entry,
+    Pallas spread and tile fold -> the (2nw, Nx, Ny) extended grids
+    (real planes then imag planes). The row-local half of the adjoint:
+    summing these grids over row shards is exact, which is what
+    vis2dirty_rowdist psums."""
     Thx, Thy = txs + k, tys + k
     if x0 or y0:
         cs, sn = _shift_phases(uvw, freq, x0, y0)
@@ -240,11 +263,51 @@ def _pg_adjoint(vr, vi, wflat, tid, pos, idx, pm, uvw, freq, *, beta,
 
     Y = _grid_pallas(tid, pos, vispack, beta, k, nw, ntx * nty, Thx,
                      Thy, C, interpret=interpret, precision=precision)
-    folded = _fold_tiles(Y.reshape(2 * nw, ntx, nty, Thx, Thy), ntx,
-                         nty, txs, tys, k, Nx, Ny)
+    return _fold_tiles(Y.reshape(2 * nw, ntx, nty, Thx, Thy), ntx,
+                       nty, txs, tys, k, Nx, Ny)
+
+
+@partial(jax.jit, static_argnames=(
+    "beta", "k", "nw", "ntx", "nty", "txs", "tys", "C", "Nx", "Ny",
+    "nx", "ny", "cellx", "celly", "w0", "dw", "x0", "y0",
+    "divide_by_n", "interpret", "precision"))
+def _pg_adjoint(vr, vi, wflat, tid, pos, idx, pm, uvw, freq, *, beta,
+                k, nw, ntx, nty, txs, tys, C, Nx, Ny, nx, ny, cellx,
+                celly, w0, dw, x0, y0, divide_by_n, interpret,
+                precision=lax.Precision.HIGHEST):
+    """The WHOLE adjoint as one XLA program: weight+shift the vis
+    components, gather-pack per tile entry, Pallas spread, tile fold,
+    w-plane iFFTs and grid corrections."""
+    folded = _spread_fold(vr, vi, wflat, tid, pos, idx, pm, uvw, freq,
+                          beta=beta, k=k, nw=nw, ntx=ntx, nty=nty,
+                          txs=txs, tys=tys, C=C, x0=x0, y0=y0, Nx=Nx,
+                          Ny=Ny, interpret=interpret,
+                          precision=precision)
     return _grid_to_image(folded[:nw], folded[nw:], nx, ny, cellx,
                           celly, k, beta, Nx, Ny, nw > 1, nw, w0, dw,
                           divide_by_n, x0, y0)
+
+
+def _spread_fold_from_plan(p, vr, vi, wflat, tid, pos, idx, pm, uvw,
+                           interpret=False):
+    """Row-local spread+fold with geometry from a plan but explicit
+    (possibly sharded) binning arrays — the unit the row-distributed
+    adjoint psums (parallel/dist.py:make_vis2dirty_rowdist)."""
+    return _spread_fold(vr, vi, wflat, tid, pos, idx, pm, uvw,
+                        p["freq_d"], beta=p["beta"], k=p["k"],
+                        nw=p["nw"], ntx=p["ntx"], nty=p["nty"],
+                        txs=p["txs"], tys=p["tys"], C=p["C"],
+                        x0=p["x0"], y0=p["y0"], Nx=p["Nx"], Ny=p["Ny"],
+                        interpret=interpret)
+
+
+def _grid_to_image_from_plan(p, folded, divide_by_n=False):
+    nw = p["nw"]
+    return _grid_to_image(folded[:nw], folded[nw:], p["nx"], p["ny"],
+                          p["cellx"], p["celly"], p["k"], p["beta"],
+                          p["Nx"], p["Ny"], nw > 1, nw, float(p["w0"]),
+                          float(p["dw"]), divide_by_n, p["x0"],
+                          p["y0"])
 
 
 def _adjoint_from_plan(p, vr, vi, wflat, interpret):

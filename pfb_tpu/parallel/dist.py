@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
@@ -42,30 +43,91 @@ def hessian_psf_dist(mesh, lastsize, sigmainv=0.0):
     return jax.jit(matvec)
 
 
-def hessian_psf_space_dist(mesh, lastsize, sigmainv=0.0):
+def hessian_psf_space_dist(mesh, lastsize, sigmainv=0.0,
+                           method="fft"):
     """Band- AND space-sharded PSF-Hessian matvec.
 
-    The image rows are sharded over the 'space' axis; each shard
-    all-gathers the rows of its bands over ICI, runs the local padded
-    FFT convolution, and keeps its own row block of the result. This is
-    the allgather variant of the spatially sharded convolution
-    (SURVEY.md section 5, "long-context analogue"); a halo/distributed-
-    FFT version can replace it without changing the interface.
-    """
-    spec = P("band", "space", None)
-    pspec = P("band", None, None)
+    method="fft" (default): distributed rFFT2 convolution. The y-axis
+    transform runs on the locally-owned image rows, one all_to_all over
+    the 'space' axis transposes the spectrum so the x-axis transform is
+    local, the (column-sharded) PSFHAT multiply and inverse x-transform
+    follow, and a second all_to_all restores row sharding for the
+    inverse y-transform. Per-device communication is O(cube / nshards)
+    per matvec — the scalable replacement for the all_gather variant
+    (SURVEY.md section 5, "long-context analogue"; the PSF kernel has
+    full image support at psf_oversize=2 so a halo exchange would
+    degenerate to all_gather, hence the distributed transform).
 
-    def local(x, psfhat):
-        nxl = x.shape[1]
-        x_full = lax.all_gather(x, "space", axis=1, tiled=True)
-        out = hessian_psf_cube(x_full, psfhat, lastsize=lastsize,
-                               sigmainv=sigmainv)
-        rank = lax.axis_index("space")
-        return lax.dynamic_slice_in_dim(out, rank * nxl, nxl, axis=1)
+    method="allgather": each shard gathers the full rows and convolves
+    locally — O(cube) received per device, kept for small images.
+
+    Call :func:`prep_psfhat_space` once to lay PSFHAT out for the fft
+    method (zero-padded to a column count divisible by the space axis,
+    sharded over its spectral columns).
+    """
+    if method == "allgather":
+        spec = P("band", "space", None)
+        pspec = P("band", None, None)
+
+        def local_ag(x, psfhat):
+            nxl = x.shape[1]
+            x_full = lax.all_gather(x, "space", axis=1, tiled=True)
+            out = hessian_psf_cube(x_full, psfhat, lastsize=lastsize,
+                                   sigmainv=sigmainv)
+            rank = lax.axis_index("space")
+            return lax.dynamic_slice_in_dim(out, rank * nxl, nxl,
+                                            axis=1)
+
+        fn = shard_map(local_ag, mesh=mesh, in_specs=(spec, pspec),
+                       out_specs=spec)
+        return jax.jit(fn)
+
+    spec = P("band", "space", None)
+    pspec = P("band", None, "space")
+    nyp = lastsize
+    nyw = nyp // 2 + 1
+
+    def local(x, psfhat_p):
+        # x: (nbl, nxl, ny) local rows; psfhat_p: (nbl, nxp, nyw_l)
+        # local spectral columns (prep_psfhat_space layout)
+        nxl, ny = x.shape[-2:]
+        nxp, nyw_l = psfhat_p.shape[-2:]
+        ps = lax.axis_size("space")
+        nx = nxl * ps
+        # forward y transform on owned rows
+        xp = jnp.pad(x, [(0, 0), (0, 0), (0, nyp - ny)])
+        xf = jnp.fft.rfft(xp, axis=-1)                # (nbl, nxl, nyw)
+        xf = jnp.pad(xf, [(0, 0), (0, 0), (0, nyw_l * ps - nyw)])
+        # transpose: gather all rows, keep 1/ps of the columns
+        xf = lax.all_to_all(xf, "space", split_axis=2, concat_axis=1,
+                            tiled=True)               # (nbl, nx, nyw_l)
+        # x transform is now local; pad rows to the PSF size
+        xf = jnp.pad(xf, [(0, 0), (0, nxp - nx), (0, 0)])
+        xf = jnp.fft.fft(xf, axis=-2)
+        xf = xf * psfhat_p
+        xf = jnp.fft.ifft(xf, axis=-2)[:, :nx]
+        # transpose back: keep own rows, gather all columns
+        xf = lax.all_to_all(xf, "space", split_axis=1, concat_axis=2,
+                            tiled=True)               # (nbl, nxl, nyw_l*ps)
+        out = jnp.fft.irfft(xf[..., :nyw], n=nyp, axis=-1)[..., :ny]
+        if sigmainv:
+            out = out + x * sigmainv
+        return out.real.astype(x.dtype)
 
     fn = shard_map(local, mesh=mesh, in_specs=(spec, pspec),
                    out_specs=spec)
     return jax.jit(fn)
+
+
+def prep_psfhat_space(psfhat, nspace):
+    """Lay PSFHAT out for the distributed-FFT convolve: zero-pad the
+    spectral column axis to a multiple of the 'space' shard count (the
+    all_to_all needs equal splits; rfft gives nyp//2+1 columns which
+    never divides evenly). Shard the result P('band', None, 'space')."""
+    nyw = psfhat.shape[-1]
+    nyw_p = nspace * (-(-nyw // nspace))
+    return jnp.pad(psfhat, [(0, 0)] * (psfhat.ndim - 1)
+                   + [(0, nyw_p - nyw)])
 
 
 def power_method_dist(mesh, lastsize, tol=1e-5, maxit=200,
@@ -260,6 +322,112 @@ def coeff_rms_dist(mesh, psi, pix_per_beam):
     fn = shard_map(local, mesh=mesh, in_specs=(cube, P("band")),
                    out_specs=P(None))
     return jax.jit(fn)
+
+
+def make_vis2dirty_rowdist(mesh, uvw, freq, *, nx, ny, cellx, celly,
+                           epsilon=1e-7, do_wgridding=True, x0=0.0,
+                           y0=0.0, axis="space", capacity=128):
+    """Row-sharded R.H through the Pallas gridder (SURVEY.md
+    section 2.9 "row parallelism": shard rows across hosts for
+    gridding; partial-grid accumulation + psum of subgrids).
+
+    Visibility rows are split into equal blocks across the ``axis``
+    mesh axis; each shard spreads + tile-folds ITS rows into the
+    (2nw, Nx, Ny) extended uv grids with the fused Pallas kernel, one
+    ``lax.psum`` over the axis accumulates the subgrids (the only
+    communication — O(w-planes x padded grid) per adjoint,
+    independent of the visibility count), and the w-plane iFFTs +
+    grid corrections run replicated on the summed grid.
+
+    Returns ``(fn, split)``: ``split(arr)`` maps a host (nrow, nchan)
+    array onto the sharded (nshard, rows_per, nchan) layout
+    (zero-padding the ragged tail) and ``fn(vr, vi, wgt)`` produces
+    the replicated (nx, ny) dirty image. All per-shard plans share the
+    global w geometry and a common compiled shape.
+    """
+    from pfb_tpu.ops.pgridder import (_grid_to_image_from_plan,
+                                      _spread_fold_from_plan,
+                                      pgrid_plan)
+    from pfb_tpu.ops.wgridder import _w_params, kernel_params
+
+    uvw = np.asarray(uvw)
+    freq = np.asarray(freq)
+    nsh = mesh.shape[axis]
+    nrow = uvw.shape[0]
+    rows_per = -(-nrow // nsh)
+
+    # global w geometry: every shard must agree on the plane grid
+    k, _beta = kernel_params(epsilon)
+    l = (np.arange(nx) - nx // 2) * cellx + x0
+    m = (np.arange(ny) - ny // 2) * celly + y0
+    eps_max = max(abs(l.min()), l.max()) ** 2 + \
+        max(abs(m.min()), m.max()) ** 2
+    nm1_min = -eps_max / (np.sqrt(max(1.0 - eps_max, 0.0)) + 1.0)
+    if do_wgridding:
+        wp = _w_params(uvw, freq, nm1_min, 2.0, k)
+    else:
+        wp = (1, 0.0, 1.0)
+
+    def block(s):
+        u = uvw[s * rows_per:(s + 1) * rows_per]
+        if u.shape[0] < rows_per:
+            u = np.pad(u, ((0, rows_per - u.shape[0]), (0, 0)))
+        return u
+
+    plans = [pgrid_plan(block(s), freq, nx=nx, ny=ny, cellx=cellx,
+                        celly=celly, epsilon=epsilon,
+                        do_wgridding=do_wgridding, capacity=capacity,
+                        x0=x0, y0=y0, w_params=wp)
+             for s in range(nsh)]
+    nent = max(p["nentries"] for p in plans)
+    plans = [p if p["nentries"] == nent else
+             pgrid_plan(block(s), freq, nx=nx, ny=ny, cellx=cellx,
+                        celly=celly, epsilon=epsilon,
+                        do_wgridding=do_wgridding, capacity=capacity,
+                        x0=x0, y0=y0, w_params=wp, nentries_to=nent)
+             for s, p in enumerate(plans)]
+    p0 = plans[0]
+
+    sh = jax.NamedSharding(mesh, P(axis))
+    stacked = {key: jax.device_put(
+        jnp.stack([p[key] for p in plans]), sh)
+        for key in ("tid", "pos", "idx", "pm", "uvw_d")}
+    interpret = jax.default_backend() != "tpu"
+
+    def split(arr):
+        arr = np.asarray(arr)
+        pad = nsh * rows_per - nrow
+        arr = np.pad(arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1))
+        return jnp.asarray(
+            arr.reshape(nsh, rows_per, *arr.shape[1:])
+            .astype(p0["rdtype"]))
+
+    rspec = P(axis)
+
+    def local(vr, vi, w, tid, pos, idx, pm, uvw_d):
+        folded = _spread_fold_from_plan(
+            p0, vr[0], vi[0], w[0] if w is not None else None,
+            tid[0], pos[0], idx[0], pm[0], uvw_d[0],
+            interpret=interpret)
+        folded = lax.psum(folded, axis)
+        return _grid_to_image_from_plan(p0, folded)
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axis
+    # annotation, so the rep checker cannot see through the kernel
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(rspec, rspec, rspec, rspec, rspec, rspec,
+                             rspec, rspec),
+                   out_specs=P(), check_vma=False)
+    jfn = jax.jit(fn)
+
+    def run(vr, vi, wgt=None):
+        w = split(wgt) if wgt is not None else jnp.ones(
+            (nsh, rows_per, freq.shape[0]), p0["pos"].dtype)
+        return jfn(split(vr), split(vi), w, stacked["tid"],
+                   stacked["pos"], stacked["idx"], stacked["pm"],
+                   stacked["uvw_d"])
+
+    return run, split
 
 
 def make_hessian_dds_dist(mesh, dds, nband, wsum, nx, ny,

@@ -143,3 +143,80 @@ def test_primal_dual_dist_matches_local(mesh8):
                     rtol=1e-8, atol=1e-10)
     assert_allclose(np.asarray(v_dist), np.asarray(v_local),
                     rtol=1e-8, atol=1e-10)
+
+
+def test_hessian_space_dist_fft_matches_local():
+    """Distributed-rFFT2 convolution (band x space mesh, all_to_all
+    transposes) agrees with the single-program convolve to f64 — the
+    scalable spatial sharding of SURVEY.md section 5."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pfb_tpu.parallel.dist import (hessian_psf_space_dist,
+                                       prep_psfhat_space)
+
+    nband, nx, ny = 2, 32, 48
+    nxp, nyp = 2 * nx, 2 * ny
+    xg = np.arange(nxp) - nxp // 2
+    yg = np.arange(nyp) - nyp // 2
+    xx, yy = np.meshgrid(xg, yg, indexing="ij")
+    psf = np.zeros((nband, nxp, nyp))
+    for b in range(nband):
+        s = 1.0 + 0.3 * b
+        psf[b] = 0.5 * np.exp(-0.5 * (xx**2 + yy**2) / s**2)
+        psf[b, nxp // 2, nyp // 2] += 0.5
+    psfhat = np.asarray(make_psfhat(jnp.asarray(psf)))
+    lastsize = nyp
+
+    mesh = make_mesh(nband=2, nspace=4)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(nband, nx, ny))
+
+    for sigmainv in (0.0, 0.7):
+        hess = make_psf_convolve(jnp.asarray(psfhat), lastsize,
+                                 sigmainv=sigmainv)
+        ref = np.asarray(hess(jnp.asarray(x)))
+
+        php = prep_psfhat_space(jnp.asarray(psfhat), 4)
+        xd = jax.device_put(jnp.asarray(x),
+                            NamedSharding(mesh, P("band", "space")))
+        phd = jax.device_put(php,
+                             NamedSharding(mesh,
+                                           P("band", None, "space")))
+        for method in ("fft", "allgather"):
+            ph_in = phd if method == "fft" else jax.device_put(
+                jnp.asarray(psfhat),
+                NamedSharding(mesh, P("band")))
+            hd = hessian_psf_space_dist(mesh, lastsize,
+                                        sigmainv=sigmainv,
+                                        method=method)
+            out = np.asarray(hd(xd, ph_in))
+            assert_allclose(out, ref, rtol=1e-11, atol=1e-11)
+
+
+def test_vis2dirty_rowdist_matches_local():
+    """Row-sharded Pallas gridding (subgrid psum over the mesh axis)
+    reproduces the single-device adjoint exactly (SURVEY.md
+    section 2.9 "row parallelism")."""
+    from pfb_tpu.ops.pgridder import vis2dirty_pg
+    from pfb_tpu.parallel.dist import make_vis2dirty_rowdist
+    from pfb_tpu.utils.simulation import image_size_for, simulate_obs
+
+    obs = simulate_obs(nant=7, ntime=6, nchan=2, seed=3)
+    nx, cell = image_size_for(obs, fov_deg=0.2)
+    nx = min(nx, 64)
+    rng = np.random.default_rng(0)
+    nrow, nchan = obs.uvw.shape[0], obs.freq.size
+    vis = rng.normal(size=(nrow, nchan)) + \
+        1j * rng.normal(size=(nrow, nchan))
+    wgt = rng.random((nrow, nchan))
+
+    ref = np.asarray(vis2dirty_pg(
+        obs.uvw, obs.freq, vis, wgt=wgt, nx=nx, ny=nx, cellx=cell,
+        celly=cell, epsilon=1e-7, do_wgridding=True))
+
+    mesh = make_mesh(nband=2, nspace=4)
+    fn, split = make_vis2dirty_rowdist(
+        mesh, obs.uvw, obs.freq, nx=nx, ny=nx, cellx=cell, celly=cell,
+        epsilon=1e-7, do_wgridding=True)
+    out = np.asarray(fn(vis.real, vis.imag, wgt))
+    assert_allclose(out, ref, rtol=1e-10, atol=1e-10 * np.abs(ref).max())
