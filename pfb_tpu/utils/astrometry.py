@@ -33,11 +33,38 @@ def synthesize_uvw(ants_enu, time_s, ant1, ant2, phase_dir, lat,
 
 
 def get_coordinates(obs_time, target="Sun"):
-    """Ephemeris target -> (ra, dec). Needs an ephemeris table which is
-    not available in this environment."""
-    raise NotImplementedError(
-        "Ephemeris targets require casacore measures / an ephemeris "
-        "service; pass explicit radec instead.")
+    """Ephemeris target -> (ra, dec) radians at ``obs_time`` (MS TIME
+    convention: seconds of MJD). The reference resolves ephemeris
+    targets through casacore measures (astrometry.py:104-137);
+    here the Sun uses the standard low-precision solar position
+    algorithm (Meeus/Almanac, ~0.01 deg) — ample for pointing a
+    primary-beam model or a movie phase centre."""
+    if target.lower() != "sun":
+        raise ValueError(
+            f"Only the Sun ephemeris is built in (got {target!r}); "
+            "pass explicit radec for other bodies.")
+    mjd = np.mean(np.atleast_1d(obs_time)) / 86400.0
+    n = mjd - 51544.5  # days since J2000
+    L = np.deg2rad((280.460 + 0.9856474 * n) % 360.0)
+    g = np.deg2rad((357.528 + 0.9856003 * n) % 360.0)
+    lam = L + np.deg2rad(1.915) * np.sin(g) + \
+        np.deg2rad(0.020) * np.sin(2 * g)
+    eps = np.deg2rad(23.439 - 4e-7 * n)
+    ra = np.arctan2(np.cos(eps) * np.sin(lam), np.cos(lam)) % (2 * np.pi)
+    dec = np.arcsin(np.sin(eps) * np.sin(lam))
+    return float(ra), float(dec)
+
+
+def parallactic_angle(time_s, ra, dec, lat, lst0=0.0,
+                      earth_rate=2 * np.pi / 86164.0905):
+    """Parallactic angle (radians) per time sample for a source at
+    (ra, dec) seen from latitude ``lat``; LST approximated as
+    lst0 + earth_rate * t like :func:`synthesize_uvw`."""
+    ha = lst0 + earth_rate * np.asarray(time_s, np.float64) - ra
+    return np.arctan2(
+        np.cos(lat) * np.sin(ha),
+        np.sin(lat) * np.cos(dec) -
+        np.cos(lat) * np.sin(dec) * np.cos(ha))
 
 
 def radec_to_lm(radec_target, radec_phase_centre):

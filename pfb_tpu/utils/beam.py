@@ -29,29 +29,52 @@ def cos3_beam(l_deg, m_deg, freq_hz, dish_diameter=13.5,
 
 
 def interp_beam(freq, nx, ny, cell_deg, btype="kbl", l0=0.0, m0=0.0,
-                dish_diameter=13.5):
+                dish_diameter=13.5, utime=None, radec=None, lat=None,
+                lst0=0.0):
     """Evaluate a beam model for one frequency on a coarse grid,
     returning (beam, l_grid, m_grid) like the reference's interp_beam
-    (pfb/utils/beam.py:84-140)."""
+    (pfb/utils/beam.py:84-140).
+
+    When ``utime`` (array of time samples) plus ``radec`` and ``lat``
+    are given, the beam is the TIME AVERAGE over the per-sample
+    parallactic-angle rotations of the sky frame — the beam_cube_dde
+    path of reference beam.py:16-83 (which carries a stray
+    ipdb.set_trace upstream; rebuilt from design intent). Rotation is
+    a no-op for circularly symmetric models but matters for measured
+    .npz beams."""
     l = (-(nx // 2) + np.arange(nx)) * cell_deg + l0
     m = (-(ny // 2) + np.arange(ny)) * cell_deg + m0
     ll, mm = np.meshgrid(l, m, indexing="ij")
-    if btype is None or btype == "none":
-        beam = np.ones((nx, ny))
-    elif btype in ("kbl", "kbuhf", "cos3"):
-        beam = cos3_beam(ll, mm, freq, dish_diameter=dish_diameter)
-    elif btype.endswith(".npz"):
-        with np.load(btype) as f:
-            bvals = f["beam"]
-            l_b = f["l_beam"]
-            m_b = f["m_beam"]
-        interp = RegularGridInterpolator((l_b, m_b), bvals,
-                                         bounds_error=False,
-                                         fill_value=0.0)
-        beam = interp((ll, mm))
-    else:
+
+    def model(llg, mmg):
+        if btype is None or btype == "none":
+            return np.ones(llg.shape)
+        if btype in ("kbl", "kbuhf", "cos3"):
+            return cos3_beam(llg, mmg, freq,
+                             dish_diameter=dish_diameter)
+        if btype.endswith(".npz"):
+            with np.load(btype) as f:
+                bvals = f["beam"]
+                l_b = f["l_beam"]
+                m_b = f["m_beam"]
+            interp = RegularGridInterpolator((l_b, m_b), bvals,
+                                             bounds_error=False,
+                                             fill_value=0.0)
+            return interp((llg, mmg))
         raise ValueError(f"Unknown beam model {btype}")
-    return beam, l, m
+
+    if utime is None:
+        return model(ll, mm), l, m
+
+    from pfb_tpu.utils.astrometry import parallactic_angle
+    ra, dec = radec
+    pas = parallactic_angle(np.atleast_1d(utime), ra, dec, lat,
+                            lst0=lst0)
+    beam = np.zeros((nx, ny))
+    for pa in pas:
+        c, s = np.cos(pa), np.sin(pa)
+        beam += model(c * ll + s * mm, -s * ll + c * mm)
+    return beam / pas.size, l, m
 
 
 def eval_beam(beam, l_beam, m_beam, l_out, m_out):

@@ -12,6 +12,25 @@ import contextlib
 import time
 
 
+def start_profile(profile_dir, name="pfb"):
+    """Start a jax.profiler trace for the rest of the process (one
+    trace per worker invocation — the reference's per-run
+    performance_report convention). Wired to the CLI's
+    ``--profile-dir`` flag; stopped at interpreter exit."""
+    import atexit
+
+    import jax
+    jax.profiler.start_trace(f"{profile_dir}/{name}")
+
+    def _stop():
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            pass  # already stopped explicitly
+
+    atexit.register(_stop)
+
+
 @contextlib.contextmanager
 def compute_context(profile_dir=None, name="pfb"):
     """Optional jax.profiler trace around a worker phase."""

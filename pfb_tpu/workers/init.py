@@ -73,7 +73,8 @@ def _init(ms=None, output_filename=None, product="I",
           gain_table=None, data_column="DATA", weight_column=None,
           flag_column="FLAG", beam_model=None, max_field_of_view=3.0,
           chan_average=1, freq_range=None, fields=None, ddids=None,
-          scans=None, overwrite=True, write=True, **kw):
+          scans=None, site_latitude=None, precision="double",
+          overwrite=True, write=True, **kw):
     """Returns the list of xds datasets (and writes
     ``{output_filename}_{PRODUCT}.xds`` unless write=False).
 
@@ -206,6 +207,9 @@ def _init(ms=None, output_filename=None, product="I",
                     product=product, pol=pol, mode=mode)
                 vis = to_host(vis)
                 wout = np.asarray(wout)
+                if precision == "single":
+                    vis = vis.astype(np.complex64)
+                    wout = wout.astype(np.float32)
                 freq_c = freq_g[csel]
                 if chan_average and chan_average > 1:
                     vis, wout, freq_c = _chan_average(
@@ -231,12 +235,20 @@ def _init(ms=None, output_filename=None, product="I",
                     "product": product,
                 }
                 # primary beam on a coarse grid at freq_out (reference
-                # attaches BEAM/l_beam/m_beam, stokes2vis.py:235-280)
+                # attaches BEAM/l_beam/m_beam, stokes2vis.py:235-280);
+                # with site_latitude the beam is the parallactic-angle
+                # average over the chunk's time samples (beam.py:16-83)
                 from pfb_tpu.utils.beam import interp_beam
                 nb = 64
                 cell_b = max_field_of_view / nb
+                bkw = {}
+                if site_latitude is not None:
+                    bkw = dict(utime=utime[t0:t0 + ipi],
+                               radec=(ds["ra"], ds["dec"]),
+                               lat=site_latitude)
                 bvals, l_b, m_b = interp_beam(ds["freq_out"], nb, nb,
-                                              cell_b, btype=beam_model)
+                                              cell_b, btype=beam_model,
+                                              **bkw)
                 ds["BEAM"] = bvals
                 ds["l_beam"] = l_b
                 ds["m_beam"] = m_b

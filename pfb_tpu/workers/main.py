@@ -39,8 +39,15 @@ def _clickify(worker):
 
 
 @click.group()
-def cli():
+@click.option("--profile-dir", default=None,
+              help="Write a jax.profiler trace for this worker run "
+                   "under DIR (one trace per invocation, the analogue "
+                   "of the reference's dask performance_report).")
+def cli(profile_dir):
     """pfb-tpu: TPU-native radio-interferometric imaging suite."""
+    if profile_dir:
+        from pfb_tpu.utils.profiling import start_profile
+        start_profile(profile_dir)
 
 
 @cli.command()

@@ -86,3 +86,84 @@ def test_gauss_kron_identities():
     got = np.asarray(kron_matvec((jnp.asarray(A), jnp.asarray(B)),
                                  jnp.asarray(v)))
     assert_allclose(got, dense, rtol=1e-10)
+
+
+def test_fastim_smoovie_scans(tmp_path):
+    """Multi-scan MS: fastim chunks never cross scan boundaries and
+    smoovie's time bins respect them (reference smoovie.py scan-aware
+    binning); annotated rendering and the mp4 path (with GIF fallback
+    when no ffmpeg backend exists) both produce a movie file."""
+    import os
+
+    from pfb_tpu.utils.ms import simulate_ms
+    from pfb_tpu.workers.fastim import _fastim
+    from pfb_tpu.workers.smoovie import _smoovie
+
+    ms_path = str(tmp_path / "t.npz")
+    simulate_ms(ms_path, nant=7, ntime=9, nchan=2, nsource=2,
+                fov_deg=0.3, seed=4, nscan=3)
+    fds = _fastim(ms=ms_path, output_filename=str(tmp_path / "f"),
+                  integrations_per_image=2, channels_per_image=2,
+                  field_of_view=0.3)
+    # 3 scans x 3 utimes each -> 2 time chunks per scan (2+1)
+    assert len(fds) == 3 * 2
+    assert sorted({ds["scanid"] for ds in fds}) == [0, 1, 2]
+
+    # t_bin=2 would merge chunks, but never across scans -> 3 frames
+    frames = _smoovie(fdsi=fds, output_filename=str(tmp_path / "f"),
+                      animate_axis="time", t_bin=2, annotate=True,
+                      out_format="mp4")
+    assert len(frames) == 3
+    made = [p for p in os.listdir(tmp_path)
+            if p.endswith((".mp4", ".gif"))]
+    assert made, "no movie written"
+
+
+def test_parallactic_beam_average(tmp_path):
+    """Time-dependent beam: the PA-averaged measured beam equals the
+    hand-computed average over rotated evaluations (reference
+    beam.py:16-83 design intent), and a symmetric model is invariant."""
+    from pfb_tpu.utils.astrometry import parallactic_angle
+    from pfb_tpu.utils.beam import interp_beam
+
+    # asymmetric measured beam on a wide grid
+    nb = 65
+    lb = np.linspace(-2.0, 2.0, nb)
+    bl, bm = np.meshgrid(lb, lb, indexing="ij")
+    bvals = np.exp(-0.5 * (bl**2 / 1.0 + bm**2 / 0.25))
+    path = str(tmp_path / "beam.npz")
+    np.savez(path, beam=bvals, l_beam=lb, m_beam=lb)
+
+    utime = np.linspace(0.0, 3600.0, 5)
+    ra, dec, lat = 1.0, -0.5, -0.52
+    got, l, m = interp_beam(1e9, 32, 32, 0.05, btype=path,
+                            utime=utime, radec=(ra, dec), lat=lat)
+
+    from scipy.interpolate import RegularGridInterpolator
+    interp = RegularGridInterpolator((lb, lb), bvals,
+                                     bounds_error=False, fill_value=0.0)
+    ll, mm = np.meshgrid(l, m, indexing="ij")
+    pas = parallactic_angle(utime, ra, dec, lat)
+    expect = np.mean([interp((np.cos(p) * ll + np.sin(p) * mm,
+                              -np.sin(p) * ll + np.cos(p) * mm))
+                      for p in pas], axis=0)
+    assert_allclose(got, expect, rtol=1e-12)
+    assert np.std(pas) > 0.01  # rotations actually varied
+
+    sym, _, _ = interp_beam(1e9, 32, 32, 0.05, btype="cos3",
+                            utime=utime, radec=(ra, dec), lat=lat)
+    stat, _, _ = interp_beam(1e9, 32, 32, 0.05, btype="cos3")
+    assert_allclose(sym, stat, atol=1e-12)
+
+
+def test_sun_ephemeris():
+    """Low-precision solar position: at J2000.0 the Sun sat near
+    RA 18h44m, dec -23.03 deg (Almanac)."""
+    from pfb_tpu.utils.astrometry import get_coordinates
+    t_j2000 = 51544.5 * 86400.0  # MJD seconds
+    ra, dec = get_coordinates(t_j2000)
+    assert abs(np.rad2deg(dec) - (-23.03)) < 0.1
+    assert abs(ra - np.deg2rad(281.3)) < np.deg2rad(0.2)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        get_coordinates(t_j2000, target="Jupiter")

@@ -85,3 +85,27 @@ steps:
         assert False, "expected ValueError"
     except ValueError as e:
         assert "unknown parameter" in str(e)
+
+
+def test_cli_profile_dir(tmp_path):
+    """--profile-dir writes a jax.profiler trace for the worker run
+    (the reference's per-run dask performance_report analogue)."""
+    import os
+
+    ms_path = str(tmp_path / "obs.npz")
+    simulate_ms(ms_path, nant=7, ntime=2, nchan=1, nsource=1,
+                fov_deg=0.3, seed=3)
+    out = str(tmp_path / "out")
+    prof = str(tmp_path / "prof")
+    runner = CliRunner()
+    r = runner.invoke(cli, ["--profile-dir", prof, "init", "-ms",
+                            ms_path, "-o", out])
+    assert r.exit_code == 0, r.output
+    import jax
+    try:
+        jax.profiler.stop_trace()
+    except Exception:
+        pass
+    found = [os.path.join(dp, f) for dp, _, fs in os.walk(prof)
+             for f in fs]
+    assert found, "no trace files written"
