@@ -253,6 +253,15 @@ def _const_specs_lane(N):
             full((N2, N2)), full((N1, N2)), full((N1, N2))]
 
 
+def prep_H_v3(HT):
+    """Half-height scrambled transfer function for the v3 pipeline:
+    keep only the x-spectrum rows K1 emits (k < NXH, whole k2 blocks
+    covering the Nyquist row), then scramble for the K2 multiply."""
+    NX = HT.shape[-1]
+    N1x, N2x = _factor(NX)
+    return scramble_HT(HT[..., :N1x * (N2x // 2 + 1)])
+
+
 def scramble_HT(HT):
     """(..., NY, NX) transposed transfer function -> the
     (..., N1y, NX, N2y) scrambled layout the v2 K2 kernel multiplies
@@ -311,9 +320,9 @@ def _k2v_kernel(xr_ref, xi_ref, hsr_ref, hsi_ref, w1r_, w1i_, w2r_,
     # forward stage 2 over n2 (lanes): scrambled spectrum (N1, M, K2)
     sr = _dotg_right(br, w2r, prec) - _dotg_right(bi, w2i, prec)
     si = _dotg_right(bi, w2r, prec) + _dotg_right(br, w2i, prec)
-    # multiply pre-scrambled H
-    hr = hsr_ref[...]
-    hi = hsi_ref[...]
+    # multiply pre-scrambled H (reshape drops a leading unit band dim)
+    hr = hsr_ref[...].reshape(hsr_ref.shape[-3:])
+    hi = hsi_ref[...].reshape(hsi_ref.shape[-3:])
     pr = sr * hr - si * hi
     pi_ = sr * hi + si * hr
     # inverse stage A over k2 (lanes), conjugated W2
@@ -328,8 +337,245 @@ def _k2v_kernel(xr_ref, xi_ref, hsr_ref, hsi_ref, w1r_, w1i_, w2r_,
     ei = _dotg_left0(w1r_k, di, prec) - _dotg_left0(w1i_k, dr, prec)
     inv = 1.0 / N
     # natural layout: (n1, M, N2) -> (M, n1, N2) -> (M, ny)
-    or_ref[...] = (er * inv).transpose(1, 0, 2).reshape(M, n1_in * N2)
-    oi_ref[...] = (ei * inv).transpose(1, 0, 2).reshape(M, n1_in * N2)
+    or_ref[...] = (er * inv).transpose(1, 0, 2).reshape(or_ref.shape)
+    oi_ref[...] = (ei * inv).transpose(1, 0, 2).reshape(oi_ref.shape)
+
+
+# ---------------------------------------------------------------------
+# v3 sublane transforms: transpose-free AND Hermitian-aware.
+# The sublane four-step's stage-2 contraction runs as a 3D dot_general
+# (W2 against the (k1, n2, L) tensor) so the (1,0,2) relayout of
+# v1/v2's K1/K3 disappears, and because the image is real its
+# x-spectrum obeys Z(NX-k) = conj(Z(k)): K1 emits only the rows
+# k <= NX/2 (padded to whole k2 blocks, NXH = N1*(N2/2+1)), K2 runs on
+# HALF the row strips against a half-height H, and K3 reconstructs the
+# missing rows analytically — the mirror sum collapses to a second
+# stage-1 pass added BEFORE the (linear) stage 2:
+#   y(n) = Re[ sum_{k<NXH} W(k) e^{2pi i kn/N}
+#            + sum_{1<=m<=N/2-N1} W(m) e^{2pi i mn/N} ] / N
+# ---------------------------------------------------------------------
+
+def _stage12_dotg(xr, xi, C, n1_in, L, prec):
+    """Stage 1 + twiddle of the four-step with constants C (caller
+    conjugates for inverse); input (n1_in*N2, L) -> (N1, N2, L)."""
+    w1r, w1i, w2r, w2i, twr, twi = C
+    N2 = w2r.shape[0]
+    xr = xr.reshape(n1_in, N2 * L)
+    w1r_c = w1r[:, :n1_in]
+    w1i_c = w1i[:, :n1_in]
+    if xi is None:
+        ar = _mm(w1r_c, xr, prec)
+        ai = _mm(w1i_c, xr, prec)
+    else:
+        xi = xi.reshape(n1_in, N2 * L)
+        ar = _mm(w1r_c, xr, prec) - _mm(w1i_c, xi, prec)
+        ai = _mm(w1r_c, xi, prec) + _mm(w1i_c, xr, prec)
+    N1 = w1r.shape[0]
+    ar = ar.reshape(N1, N2, L)
+    ai = ai.reshape(N1, N2, L)
+    br = ar * twr[:, :, None] - ai * twi[:, :, None]
+    bi = ar * twi[:, :, None] + ai * twr[:, :, None]
+    return br, bi
+
+
+def _stage2_dotg(br, bi, C, k2_keep, L, prec, real_output=False):
+    """Transpose-free stage 2: contract n2 with the (cropped) W2 via a
+    3D dot_general; output rows k = k1 + N1*k2 in natural order."""
+    w2r, w2i = C[2][:k2_keep], C[3][:k2_keep]
+    N1 = br.shape[0]
+    cr = _dotg_left1(w2r, br, prec) - _dotg_left1(w2i, bi, prec)
+    yr = cr.reshape(k2_keep * N1, L)
+    if real_output:
+        return yr, None
+    ci = _dotg_left1(w2r, bi, prec) + _dotg_left1(w2i, br, prec)
+    return yr, ci.reshape(k2_keep * N1, L)
+
+
+def _k1h_kernel(xr_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref, oi_ref,
+                *, N, L, prec=None):
+    """Hermitian-cropped forward K1: real input strip of nx = N/2
+    nonzero rows; emits only the spectrum rows k < N1*(N2/2+1).
+    Blocks may carry a leading unit band dim (cube pipeline)."""
+    C = (w1r[...], w1i[...], w2r[...], w2i[...], twr[...], twi[...])
+    N1, N2 = C[0].shape[0], C[2].shape[0]
+    xr = xr_ref[...].reshape(xr_ref.shape[-2:])
+    br, bi = _stage12_dotg(xr, None, C, N1 // 2, L, prec)
+    yr, yi = _stage2_dotg(br, bi, C, N2 // 2 + 1, L, prec)
+    or_ref[...] = yr.reshape(or_ref.shape)
+    oi_ref[...] = yi.reshape(oi_ref.shape)
+
+
+def _k3h_kernel(xr_ref, xi_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref,
+                *, N, L, prec=None):
+    """Hermitian-reconstructing real-output inverse K3: consumes the
+    NXH = N1*(N2/2+1) kept spectrum rows; the conjugate-mirror rows'
+    contribution is a second stage-1 pass over rows 1..N/2-N1 (same
+    conjugated constants) summed before the shared linear stage 2."""
+    Cf = (w1r[...], w1i[...], w2r[...], w2i[...], twr[...], twi[...])
+    C = (Cf[0], -Cf[1], Cf[2], -Cf[3], Cf[4], -Cf[5])  # inverse
+    N1, N2 = C[0].shape[0], C[2].shape[0]
+    xr = xr_ref[...].reshape(xr_ref.shape[-2:])
+    xi = xi_ref[...].reshape(xi_ref.shape[-2:])
+    n1A = N1 // 2 + N1 // N2          # NXH / N2 blocks
+    brA, biA = _stage12_dotg(xr[:n1A * N2], xi[:n1A * N2], C, n1A, L,
+                             prec)
+    # mirror term: rows m in [1, N/2 - N1], zero-masked within blocks
+    n1B = N1 // 2 - N1 // N2 + 1
+    m_max = N // 2 - N1
+    rows = lax.broadcasted_iota(jnp.int32, (n1B * N2, L), 0)
+    keep = (rows >= 1) & (rows <= m_max)
+    xrB = jnp.where(keep, xr[:n1B * N2], 0.0)
+    xiB = jnp.where(keep, xi[:n1B * N2], 0.0)
+    brB, biB = _stage12_dotg(xrB, xiB, C, n1B, L, prec)
+    br = brA + brB
+    bi = biA + biB
+    yr, _ = _stage2_dotg(br, bi, C, N2 // 2, L, prec, real_output=True)
+    or_ref[...] = (yr * (1.0 / N)).reshape(or_ref.shape)
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "lane_block",
+                                   "row_block", "interpret",
+                                   "vmem_mb", "precision"))
+def psf_convolve_pallas_v3(x, Hsr, Hsi, nx, ny, lane_block=128,
+                           row_block=128, interpret=False,
+                           vmem_mb=100, precision="default"):
+    """Hermitian-aware transpose-free fused PSF convolution
+    (psf_oversize=2 only): K2 runs on the NXH = NX/2 + N1x kept
+    x-spectrum rows against the half-height scrambled H from
+    ``scramble_HT(HT[..., :NXH])`` — ~half the MXU work and half the
+    H traffic of v2."""
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    N1y, NXH, N2y = Hsr.shape
+    NY = N1y * N2y
+    NX = 2 * nx
+    N1x, N2x = _factor(NX)
+    assert NXH == N1x * (N2x // 2 + 1), (NXH, N1x, N2x)
+    assert NY == 2 * ny
+    assert NXH % row_block == 0, (NXH, row_block)
+    CX = consts_for(NX)
+    CYl = consts_lane_for(NY)
+    kw = dict(interpret=interpret)
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024)
+
+    in_strip = lambda L: pl.BlockSpec((nx, L), lambda j: (0, j),
+                                      memory_space=pltpu.VMEM)
+    h_strip = lambda L: pl.BlockSpec((NXH, L), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM)
+    rows_half = lambda M: pl.BlockSpec((M, ny), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    hspec = lambda M: pl.BlockSpec((N1y, M, N2y), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)
+
+    zr, zi = pl.pallas_call(
+        partial(_k1h_kernel, N=NX, L=lane_block, prec=prec),
+        grid=(ny // lane_block,),
+        in_specs=[in_strip(lane_block)] + _const_specs(NX),
+        out_specs=(h_strip(lane_block), h_strip(lane_block)),
+        out_shape=(jax.ShapeDtypeStruct((NXH, ny), jnp.float32),
+                   jax.ShapeDtypeStruct((NXH, ny), jnp.float32)),
+        **kw,
+    )(x, *CX)
+
+    wr, wi = pl.pallas_call(
+        partial(_k2v_kernel, N=NY, M=row_block, prec=prec),
+        grid=(NXH // row_block,),
+        in_specs=[rows_half(row_block)] * 2 + [hspec(row_block)] * 2
+        + _const_specs_lane(NY),
+        out_specs=(rows_half(row_block), rows_half(row_block)),
+        out_shape=(jax.ShapeDtypeStruct((NXH, ny), jnp.float32),
+                   jax.ShapeDtypeStruct((NXH, ny), jnp.float32)),
+        **kw,
+    )(zr, zi, Hsr, Hsi, *CYl)
+
+    out = pl.pallas_call(
+        partial(_k3h_kernel, N=NX, L=lane_block, prec=prec),
+        grid=(ny // lane_block,),
+        in_specs=[h_strip(lane_block)] * 2 + _const_specs(NX),
+        out_specs=in_strip(lane_block),
+        out_shape=jax.ShapeDtypeStruct((nx, ny), jnp.float32),
+        **kw,
+    )(wr, wi, *CX)
+    return out
+
+
+@partial(jax.jit, static_argnames=("nx", "ny", "lane_block",
+                                   "row_block", "interpret",
+                                   "vmem_mb", "precision"))
+def psf_convolve_pallas_v3_cube(x, Hsr, Hsi, nx, ny, lane_block=128,
+                                row_block=128, interpret=False,
+                                vmem_mb=100, precision="default"):
+    """Whole-cube v3 pipeline: the band axis is a leading grid
+    dimension of every kernel, so an (nband, nx, ny) Hessian matvec is
+    THREE pallas dispatches total — no per-band host slicing (which
+    cost as much as the kernels themselves: ~3 ms/band of
+    dynamic-slice/squeeze/copy dispatches on the remote runtime)."""
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    nband = x.shape[0]
+    _, NXH, N2y = Hsr.shape[-3:]
+    N1y = Hsr.shape[-3]
+    NY = N1y * N2y
+    NX = 2 * nx
+    N1x, N2x = _factor(NX)
+    assert Hsr.shape == (nband, N1y, NXH, N2y)
+    assert NXH == N1x * (N2x // 2 + 1), (NXH, N1x, N2x)
+    assert NY == 2 * ny
+    assert NXH % row_block == 0, (NXH, row_block)
+    CX = consts_for(NX)
+    CYl = consts_lane_for(NY)
+    kw = dict(interpret=interpret)
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024)
+
+    in_strip = lambda L: pl.BlockSpec((1, nx, L),
+                                      lambda b, j: (b, 0, j),
+                                      memory_space=pltpu.VMEM)
+    h_strip = lambda L: pl.BlockSpec((1, NXH, L),
+                                     lambda b, j: (b, 0, j),
+                                     memory_space=pltpu.VMEM)
+    rows_half = lambda M: pl.BlockSpec((1, M, ny),
+                                       lambda b, i: (b, i, 0),
+                                       memory_space=pltpu.VMEM)
+    hspec = lambda M: pl.BlockSpec((1, N1y, M, N2y),
+                                   lambda b, i: (b, 0, i, 0),
+                                   memory_space=pltpu.VMEM)
+
+    zr, zi = pl.pallas_call(
+        partial(_k1h_kernel, N=NX, L=lane_block, prec=prec),
+        grid=(nband, ny // lane_block),
+        in_specs=[in_strip(lane_block)] + _const_specs(NX),
+        out_specs=(h_strip(lane_block), h_strip(lane_block)),
+        out_shape=(jax.ShapeDtypeStruct((nband, NXH, ny), jnp.float32),
+                   jax.ShapeDtypeStruct((nband, NXH, ny),
+                                        jnp.float32)),
+        **kw,
+    )(x, *CX)
+
+    wr, wi = pl.pallas_call(
+        partial(_k2v_kernel, N=NY, M=row_block, prec=prec),
+        grid=(nband, NXH // row_block),
+        in_specs=[rows_half(row_block)] * 2 + [hspec(row_block)] * 2
+        + _const_specs_lane(NY),
+        out_specs=(rows_half(row_block), rows_half(row_block)),
+        out_shape=(jax.ShapeDtypeStruct((nband, NXH, ny), jnp.float32),
+                   jax.ShapeDtypeStruct((nband, NXH, ny),
+                                        jnp.float32)),
+        **kw,
+    )(zr, zi, Hsr, Hsi, *CYl)
+
+    out = pl.pallas_call(
+        partial(_k3h_kernel, N=NX, L=lane_block, prec=prec),
+        grid=(nband, ny // lane_block),
+        in_specs=[h_strip(lane_block)] * 2 + _const_specs(NX),
+        out_specs=in_strip(lane_block),
+        out_shape=jax.ShapeDtypeStruct((nband, nx, ny), jnp.float32),
+        **kw,
+    )(wr, wi, *CX)
+    return out
 
 
 @partial(jax.jit, static_argnames=("nx", "ny", "lane_block",

@@ -66,9 +66,9 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
     from jax import lax
 
     from pfb_tpu.ops.mmfft import make_full_psfhat
-    from pfb_tpu.ops.pallas_fft import (psf_convolve_pallas,
-                                        psf_convolve_pallas_v2,
-                                        scramble_HT)
+    from pfb_tpu.ops.pallas_fft import (_factor, prep_H_v3,
+                                        psf_convolve_pallas,
+                                        psf_convolve_pallas_v3_cube)
 
     nx_psf, ny_psf = psf.shape[-2:]
     phr, phi = make_full_psfhat(jnp.asarray(psf, jnp.float32),
@@ -77,27 +77,35 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
     phiT = jnp.swapaxes(phi, -1, -2)
     del phr, phi
     sigmainv = jnp.asarray(sigmainv, jnp.float32)
-    # the transpose-free zero/crop-aware pipeline (v2) for
-    # psf_oversize == 2: ~7.4 ms/band at 4096^2 on v5e
-    use_v2 = nx_psf == 2 * nx and ny_psf == 2 * ny
-    if use_v2:
-        phrT = scramble_HT(phrT)
-        phiT = scramble_HT(phiT)
-
-    def one(xb, hr, hi):
-        if use_v2:
-            return psf_convolve_pallas_v2(xb, hr, hi, nx, ny)
-        return psf_convolve_pallas(xb, hr, hi, nx, ny)
-
+    # the Hermitian-aware transpose-free whole-cube pipeline (v3) for
+    # psf_oversize == 2: the band axis rides the pallas grid, so one
+    # matvec is three dispatches regardless of nband
+    use_v3 = nx_psf == 2 * nx and ny_psf == 2 * ny
     nband = psf.shape[0]
+    if use_v3:
+        phrT = prep_H_v3(phrT)
+        phiT = prep_H_v3(phiT)
+        N1x, N2x = _factor(2 * nx)
+        nxh = N1x * (N2x // 2 + 1)
+        row_block = 128 if nxh % 128 == 0 else \
+            max(b for b in range(8, 129, 8) if nxh % b == 0)
+
+        def convolve(xin):
+            return psf_convolve_pallas_v3_cube(xin, phrT, phiT, nx,
+                                               ny,
+                                               row_block=row_block)
+    else:
+        def convolve(xin):
+            # unrolled band loop: wrapping the pallas pipeline in
+            # lax.map makes XLA build an oversized output fusion that
+            # blows scoped VMEM
+            return jnp.stack([
+                psf_convolve_pallas(xin[b], phrT[b], phiT[b], nx, ny)
+                for b in range(nband)])
 
     def matvec(x):
         xin = x * beam if beam is not None else x
-        # unrolled band loop: wrapping the pallas pipeline in lax.map
-        # makes XLA build an oversized output fusion that blows scoped
-        # VMEM; the unrolled form keeps each band's kernels standalone
-        out = jnp.stack([one(xin[b], phrT[b], phiT[b])
-                         for b in range(nband)])
+        out = convolve(xin)
         if beam is not None:
             out = out * beam
         if wsum is not None:

@@ -71,3 +71,57 @@ def test_pallas_convolve_v2_matches():
         jnp.asarray(img), scramble_HT(phr[0].T), scramble_HT(phi[0].T),
         nx, nx, interpret=True))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_pallas_convolve_v3_matches():
+    """v3 (Hermitian-aware, transpose-free) pipeline == reference FFT
+    convolve; the kept half-spectrum + analytic mirror reconstruction
+    must be exact up to f32 matmul error."""
+    from pfb_tpu.ops.pallas_fft import (prep_H_v3,
+                                        psf_convolve_pallas_v3)
+    rng = np.random.default_rng(7)
+    nx = 128  # NX = 256 -> factor (16, 16), NXH = 144
+    psf = rng.normal(size=(2 * nx, 2 * nx))
+    img = rng.normal(size=(nx, nx)).astype(np.float32)
+    ref = np.asarray(psf_convolve_cube(
+        jnp.asarray(img, jnp.float64)[None],
+        make_psfhat(jnp.asarray(psf)[None]), 2 * nx))[0]
+    phr, phi = make_full_psfhat(jnp.asarray(psf, jnp.float32)[None])
+    got = np.asarray(psf_convolve_pallas_v3(
+        jnp.asarray(img), prep_H_v3(phr[0].T), prep_H_v3(phi[0].T),
+        nx, nx, row_block=48, interpret=True))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_make_psf_convolve_pallas_v3_cube():
+    """The cube-level wrapper (used by bench + spotless engine=pallas)
+    through the v3 pipeline."""
+    import jax
+
+    from pfb_tpu.ops.psf import make_psf_convolve_pallas
+    if jax.default_backend() == "tpu":
+        pytest.skip("interpret-mode test")
+    rng = np.random.default_rng(8)
+    nx, nband = 128, 2
+    psf = rng.normal(size=(nband, 2 * nx, 2 * nx))
+    img = rng.normal(size=(nband, nx, nx)).astype(np.float32)
+    ref = np.asarray(psf_convolve_cube(
+        jnp.asarray(img, jnp.float64),
+        make_psfhat(jnp.asarray(psf)), 2 * nx))
+    import pfb_tpu.ops.pallas_fft as pf
+    # interpret-mode monkeypatch: the wrapper passes interpret=False
+    orig = pf.psf_convolve_pallas_v3_cube
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pf.psf_convolve_pallas_v3_cube = patched
+    try:
+        from pfb_tpu.ops import psf as psfmod
+        hess = psfmod.make_psf_convolve_pallas(
+            jnp.asarray(psf, jnp.float32), nx, nx)
+        got = np.asarray(hess(jnp.asarray(img)))
+    finally:
+        pf.psf_convolve_pallas_v3_cube = orig
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
