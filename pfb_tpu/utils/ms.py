@@ -42,7 +42,8 @@ def update_ms_column(path, name, values):
 def simulate_ms(path, nant=7, ntime=8, nchan=4, nsource=10, fov_deg=1.0,
                 seed=420, gains=False, ncorr=2, pol="linear",
                 duration_h=1.0, extent=1000.0, noise=0.0, nscan=1,
-                gain_mode="diag", gain_nt=None, gain_nf=None):
+                gain_mode="diag", gain_nt=None, gain_nf=None,
+                fullpol=False):
     """Simulate an observation with point sources (and optionally smooth
     gain corruptions) and write it as an npz MS. Returns
     (model_cube, Ix, Iy, nx, cell_rad, jones) — the ground truth the
@@ -52,7 +53,10 @@ def simulate_ms(path, nant=7, ntime=8, nchan=4, nsource=10, fov_deg=1.0,
     gain_mode="full" corrupts with full 2x2 Jones (small leakages,
     QuartiCal (t, a, f, dir, 2, 2) layout, forces ncorr=4); gain_nt /
     gain_nf put the gains on a coarser (time, chan) grid than the data
-    so init's gain binning is exercised.
+    so init's gain binning is exercised. fullpol=True draws polarised
+    sources (|Q|,|U|,|V| < I, ncorr=4) and the returned model has a
+    leading Stokes axis (4, nband, nx, ny) in I,Q,U,V order (mirrors
+    upstream tests/test_polproducts.py:11-129).
     """
     import jax.numpy as jnp
 
@@ -68,17 +72,45 @@ def simulate_ms(path, nant=7, ntime=8, nchan=4, nsource=10, fov_deg=1.0,
     nrow = obs.uvw.shape[0]
 
     from pfb_tpu.config import to_host
-    vis = np.zeros((nrow, nchan), dtype=np.complex128)
-    for c in range(nchan):
-        vis[:, c:c + 1] = to_host(dirty2vis_dft(
-            jnp.asarray(obs.uvw), jnp.asarray(obs.freq[c:c + 1]),
-            jnp.asarray(model[c]), cell_rad, cell_rad))
 
-    if gains and gain_mode == "full":
+    def degrid_cube(cube):
+        out = np.zeros((nrow, nchan), dtype=np.complex128)
+        for c in range(nchan):
+            out[:, c:c + 1] = to_host(dirty2vis_dft(
+                jnp.asarray(obs.uvw), jnp.asarray(obs.freq[c:c + 1]),
+                jnp.asarray(cube[c]), cell_rad, cell_rad))
+        return out
+
+    if fullpol:
+        # polarised fractions per source, constant over the cube
+        prng = np.random.default_rng(seed + 1)
+        frac = prng.uniform(-0.4, 0.4, size=(3, Ix.size))
+        stokes = np.zeros((4,) + model.shape)
+        stokes[0] = model
+        for s, (i, j) in enumerate(zip(Ix, Iy)):
+            for p in range(3):
+                stokes[1 + p, :, i, j] = frac[p, s] * model[:, i, j]
+        vI, vQ, vU, vV = (degrid_cube(stokes[p]) for p in range(4))
+        data = np.zeros((nrow, nchan, 4), dtype=np.complex128)
+        if pol == "linear":
+            data[..., 0] = vI + vQ
+            data[..., 1] = vU + 1j * vV
+            data[..., 2] = vU - 1j * vV
+            data[..., 3] = vI - vQ
+        else:  # circular: RR = I+V, RL = Q+iU, LR = Q-iU, LL = I-V
+            data[..., 0] = vI + vV
+            data[..., 1] = vQ + 1j * vU
+            data[..., 2] = vQ - 1j * vU
+            data[..., 3] = vI - vV
+        model = stokes
         ncorr = 4
-    data = np.zeros((nrow, nchan, ncorr), dtype=np.complex128)
-    data[..., 0] = vis
-    data[..., -1] = vis
+    else:
+        vis = degrid_cube(model)
+        if gains and gain_mode == "full":
+            ncorr = 4
+        data = np.zeros((nrow, nchan, ncorr), dtype=np.complex128)
+        data[..., 0] = vis
+        data[..., -1] = vis
 
     rng = np.random.default_rng(seed)
     utime = np.unique(obs.time)
@@ -116,10 +148,13 @@ def simulate_ms(path, nant=7, ntime=8, nchan=4, nsource=10, fov_deg=1.0,
             jones[:, p, :, 0, 1, 0] = smooth(0.0, 0.02)
         gp = jones[gt_of_row, obs.ant1.astype(int)][:, gf_of_chan, 0]
         gq = jones[gt_of_row, obs.ant2.astype(int)][:, gf_of_chan, 0]
-        # V_pq = G_p V G_q^H with V = [[XX, 0], [0, YY]]
+        # V_pq = G_p V G_q^H
         V = np.zeros((nrow, nchan, 2, 2), np.complex128)
         V[..., 0, 0] = data[..., 0]
         V[..., 1, 1] = data[..., -1]
+        if data.shape[-1] == 4:
+            V[..., 0, 1] = data[..., 1]
+            V[..., 1, 0] = data[..., 2]
         out = np.einsum("rcij,rcjk,rclk->rcil", gp, V, np.conj(gq))
         data = out.reshape(nrow, nchan, 4)
     elif gains:
@@ -131,6 +166,11 @@ def simulate_ms(path, nant=7, ntime=8, nchan=4, nsource=10, fov_deg=1.0,
         gq = jones[gt_of_row, obs.ant2.astype(int)][:, gf_of_chan, 0]
         data[..., 0] = gp[..., 0] * np.conj(gq[..., 0]) * data[..., 0]
         data[..., -1] = gp[..., 1] * np.conj(gq[..., 1]) * data[..., -1]
+        if data.shape[-1] == 4:
+            data[..., 1] = gp[..., 0] * np.conj(gq[..., 1]) * \
+                data[..., 1]
+            data[..., 2] = gp[..., 1] * np.conj(gq[..., 0]) * \
+                data[..., 2]
     else:
         jones = None
 

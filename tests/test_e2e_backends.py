@@ -141,3 +141,43 @@ def test_dirty_parity_between_backends(sim, tmp_path, backend):
     for dr, dg in zip(ref, got):
         scale = np.abs(dr["DIRTY"]).max()
         assert np.abs(dg["DIRTY"] - dr["DIRTY"]).max() < 1e-6 * scale
+
+
+def test_l2reweight_downweights_corrupted_rows(sim, klean_dft,
+                                               tmp_path):
+    """Student-t l2 reweighting end-to-end (reference
+    gridder.py:608-616 via grid --l2reweight-dof): rows with corrupted
+    visibilities get strongly downweighted relative to clean rows once
+    a model is transferred in."""
+    from pfb_tpu.utils.ms import read_ms, write_ms
+    from pfb_tpu.workers.model2comps import _model2comps
+
+    p = sim
+    rec, _ = klean_dft
+    dds = _grid(xdsi=p["xds"], output_filename=str(tmp_path / "o"),
+                suffix="main", field_of_view=0.25, robustness=0.0,
+                psf=True, residual=False)
+    for ds in dds:
+        ds["MODEL"] = rec[ds["bandid"]]
+    mds = _model2comps(ddsi=dds, output_filename=str(tmp_path / "m"),
+                       nbasisf=rec.shape[0], fit_mode="Legendre")
+
+    # corrupt a block of rows in a copy of the MS
+    ms = read_ms(p["ms_path"])
+    ms.pop("MODEL_DATA", None)
+    nrow = ms["DATA"].shape[0]
+    bad = np.arange(nrow // 8)
+    ms["DATA"][bad] += 5.0 * np.abs(ms["DATA"]).max()
+    ms_bad = str(tmp_path / "bad.npz")
+    write_ms(ms_bad, **ms)
+    xds = _init(ms=ms_bad, write=False, channels_per_image=1)
+
+    dds_rw = _grid(xdsi=xds, output_filename=str(tmp_path / "rw"),
+                   suffix="main", field_of_view=0.25, robustness=0.0,
+                   psf=False, residual=True, weight=True,
+                   l2reweight_dof=2.0, transfer_model_from=mds)
+    # with dof=2 and 1/8 of rows corrupted, r^2/ovar ~ 8 on the bad
+    # rows -> weight ratio ~ (2+1)/(2+8) ~ 0.3 of the clean rows
+    for ds in dds_rw:
+        w = ds["WEIGHT"]
+        assert np.median(w[bad]) < 0.4 * np.median(w[nrow // 8:nrow])
