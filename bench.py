@@ -75,9 +75,11 @@ def main():
     sync(hess(x))  # compile + warm
 
     # ---- matvec throughput ----
+    # the scalar-readback sync costs ~50 ms over the remote-TPU relay;
+    # chain enough matvecs per sync that it amortises below 5%
     best = np.inf
     for _ in range(3):
-        n = 5
+        n = 25 if on_accel else 5
         z = x
         t0 = time.perf_counter()
         for _ in range(n):
@@ -93,9 +95,9 @@ def main():
     sol_time = bytes_moved / hbm_bw
     vs_baseline = sol_time / best  # fraction of speed-of-light
 
-    # ---- PCG iteration rate (fixed 20 iterations) ----
+    # ---- PCG iteration rate (fixed 50 iterations) ----
     b = hess(x)
-    niter = 20
+    niter = 50 if on_accel else 20
 
     # host-loop PCG: XLA mis-fuses the Pallas pipeline inside
     # while-loop bodies (scoped-VMEM overflow), and the per-iteration
@@ -145,18 +147,40 @@ def main():
         sync(img)
         gtimes = {}
         hess_pg = make_hessian_pg(plan)
-        for name, fn in (
-                ("adjoint", lambda: _adjoint_from_plan(
-                    plan, vr, vi, None, False)),
-                ("forward", lambda: _forward_from_plan(
-                    plan, img, engine="pallas")),
-                ("hessian", lambda: hess_pg(img))):
+        # chain each op 8x with a scalar data dependency so the ~50 ms
+        # relay sync amortises (same methodology as the matvec loop)
+        nrep = 8
+
+        def adj_chain(vr, vi):
+            s = jnp.float32(0.0)
+            for _ in range(nrep):
+                im = _adjoint_from_plan(plan, vr + s, vi, None, False)
+                s = im[0, 0] * 0.0
+            return im
+
+        def fwd_chain(x):
+            s = jnp.float32(0.0)
+            for _ in range(nrep):
+                fr, fi = _forward_from_plan(plan, x + s,
+                                            engine="pallas")
+                s = fr[0, 0] * 0.0
+            return fr
+
+        def hess_chain(x):
+            for _ in range(nrep):
+                x = hess_pg(x)
+            return x
+
+        for name, fn, args in (("adjoint", adj_chain, (vr, vi)),
+                               ("forward", fwd_chain, (img,)),
+                               ("hessian", hess_chain, (img,))):
             bestg = np.inf
             for _ in range(3):
                 t0 = time.perf_counter()
-                r = fn()
-                sync(r[0] if isinstance(r, tuple) else r)
-                bestg = min(bestg, time.perf_counter() - t0)
+                r = fn(*args)
+                sync(r)
+                bestg = min(bestg,
+                            (time.perf_counter() - t0) / nrep)
             gtimes[name] = bestg
         result["gridder_Mvis_per_s"] = {
             k: round(nvis / v / 1e6, 2) for k, v in gtimes.items()}

@@ -94,6 +94,35 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
             return psf_convolve_pallas_v3_cube(xin, phrT, phiT, nx,
                                                ny,
                                                row_block=row_block)
+
+        # whole matvec as ONE jitted program (H passed as arguments —
+        # closures would bake the GB-scale transfer function into the
+        # compile payload, see make_psf_convolve's docstring)
+        @partial(jax.jit, static_argnames=("nx", "ny", "row_block",
+                                           "has_beam", "has_sig"))
+        def _mv(x, hr, hi, beam_a, sig, ws, *, nx, ny, row_block,
+                has_beam, has_sig):
+            xin = x * beam_a if has_beam else x
+            out = psf_convolve_pallas_v3_cube(xin, hr, hi, nx, ny,
+                                              row_block=row_block)
+            if has_beam:
+                out = out * beam_a
+            if ws is not None:
+                out = out / ws
+            if has_sig:  # skip a full extra HBM pass when sigmainv=0
+                out = out + x * sig
+            return out
+
+        beam_a = beam if beam is not None else jnp.zeros(
+            (), jnp.float32)
+        has_sig = bool(float(sigmainv) != 0.0)
+
+        def matvec(x):
+            return _mv(x, phrT, phiT, beam_a, sigmainv, wsum, nx=nx,
+                       ny=ny, row_block=row_block,
+                       has_beam=beam is not None, has_sig=has_sig)
+
+        return matvec
     else:
         def convolve(xin):
             # unrolled band loop: wrapping the pallas pipeline in
