@@ -398,3 +398,48 @@ def hessian_dds(x, dds, wsum, sigmainv=0.0, mask_image=None,
     if sigmainv:
         out = out + x * sigmainv**2
     return out
+
+
+def make_hess_vis_dct(vis_ds, field_geom, sigmainv=1.0, backend="dft",
+                      epsilon=None, do_wgridding=None):
+    """Multi-field joint vis-space Hessian over a dict-keyed image set
+    (reference hess_vis, pfb/operators/hessian.py:284-344): for each
+    shared visibility dataset the model visibilities of EVERY field
+    (each rendered at its own phase centre / cell size) are summed,
+    then gridded back onto every field's grid — the cross-field
+    coupling lives in the shared visibilities. The returned matvec
+    maps ``{field: {key: (nx, ny) image}}`` to the same structure (a
+    pytree, so :func:`pfb_tpu.opt.pcg.cg_dct` solves the joint
+    system).
+
+    ``vis_ds``: list of dataset dicts with UVW/FREQ/WEIGHT/MASK and a
+    ``key`` entry naming the (time, band) slot; ``field_geom``:
+    ``{field: dict(nx=, ny=, cell_rad=, x0=, y0=)}``.
+    """
+    d2v, v2d = get_backend(backend, epsilon, do_wgridding)
+
+    def matvec(x):
+        out = {f: {k: sigmainv * v for k, v in sub.items()}
+               for f, sub in x.items()}
+        for ds in vis_ds:
+            key = ds["key"]
+            uvw = jnp.asarray(ds["UVW"])
+            freq = jnp.asarray(ds["FREQ"])
+            wgt = jnp.asarray(ds["WEIGHT"])
+            msk = jnp.asarray(ds["MASK"])
+            mvis = None
+            for f, g in field_geom.items():
+                mv = d2v(uvw, freq, x[f][key], g["cell_rad"],
+                         g["cell_rad"], x0=g.get("x0", 0.0),
+                         y0=g.get("y0", 0.0))
+                mvis = mv if mvis is None else mvis + mv
+            mvis = mvis * msk
+            for f, g in field_geom.items():
+                out[f][key] = out[f][key] + v2d(
+                    uvw, freq, mvis, wgt=wgt, mask=msk, nx=g["nx"],
+                    ny=g["ny"], cellx=g["cell_rad"],
+                    celly=g["cell_rad"], x0=g.get("x0", 0.0),
+                    y0=g.get("y0", 0.0))
+        return out
+
+    return matvec

@@ -37,6 +37,17 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
     else:
         xds = xdsi
 
+    fields = kw.get("fields")
+    if fields is not None:
+        xds = [ds for ds in xds
+               if ds.get("fieldid", 0) in np.atleast_1d(fields)]
+    fids = {ds.get("fieldid", 0) for ds in xds}
+    if len(fids) > 1:
+        raise ValueError(
+            f"xds spans fields {sorted(fids)} — image one field per "
+            "grid run (--fields) or solve jointly with "
+            "ops.gridder.make_hess_vis_dct + opt.pcg.cg_dct")
+
     nband_in = np.unique([ds["freq_out"] for ds in xds]).size
     if nband is not None and nband != nband_in:
         # channel re-binning (reference grid.py:203-214)
