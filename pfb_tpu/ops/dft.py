@@ -125,8 +125,12 @@ def _dirty2vis_impl(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
             cyc = cyc + _frac_cycles(au[..., None] / cellx, x0) \
                 + _frac_cycles(av[..., None] / celly, y0)
         phase = (-2.0 * jnp.pi) * (cyc - jnp.round(cyc))
-        vr = jnp.cos(phase) @ img_flat
-        vi = jnp.sin(phase) @ img_flat
+        # HIGHEST: TPU DEFAULT matmuls are bf16 products (~1e-3
+        # relative) — the oracle must accumulate at full f32
+        vr = jnp.einsum("rcp,p->rc", jnp.cos(phase), img_flat,
+                        precision=lax.Precision.HIGHEST)
+        vi = jnp.einsum("rcp,p->rc", jnp.sin(phase), img_flat,
+                        precision=lax.Precision.HIGHEST)
         return vr, vi
 
     vr, vi = lax.map(chunk_fn, uvw_p.reshape(nchunk, row_chunk, 3))
@@ -197,11 +201,16 @@ def _vis2dirty_impl(uvw, freq, vr, vi, wgt=None, mask=None, *, nx, ny,
             cyc = cyc + _frac_cycles(au[..., None] / cellx, x0) \
                 + _frac_cycles(av[..., None] / celly, y0)
         phase = (2.0 * jnp.pi) * (cyc - jnp.round(cyc))
-        # Re[vis * e^{i phase}] = vr cos - vi sin
+        # Re[vis * e^{i phase}] = vr cos - vi sin. HIGHEST precision:
+        # TPU DEFAULT matmuls are bf16 products (~1e-3 relative error,
+        # the dominant f32-pipeline error source) — the oracle must
+        # multiply-accumulate at full f32.
         acc = jnp.einsum("rc,rcp->p", wvr, jnp.cos(phase),
-                         preferred_element_type=rdtype)
+                         preferred_element_type=rdtype,
+                         precision=lax.Precision.HIGHEST)
         acc -= jnp.einsum("rc,rcp->p", wvi, jnp.sin(phase),
-                          preferred_element_type=rdtype)
+                          preferred_element_type=rdtype,
+                          precision=lax.Precision.HIGHEST)
         return carry + acc, None
 
     # derive the carry init from the data so it inherits any varying
