@@ -23,11 +23,66 @@ def write_ms(path, **columns):
 
 
 def read_ms(path):
+    """Read an observation into the column-dict layout. ``.npz`` files
+    load directly; a directory path is treated as a CASA Measurement
+    Set and read through python-casacore when available (the
+    reference's dask-ms path, workers/init.py:236)."""
     path = str(path)
+    from pathlib import Path as _P
+    if _P(path).is_dir():
+        return read_ms_casa(path)
     if not path.endswith(".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as f:
         return {k: f[k] for k in f.files}
+
+
+def read_ms_casa(path):
+    """CASA Measurement Set -> column dict (requires python-casacore;
+    import-gated since the TPU image ships without it). Reads the main
+    table plus SPECTRAL_WINDOW / FIELD / POLARIZATION subtables into
+    the same layout simulate_ms writes, including per-DDID frequency
+    tables and per-field phase centres."""
+    try:
+        from casacore.tables import table
+    except ImportError as e:
+        raise ImportError(
+            "Reading a CASA Measurement Set needs python-casacore "
+            "(pip install python-casacore); alternatively convert to "
+            "the npz container layout documented in pfb_tpu.utils.ms."
+        ) from e
+
+    out = {}
+    with table(path, ack=False) as t:
+        for col in ("DATA", "MODEL_DATA", "CORRECTED_DATA", "UVW",
+                    "TIME", "ANTENNA1", "ANTENNA2", "FLAG",
+                    "WEIGHT_SPECTRUM", "FIELD_ID", "DATA_DESC_ID",
+                    "SCAN_NUMBER"):
+            if col in t.colnames():
+                try:
+                    out[col] = t.getcol(col)
+                except RuntimeError:
+                    pass  # column defined but unfilled
+    if "WEIGHT_SPECTRUM" not in out:
+        with table(path, ack=False) as t:
+            w = t.getcol("WEIGHT")  # (nrow, ncorr)
+            out["WEIGHT_SPECTRUM"] = np.repeat(
+                w[:, None, :], out["DATA"].shape[1], axis=1)
+    with table(f"{path}::SPECTRAL_WINDOW", ack=False) as t:
+        freq = t.getcol("CHAN_FREQ")  # (nspw, nchan)
+        out["FREQ"] = freq[0] if freq.shape[0] == 1 else freq
+    with table(f"{path}::FIELD", ack=False) as t:
+        pc = t.getcol("PHASE_DIR")[:, 0, :]  # (nfield, 2)
+        out["FIELD_RA"] = pc[:, 0]
+        out["FIELD_DEC"] = pc[:, 1]
+        out["RA"] = np.array(pc[0, 0])
+        out["DEC"] = np.array(pc[0, 1])
+    with table(f"{path}::POLARIZATION", ack=False) as t:
+        corr = t.getcol("CORR_TYPE")[0]
+        # CASA stokes enums: 5-8 = RR,RL,LR,LL; 9-12 = XX,XY,YX,YY
+        out["POLTYPE"] = np.array(
+            "circular" if corr[0] in (5, 6, 7, 8) else "linear")
+    return out
 
 
 def update_ms_column(path, name, values):

@@ -199,3 +199,18 @@ def test_multifield_joint_hessian_solve(tmp_path):
     rnorm = dot(r, r)
     bnorm = dot(b, b)
     assert rnorm < 1e-3 * bnorm
+
+
+def test_read_ms_casa_gated(tmp_path):
+    """A directory path routes to the CASA reader, which raises an
+    informative ImportError without python-casacore."""
+    d = tmp_path / "fake.ms"
+    d.mkdir()
+    try:
+        import casacore  # noqa: F401
+        pytest.skip("python-casacore available; gating not exercised")
+    except ImportError:
+        pass
+    from pfb_tpu.utils.ms import read_ms
+    with pytest.raises(ImportError, match="casacore"):
+        read_ms(str(d))
