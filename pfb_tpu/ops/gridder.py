@@ -53,11 +53,17 @@ def get_backend(backend, epsilon=None, do_wgridding=None):
 
 
 def row_bucket(nrow, minimum=64):
-    """Round a row count up to the next power of two so datasets with
+    """Round a row count up to the next bucket so datasets with
     different row counts share one compiled program (remote TPU
-    compiles cost minutes; see .claude/skills/verify/SKILL.md)."""
+    compiles cost minutes; see .claude/skills/verify/SKILL.md).
+    Buckets step by 1.5x-ish (64, 96, 128, 192, 256, ...): at most
+    ~50% padded work just above a boundary instead of the ~100% a
+    power-of-two ladder costs, for 2x the compile-cache entries."""
     n = minimum
     while n < nrow:
+        h = n + n // 2
+        if nrow <= h:
+            return h
         n *= 2
     return n
 
