@@ -43,11 +43,24 @@ def _clickify(worker):
               help="Write a jax.profiler trace for this worker run "
                    "under DIR (one trace per invocation, the analogue "
                    "of the reference's dask performance_report).")
-def cli(profile_dir):
+@click.option("--coordinator", default=None,
+              help="jax.distributed coordinator address host:port for "
+                   "multi-host runs (the analogue of the reference's "
+                   "--host-address dask scheduler option).")
+@click.option("--num-processes", type=int, default=None,
+              help="Total process count of the multi-host run "
+                   "(reference --nworkers analogue).")
+@click.option("--process-id", type=int, default=None,
+              help="This process's index in the multi-host run.")
+def cli(profile_dir, coordinator, num_processes, process_id):
     """pfb-tpu: TPU-native radio-interferometric imaging suite."""
     if profile_dir:
         from pfb_tpu.utils.profiling import start_profile
         start_profile(profile_dir)
+    if coordinator:
+        from pfb_tpu.parallel.runtime import set_client
+        set_client(coordinator=coordinator,
+                   num_processes=num_processes, process_id=process_id)
 
 
 @cli.command()
