@@ -253,6 +253,18 @@ def _const_specs_lane(N):
             full((N2, N2)), full((N1, N2)), full((N1, N2))]
 
 
+def v3_supported(nx, ny):
+    """Shape constraints of the v3 pipeline: NY must factor with
+    N2 = 128 lanes and an even N1 (the zero-aware stages assume the
+    nonzero half is whole factor blocks), and NX's factorisation must
+    split the same way for the sublane stages."""
+    NX, NY = 2 * nx, 2 * ny
+    if NY % 128 or (NY // 128) % 2:
+        return False
+    N1x, N2x = _factor(NX)
+    return N1x % 2 == 0 and N2x % 2 == 0
+
+
 def prep_H_v3(HT):
     """Half-height scrambled transfer function for the v3 pipeline:
     keep only the x-spectrum rows K1 emits (k < NXH, whole k2 blocks

@@ -68,7 +68,8 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
     from pfb_tpu.ops.mmfft import make_full_psfhat
     from pfb_tpu.ops.pallas_fft import (_factor, prep_H_v3,
                                         psf_convolve_pallas,
-                                        psf_convolve_pallas_v3_cube)
+                                        psf_convolve_pallas_v3_cube,
+                                        v3_supported)
 
     nx_psf, ny_psf = psf.shape[-2:]
     phr, phi = make_full_psfhat(jnp.asarray(psf, jnp.float32),
@@ -80,7 +81,8 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
     # the Hermitian-aware transpose-free whole-cube pipeline (v3) for
     # psf_oversize == 2: the band axis rides the pallas grid, so one
     # matvec is three dispatches regardless of nband
-    use_v3 = nx_psf == 2 * nx and ny_psf == 2 * ny
+    use_v3 = (nx_psf == 2 * nx and ny_psf == 2 * ny
+              and v3_supported(nx, ny))
     nband = psf.shape[0]
     if use_v3:
         phrT = prep_H_v3(phrT)

@@ -125,3 +125,24 @@ def test_make_psf_convolve_pallas_v3_cube():
     finally:
         pf.psf_convolve_pallas_v3_cube = orig
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_pallas_convolve_v3_odd_factorisation():
+    """A second size with an asymmetric factorisation: NX = 512
+    factors (32, 16) with NXH = 288 — exercises the k2-block cropping
+    and mirror-row bookkeeping away from the square (128, 64) case
+    (sizes must stay 128-aligned in y for the lane four-step)."""
+    from pfb_tpu.ops.pallas_fft import (prep_H_v3,
+                                        psf_convolve_pallas_v3)
+    rng = np.random.default_rng(11)
+    nx = 256
+    psf = rng.normal(size=(2 * nx, 2 * nx))
+    img = rng.normal(size=(nx, nx)).astype(np.float32)
+    ref = np.asarray(psf_convolve_cube(
+        jnp.asarray(img, jnp.float64)[None],
+        make_psfhat(jnp.asarray(psf)[None]), 2 * nx))[0]
+    phr, phi = make_full_psfhat(jnp.asarray(psf, jnp.float32)[None])
+    got = np.asarray(psf_convolve_pallas_v3(
+        jnp.asarray(img), prep_H_v3(phr[0].T), prep_H_v3(phi[0].T),
+        nx, nx, lane_block=128, row_block=96, interpret=True))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
