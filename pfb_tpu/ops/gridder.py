@@ -184,20 +184,21 @@ def hessian_slice(x, uvw, freq, wgt, mask, cellx, celly, x0=0.0, y0=0.0,
 
 def stack_dds(dds, nband, use_beam=True, mask_image=None):
     """Stack per-band dataset lists into dense (nband, ndata, ...)
-    arrays for batched/scanned Hessian evaluation. Padding datasets and
-    rows carry zero weight+mask so they contribute nothing; every
-    dataset must share nchan and cell size (one compiled program)."""
+    arrays for batched/scanned Hessian evaluation. Padding datasets,
+    rows AND channels carry zero weight+mask so they contribute
+    nothing (ragged channel chunks — e.g. 8 channels imaged 3+3+2 —
+    pad to the widest); every dataset must share the cell size (one
+    compiled program)."""
     by_band = [[] for _ in range(nband)]
     for ds in dds:
         by_band[ds["bandid"]].append(ds)
     ndata = max(len(g) for g in by_band)
     R = row_bucket(max(ds["UVW"].shape[0] for ds in dds))
-    nchan = dds[0]["FREQ"].shape[0]
+    nchan = max(ds["FREQ"].shape[0] for ds in dds)
     cell = float(dds[0]["cell_rad"])
     x0 = float(dds[0].get("x0", 0.0))
     y0 = float(dds[0].get("y0", 0.0))
     for ds in dds:
-        assert ds["FREQ"].shape[0] == nchan, "ragged nchan"
         assert float(ds["cell_rad"]) == cell, "mixed cell sizes"
 
     uvw = np.zeros((nband, ndata, R, 3))
@@ -213,10 +214,11 @@ def stack_dds(dds, nband, use_beam=True, mask_image=None):
     for b, group in enumerate(by_band):
         for d, ds in enumerate(group):
             nr = ds["UVW"].shape[0]
+            nc = ds["FREQ"].shape[0]
             uvw[b, d, :nr] = ds["UVW"]
-            frq[b, d] = ds["FREQ"]
-            wgt[b, d, :nr] = ds["WEIGHT"]
-            msk[b, d, :nr] = ds["MASK"]
+            frq[b, d, :nc] = ds["FREQ"]
+            wgt[b, d, :nr, :nc] = ds["WEIGHT"]
+            msk[b, d, :nr, :nc] = ds["MASK"]
             if beam is not None:
                 bm = ds["BEAM"] if (use_beam and "BEAM" in ds) else 1.0
                 if mask_image is not None:

@@ -256,13 +256,15 @@ def _const_specs_lane(N):
 def v3_supported(nx, ny):
     """Shape constraints of the v3 pipeline: NY must factor with
     N2 = 128 lanes and an even N1 (the zero-aware stages assume the
-    nonzero half is whole factor blocks), and NX's factorisation must
-    split the same way for the sublane stages."""
+    nonzero half is whole factor blocks); NX's factorisation must
+    split evenly AND have N2 | N1 — K3's kept-row bookkeeping
+    (n1A = N1/2 + N1/N2 stage-1 blocks) requires NXH = N1*(N2/2+1) to
+    be whole N2-row blocks."""
     NX, NY = 2 * nx, 2 * ny
     if NY % 128 or (NY // 128) % 2:
         return False
     N1x, N2x = _factor(NX)
-    return N1x % 2 == 0 and N2x % 2 == 0
+    return N1x % 2 == 0 and N2x % 2 == 0 and N1x % N2x == 0
 
 
 def prep_H_v3(HT):
@@ -426,6 +428,7 @@ def _k3h_kernel(xr_ref, xi_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref,
     Cf = (w1r[...], w1i[...], w2r[...], w2i[...], twr[...], twi[...])
     C = (Cf[0], -Cf[1], Cf[2], -Cf[3], Cf[4], -Cf[5])  # inverse
     N1, N2 = C[0].shape[0], C[2].shape[0]
+    assert N1 % N2 == 0, (N1, N2)  # see v3_supported
     xr = xr_ref[...].reshape(xr_ref.shape[-2:])
     xi = xi_ref[...].reshape(xi_ref.shape[-2:])
     n1A = N1 // 2 + N1 // N2          # NXH / N2 blocks

@@ -52,6 +52,24 @@ def _es(x, beta, k):
                      jnp.exp(beta * k * (jnp.sqrt(arg) - 1.0)), 0.0)
 
 
+def w_geometry(uvw, freq, nx, ny, cellx, celly, x0, y0, sigma, k,
+               do_wgridding):
+    """(nw, w0, dw) w-plane geometry for an observation — shared by
+    pgrid_plan and the row-distributed planner, which must agree
+    exactly (row shards see only their rows but need the GLOBAL w
+    grid)."""
+    uvw = np.asarray(uvw)
+    freq = np.asarray(freq)
+    if not do_wgridding:
+        return 1, 0.0, 1.0
+    l = (np.arange(nx) - nx // 2) * cellx + x0
+    m = (np.arange(ny) - ny // 2) * celly + y0
+    eps_max = max(abs(l.min()), l.max()) ** 2 + \
+        max(abs(m.min()), m.max()) ** 2
+    nm1_min = -eps_max / (np.sqrt(max(1.0 - eps_max, 0.0)) + 1.0)
+    return _w_params(uvw, freq, nm1_min, sigma, k)
+
+
 def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
                do_wgridding=True, sigma=2.0, capacity=128, tile_u=None,
                tile_v=None, dtype=None, x0=0.0, y0=0.0, w_params=None,
@@ -73,17 +91,11 @@ def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
     vg = (uvw_np[:, 1:2] * scale[None, :]) * celly * Ny
     wl = uvw_np[:, 2:3] * scale[None, :]
 
-    l = (np.arange(nx) - nx // 2) * cellx + x0
-    m = (np.arange(ny) - ny // 2) * celly + y0
-    eps_max = max(abs(l.min()), l.max()) ** 2 + \
-        max(abs(m.min()), m.max()) ** 2
-    nm1_min = -eps_max / (np.sqrt(max(1.0 - eps_max, 0.0)) + 1.0)
     if w_params is not None:
         nw, w0, dw = w_params
-    elif do_wgridding:
-        nw, w0, dw = _w_params(uvw_np, freq_np, nm1_min, sigma, k)
     else:
-        nw, w0, dw = 1, 0.0, 1.0
+        nw, w0, dw = w_geometry(uvw_np, freq_np, nx, ny, cellx, celly,
+                                x0, y0, sigma, k, do_wgridding)
     wpos = ((wl - w0) / dw).ravel() if nw > 1 else \
         np.zeros(ug.size)
 

@@ -92,11 +92,6 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
         row_block = 128 if nxh % 128 == 0 else \
             max(b for b in range(8, 129, 8) if nxh % b == 0)
 
-        def convolve(xin):
-            return psf_convolve_pallas_v3_cube(xin, phrT, phiT, nx,
-                                               ny,
-                                               row_block=row_block)
-
         # whole matvec as ONE jitted program (H passed as arguments —
         # closures would bake the GB-scale transfer function into the
         # compile payload, see make_psf_convolve's docstring)

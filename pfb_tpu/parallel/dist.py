@@ -347,8 +347,8 @@ def make_vis2dirty_rowdist(mesh, uvw, freq, *, nx, ny, cellx, celly,
     """
     from pfb_tpu.ops.pgridder import (_grid_to_image_from_plan,
                                       _spread_fold_from_plan,
-                                      pgrid_plan)
-    from pfb_tpu.ops.wgridder import _w_params, kernel_params
+                                      pgrid_plan, w_geometry)
+    from pfb_tpu.ops.wgridder import kernel_params
 
     uvw = np.asarray(uvw)
     freq = np.asarray(freq)
@@ -358,15 +358,8 @@ def make_vis2dirty_rowdist(mesh, uvw, freq, *, nx, ny, cellx, celly,
 
     # global w geometry: every shard must agree on the plane grid
     k, _beta = kernel_params(epsilon)
-    l = (np.arange(nx) - nx // 2) * cellx + x0
-    m = (np.arange(ny) - ny // 2) * celly + y0
-    eps_max = max(abs(l.min()), l.max()) ** 2 + \
-        max(abs(m.min()), m.max()) ** 2
-    nm1_min = -eps_max / (np.sqrt(max(1.0 - eps_max, 0.0)) + 1.0)
-    if do_wgridding:
-        wp = _w_params(uvw, freq, nm1_min, 2.0, k)
-    else:
-        wp = (1, 0.0, 1.0)
+    wp = w_geometry(uvw, freq, nx, ny, cellx, celly, x0, y0, 2.0, k,
+                    do_wgridding)
 
     def block(s):
         u = uvw[s * rows_per:(s + 1) * rows_per]

@@ -46,20 +46,25 @@ def interp_beam(freq, nx, ny, cell_deg, btype="kbl", l0=0.0, m0=0.0,
     m = (-(ny // 2) + np.arange(ny)) * cell_deg + m0
     ll, mm = np.meshgrid(l, m, indexing="ij")
 
+    interp = None
+    if isinstance(btype, str) and btype.endswith(".npz"):
+        # load + build the interpolator ONCE — model() runs per
+        # parallactic-angle sample below
+        with np.load(btype) as f:
+            bvals = f["beam"]
+            l_b = f["l_beam"]
+            m_b = f["m_beam"]
+        interp = RegularGridInterpolator((l_b, m_b), bvals,
+                                         bounds_error=False,
+                                         fill_value=0.0)
+
     def model(llg, mmg):
         if btype is None or btype == "none":
             return np.ones(llg.shape)
         if btype in ("kbl", "kbuhf", "cos3"):
             return cos3_beam(llg, mmg, freq,
                              dish_diameter=dish_diameter)
-        if btype.endswith(".npz"):
-            with np.load(btype) as f:
-                bvals = f["beam"]
-                l_b = f["l_beam"]
-                m_b = f["m_beam"]
-            interp = RegularGridInterpolator((l_b, m_b), bvals,
-                                             bounds_error=False,
-                                             fill_value=0.0)
+        if interp is not None:
             return interp((llg, mmg))
         raise ValueError(f"Unknown beam model {btype}")
 

@@ -68,9 +68,15 @@ def read_ms_casa(path):
             w = t.getcol("WEIGHT")  # (nrow, ncorr)
             out["WEIGHT_SPECTRUM"] = np.repeat(
                 w[:, None, :], out["DATA"].shape[1], axis=1)
+    # DATA_DESCRIPTION maps DDID -> (SPW row, POLARIZATION row); DDIDs
+    # are NOT SPW indices in general (e.g. one SPW with two pol setups)
+    with table(f"{path}::DATA_DESCRIPTION", ack=False) as t:
+        spw_of_dd = t.getcol("SPECTRAL_WINDOW_ID")
+        pol_of_dd = t.getcol("POLARIZATION_ID")
     with table(f"{path}::SPECTRAL_WINDOW", ack=False) as t:
         freq = t.getcol("CHAN_FREQ")  # (nspw, nchan)
-        out["FREQ"] = freq[0] if freq.shape[0] == 1 else freq
+        by_dd = freq[spw_of_dd]       # (nDD, nchan), indexable by DDID
+        out["FREQ"] = by_dd[0] if by_dd.shape[0] == 1 else by_dd
     with table(f"{path}::FIELD", ack=False) as t:
         pc = t.getcol("PHASE_DIR")[:, 0, :]  # (nfield, 2)
         out["FIELD_RA"] = pc[:, 0]
@@ -78,7 +84,7 @@ def read_ms_casa(path):
         out["RA"] = np.array(pc[0, 0])
         out["DEC"] = np.array(pc[0, 1])
     with table(f"{path}::POLARIZATION", ack=False) as t:
-        corr = t.getcol("CORR_TYPE")[0]
+        corr = t.getcol("CORR_TYPE")[int(pol_of_dd[0])]
         # CASA stokes enums: 5-8 = RR,RL,LR,LL; 9-12 = XX,XY,YX,YY
         out["POLTYPE"] = np.array(
             "circular" if corr[0] in (5, 6, 7, 8) else "linear")

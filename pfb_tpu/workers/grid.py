@@ -39,8 +39,9 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
 
     fields = kw.get("fields")
     if fields is not None:
-        xds = [ds for ds in xds
-               if ds.get("fieldid", 0) in np.atleast_1d(fields)]
+        from pfb_tpu.workers.init import _idlist
+        fields = _idlist(fields)
+        xds = [ds for ds in xds if ds.get("fieldid", 0) in fields]
     fids = {ds.get("fieldid", 0) for ds in xds}
     if len(fids) > 1:
         raise ValueError(

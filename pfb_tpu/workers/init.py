@@ -44,6 +44,16 @@ def _jones_mode(jones):
     raise ValueError(f"Unrecognised jones shape {jones.shape}")
 
 
+def _idlist(sel):
+    """Normalise a selection to an int array: CLI strings are
+    comma-separated ("0,2"), programmatic callers pass ints/lists."""
+    if sel is None:
+        return None
+    if isinstance(sel, str):
+        sel = [int(s) for s in sel.split(",") if s.strip() != ""]
+    return np.atleast_1d(sel).astype(np.int64)
+
+
 def _bin_map(grid, values):
     """Index of the gain-grid bin each value falls in (right-closed
     lower bound — the (time, chan)-binned gain application of
@@ -137,6 +147,10 @@ def _init(ms=None, output_filename=None, product="I",
     else:
         fmin, fmax = -np.inf, np.inf
 
+    fields = _idlist(fields)
+    ddids = _idlist(ddids)
+    scans = _idlist(scans)
+
     # (field, ddid, scan) groups (reference misc.py:312-370)
     groups = np.unique(np.stack([fid, did, sid], axis=1), axis=0)
 
@@ -146,11 +160,11 @@ def _init(ms=None, output_filename=None, product="I",
 
     datasets = []
     for f, d, s in groups:
-        if fields is not None and f not in np.atleast_1d(fields):
+        if fields is not None and f not in fields:
             continue
-        if ddids is not None and d not in np.atleast_1d(ddids):
+        if ddids is not None and d not in ddids:
             continue
-        if scans is not None and s not in np.atleast_1d(scans):
+        if scans is not None and s not in scans:
             continue
         gsel = (fid == f) & (did == d) & (sid == s)
         grow = np.where(gsel)[0]

@@ -165,3 +165,33 @@ def test_image_data_products_residual_consistency(obs):
     # PSF peak equals wsum
     assert_allclose(np.asarray(out["PSF"])[2 * nx // 2, 2 * nx // 2],
                     np.asarray(out["WSUM"])[0], rtol=1e-12)
+
+
+def test_hessian_dds_ragged_channels(tmp_path):
+    """Ragged channel chunks (5 channels imaged 2+2+1) pad into the
+    stacked one-program Hessian with zero weight/mask and agree with
+    the per-dataset loop (regression: stack_dds used to assert equal
+    nchan)."""
+    import jax.numpy as jnp
+
+    from pfb_tpu.ops.gridder import hessian_dds, make_hessian_dds
+    from pfb_tpu.utils.ms import simulate_ms
+    from pfb_tpu.workers.grid import _grid
+    from pfb_tpu.workers.init import _init
+
+    ms_path = str(tmp_path / "r.npz")
+    simulate_ms(ms_path, nant=7, ntime=4, nchan=5, nsource=2,
+                fov_deg=0.3, seed=13)
+    xds = _init(ms=ms_path, write=False, channels_per_image=2)
+    assert sorted(ds["FREQ"].size for ds in xds) == [1, 2, 2]
+    dds = _grid(xdsi=xds, write=False, field_of_view=0.3,
+                robustness=None, psf=False, residual=False)
+    nband = len(dds)
+    nx = dds[0]["DIRTY"].shape[0]
+    wsum = float(np.sum([d["WSUM"][0] for d in dds]))
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(nband, nx, nx)))
+    hess = make_hessian_dds(dds, nband, wsum, nx, nx, use_beam=False)
+    got = np.asarray(hess(x))
+    ref = np.asarray(hessian_dds(x, dds, wsum, use_beam=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
