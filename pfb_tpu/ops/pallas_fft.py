@@ -310,10 +310,13 @@ def _dotg_right(x, W, prec=None):
                                preferred_element_type=jnp.float32)
 
 
-def _k2v_kernel(xr_ref, xi_ref, hsr_ref, hsi_ref, w1r_, w1i_, w2r_,
-                w2i_, twr_, twi_, or_ref, oi_ref, *, N, M, prec=None):
-    """Transpose-free K2: forward lane FFT (zero-aware), multiply by the
-    pre-scrambled H, inverse lane FFT (crop-aware), natural output."""
+def _k2v_core(xr_ref, xi_ref, hsr_ref, hsi_ref, consts, or_ref, oi_ref,
+              N, M, prec):
+    """Transpose-free K2 body: forward lane FFT (zero-aware), multiply
+    by the pre-scrambled H, inverse lane FFT (crop-aware), natural
+    output. ``hsi_ref is None`` selects the real-transfer-function
+    path (even PSF -> H real): half the H traffic and multiply work."""
+    w1r_, w1i_, w2r_, w2i_, twr_, twi_ = consts
     w1r, w1i = w1r_[...], w1i_[...]
     w2r, w2i = w2r_[...], w2i_[...]
     twr = twr_[...][:, None, :]
@@ -336,9 +339,13 @@ def _k2v_kernel(xr_ref, xi_ref, hsr_ref, hsi_ref, w1r_, w1i_, w2r_,
     si = _dotg_right(bi, w2r, prec) + _dotg_right(br, w2i, prec)
     # multiply pre-scrambled H (reshape drops a leading unit band dim)
     hr = hsr_ref[...].reshape(hsr_ref.shape[-3:])
-    hi = hsi_ref[...].reshape(hsi_ref.shape[-3:])
-    pr = sr * hr - si * hi
-    pi_ = sr * hi + si * hr
+    if hsi_ref is None:
+        pr = sr * hr
+        pi_ = si * hr
+    else:
+        hi = hsi_ref[...].reshape(hsi_ref.shape[-3:])
+        pr = sr * hr - si * hi
+        pi_ = sr * hi + si * hr
     # inverse stage A over k2 (lanes), conjugated W2
     cr = _dotg_right(pr, w2r, prec) + _dotg_right(pi_, w2i, prec)
     ci = _dotg_right(pi_, w2r, prec) - _dotg_right(pr, w2i, prec)
@@ -353,6 +360,21 @@ def _k2v_kernel(xr_ref, xi_ref, hsr_ref, hsi_ref, w1r_, w1i_, w2r_,
     # natural layout: (n1, M, N2) -> (M, n1, N2) -> (M, ny)
     or_ref[...] = (er * inv).transpose(1, 0, 2).reshape(or_ref.shape)
     oi_ref[...] = (ei * inv).transpose(1, 0, 2).reshape(oi_ref.shape)
+
+
+def _k2v_kernel(xr_ref, xi_ref, hsr_ref, hsi_ref, w1r_, w1i_, w2r_,
+                w2i_, twr_, twi_, or_ref, oi_ref, *, N, M, prec=None):
+    _k2v_core(xr_ref, xi_ref, hsr_ref, hsi_ref,
+              (w1r_, w1i_, w2r_, w2i_, twr_, twi_), or_ref, oi_ref,
+              N, M, prec)
+
+
+def _k2vr_kernel(xr_ref, xi_ref, hsr_ref, w1r_, w1i_, w2r_, w2i_,
+                 twr_, twi_, or_ref, oi_ref, *, N, M, prec=None):
+    """K2 with a REAL transfer function (even PSF)."""
+    _k2v_core(xr_ref, xi_ref, hsr_ref, None,
+              (w1r_, w1i_, w2r_, w2i_, twr_, twi_), or_ref, oi_ref,
+              N, M, prec)
 
 
 # ---------------------------------------------------------------------
@@ -458,7 +480,8 @@ def psf_convolve_pallas_v3(x, Hsr, Hsi, nx, ny, lane_block=128,
     (psf_oversize=2 only): K2 runs on the NXH = NX/2 + N1x kept
     x-spectrum rows against the half-height scrambled H from
     ``scramble_HT(HT[..., :NXH])`` — ~half the MXU work and half the
-    H traffic of v2."""
+    H traffic of v2. ``Hsi=None`` selects the real-transfer-function
+    K2 (even PSF -> H real), halving the H traffic again."""
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT}[precision]
     N1y, NXH, N2y = Hsr.shape
@@ -494,16 +517,24 @@ def psf_convolve_pallas_v3(x, Hsr, Hsi, nx, ny, lane_block=128,
         **kw,
     )(x, *CX)
 
+    if Hsi is None:
+        k2 = partial(_k2vr_kernel, N=NY, M=row_block, prec=prec)
+        h_in = [hspec(row_block)]
+        h_args = (Hsr,)
+    else:
+        k2 = partial(_k2v_kernel, N=NY, M=row_block, prec=prec)
+        h_in = [hspec(row_block)] * 2
+        h_args = (Hsr, Hsi)
     wr, wi = pl.pallas_call(
-        partial(_k2v_kernel, N=NY, M=row_block, prec=prec),
+        k2,
         grid=(NXH // row_block,),
-        in_specs=[rows_half(row_block)] * 2 + [hspec(row_block)] * 2
+        in_specs=[rows_half(row_block)] * 2 + h_in
         + _const_specs_lane(NY),
         out_specs=(rows_half(row_block), rows_half(row_block)),
         out_shape=(jax.ShapeDtypeStruct((NXH, ny), jnp.float32),
                    jax.ShapeDtypeStruct((NXH, ny), jnp.float32)),
         **kw,
-    )(zr, zi, Hsr, Hsi, *CYl)
+    )(zr, zi, *h_args, *CYl)
 
     out = pl.pallas_call(
         partial(_k3h_kernel, N=NX, L=lane_block, prec=prec),
@@ -570,17 +601,25 @@ def psf_convolve_pallas_v3_cube(x, Hsr, Hsi, nx, ny, lane_block=128,
         **kw,
     )(x, *CX)
 
+    if Hsi is None:
+        k2 = partial(_k2vr_kernel, N=NY, M=row_block, prec=prec)
+        h_in = [hspec(row_block)]
+        h_args = (Hsr,)
+    else:
+        k2 = partial(_k2v_kernel, N=NY, M=row_block, prec=prec)
+        h_in = [hspec(row_block)] * 2
+        h_args = (Hsr, Hsi)
     wr, wi = pl.pallas_call(
-        partial(_k2v_kernel, N=NY, M=row_block, prec=prec),
+        k2,
         grid=(nband, NXH // row_block),
-        in_specs=[rows_half(row_block)] * 2 + [hspec(row_block)] * 2
+        in_specs=[rows_half(row_block)] * 2 + h_in
         + _const_specs_lane(NY),
         out_specs=(rows_half(row_block), rows_half(row_block)),
         out_shape=(jax.ShapeDtypeStruct((nband, NXH, ny), jnp.float32),
                    jax.ShapeDtypeStruct((nband, NXH, ny),
                                         jnp.float32)),
         **kw,
-    )(zr, zi, Hsr, Hsi, *CYl)
+    )(zr, zi, *h_args, *CYl)
 
     out = pl.pallas_call(
         partial(_k3h_kernel, N=NX, L=lane_block, prec=prec),

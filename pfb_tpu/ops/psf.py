@@ -56,11 +56,19 @@ def _hess_cube_jit(x, psfhat, beam, lastsize, sigmainv, wsum, band_chunk):
 
 
 def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
-                             wsum=None):
+                             wsum=None, real_transfer="auto"):
     """PSF-Hessian matvec on the fused Pallas FFT pipeline
     (ops/pallas_fft.py) — ~1.7x the throughput of the XLA-FFT path on
     TPU v5e at 4096^2. ``psf`` is the (nband, nx_psf, ny_psf) PSF cube;
-    sizes must be 128-aligned."""
+    sizes must be 128-aligned.
+
+    real_transfer: an even PSF (psf[k] == psf[-k mod N], which is what
+    any self-adjoint ``R.H W R`` convolution kernel must be) has a REAL
+    transfer function; the v3 K2 kernel then skips the imaginary-H
+    traffic and multiplies. "auto" measures ``max|Im H| / max|Re H|``
+    and drops Im H below 1e-5; True forces the even-symmetrised
+    operator (the self-adjoint part — what PCG assumes anyway); False
+    keeps the full complex transfer function."""
     import jax.numpy as jnp
 
     from jax import lax
@@ -87,6 +95,14 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
     if use_v3:
         phrT = prep_H_v3(phrT)
         phiT = prep_H_v3(phiT)
+        if real_transfer == "auto":
+            rel = float(jnp.max(jnp.abs(phiT))
+                        / jnp.max(jnp.abs(phrT)))
+            use_real = rel < 1e-5
+        else:
+            use_real = bool(real_transfer)
+        if use_real:
+            phiT = None
         N1x, N2x = _factor(2 * nx)
         nxh = N1x * (N2x // 2 + 1)
         row_block = 128 if nxh % 128 == 0 else \
@@ -119,6 +135,7 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
                        ny=ny, row_block=row_block,
                        has_beam=beam is not None, has_sig=has_sig)
 
+        matvec.real_transfer = use_real
         return matvec
     else:
         def convolve(xin):
