@@ -19,12 +19,16 @@ from pfb_tpu.ops.fft import make_psfhat
 from pfb_tpu.ops.weighting import counts_to_weights
 
 
-def get_backend(backend, epsilon=None, do_wgridding=None):
+def get_backend(backend, epsilon=None, do_wgridding=None,
+                double_accum=None):
     """(dirty2vis, vis2dirty) for the named backend. When epsilon /
-    do_wgridding are given they are bound into the returned callables
-    (the schema->CLI->backend plumbing of reference
+    do_wgridding / double_accum are given they are bound into the
+    returned callables (the schema->CLI->backend plumbing of reference
     pfb/parser/gridding.yml:1-5); the exact-DFT oracle maps
-    do_wgridding onto its do_wterm switch and has no epsilon."""
+    do_wgridding onto its do_wterm switch, is compensated-precision by
+    construction (no epsilon / double_accum), and the pg Pallas
+    gridder is f32-only (double_accum is a no-op there, as on any
+    TPU)."""
     if backend == "dft":
         d2v, v2d = dirty2vis_dft, vis2dirty_dft
         if do_wgridding is not None:
@@ -49,6 +53,8 @@ def get_backend(backend, epsilon=None, do_wgridding=None):
         kw["do_wgridding"] = do_wgridding
     if kw:
         d2v, v2d = partial(d2v, **kw), partial(v2d, **kw)
+    if double_accum is not None and backend in ("wgrid", "mm"):
+        v2d = partial(v2d, double_accum=double_accum)
     return d2v, v2d
 
 
@@ -88,9 +94,10 @@ def pad_rows(nrow_to, uvw, *arrays):
 def image_data_products(uvw, freq, vis, wgt, mask, counts,
                         nx, ny, nx_psf, ny_psf, cellx, celly,
                         model=None, robustness=None, x0=0.0, y0=0.0,
-                        l2reweight_dof=None, do_psf=True, do_weight=True,
-                        do_residual=True, backend="dft", epsilon=None,
-                        do_wgridding=None):
+                        l2reweight_dof=None, do_dirty=True, do_psf=True,
+                        do_weight=True, do_residual=True, backend="dft",
+                        epsilon=None, do_wgridding=None,
+                        double_accum=None):
     """Compute DIRTY, WSUM, PSF(+PSFHAT), RESIDUAL and effective WEIGHT
     for one (time, band) dataset in one go
     (reference: pfb/operators/gridder.py:551-740).
@@ -102,7 +109,8 @@ def image_data_products(uvw, freq, vis, wgt, mask, counts,
     Rows are zero-padded to a power-of-two bucket so different datasets
     share one compiled program (padded rows have zero weight/mask).
     """
-    d2v, v2d = get_backend(backend, epsilon, do_wgridding)
+    d2v, v2d = get_backend(backend, epsilon, do_wgridding,
+                           double_accum)
     out = {}
 
     nrow = uvw.shape[0]
@@ -139,8 +147,10 @@ def image_data_products(uvw, freq, vis, wgt, mask, counts,
     wsum = jnp.where(mb, wgt, 0.0).sum()
     out["WSUM"] = jnp.atleast_1d(wsum)
 
-    out["DIRTY"] = v2d(uvw, freq, vis, wgt=wgt, mask=mask, nx=nx, ny=ny,
-                       cellx=cellx, celly=celly, x0=x0, y0=y0)
+    if do_dirty:
+        out["DIRTY"] = v2d(uvw, freq, vis, wgt=wgt, mask=mask, nx=nx,
+                           ny=ny, cellx=cellx, celly=celly, x0=x0,
+                           y0=y0)
 
     if do_psf:
         # real-valued unit visibilities (imag = 0); avoids materialising
@@ -149,7 +159,7 @@ def image_data_products(uvw, freq, vis, wgt, mask, counts,
         if x0 or y0:
             # PSF visibilities at the shifted phase centre: transform of
             # a unit delta at (x0, y0) (reference gridder.py:659-687)
-            delta = jnp.zeros((128, 128), out["DIRTY"].dtype)
+            delta = jnp.zeros((128, 128), jnp.finfo(vis.dtype).dtype)
             delta = delta.at[64, 64].set(1.0)
             psf_vis = d2v(uvw, freq, delta, cellx, celly, x0=x0, y0=y0)
         psf = v2d(uvw, freq, psf_vis, wgt=wgt, mask=mask, nx=nx_psf,

@@ -79,10 +79,11 @@ def _bin_to_tiles(ug, vg, wplane, tx_size, ty_size, Nx, Ny, nw):
 
 
 @partial(jax.jit, static_argnames=("k", "nw", "ntx", "nty", "txs",
-                                   "tys", "C", "precision"))
+                                   "tys", "C", "precision",
+                                   "accum64"))
 def _grid_all_taps(pu, pv, vflat, idxc, pmc, pw, txv, tyv, beta, k,
                    nw, ntx, nty, txs, tys, C,
-                   precision=lax.Precision.HIGHEST):
+                   precision=lax.Precision.HIGHEST, accum64=False):
     """The whole gridding accumulation — w-support taps x entry chunks
     — as ONE XLA program for one of the real/imag components. The
     chunked host loop this replaces spent ~100x the device time on
@@ -136,13 +137,19 @@ def _grid_all_taps(pu, pv, vflat, idxc, pmc, pw, txv, tyv, beta, k,
             tid = (ptile * ntx + txc) * nty + tyc
             tiles = jnp.einsum("ecx,ecy->exy", CU * wt[..., None], CV,
                                precision=precision)
+            if accum64:  # double-precision grid accumulation
+                tiles = tiles.astype(jnp.float64)
             Y = Y.at[tid].add(tiles, indices_are_sorted=True)
         return Y, None
 
-    Y0 = jnp.zeros((nseg, Thx, Thy), rdtype)
+    # gridding.yml double-accum: the ducc0 double_precision_accumulation
+    # analogue — the dense accumulator is f64 even for f32 inputs (CPU/
+    # x64 only; TPU has no f64 and uses HIGHEST-precision dots instead)
+    Y0 = jnp.zeros((nseg, Thx, Thy),
+                   jnp.float64 if accum64 else rdtype)
     Y, _ = lax.scan(chunk_body, Y0,
                     (pu, pv, idxc, pmc, pw, txv, tyv))
-    return Y
+    return Y.astype(rdtype)
 
 
 @partial(jax.jit, static_argnames=("k", "nw", "ntx", "nty", "txs",
@@ -426,7 +433,8 @@ def mm_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
 def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
                  cellx, celly, epsilon=1e-7, do_wgridding=True,
                  sigma=2.0, tile=None, capacity=None,
-                 divide_by_n=False, plan=None, x0=0.0, y0=0.0):
+                 divide_by_n=False, plan=None, x0=0.0, y0=0.0,
+                 double_accum=False):
     """R.H via the matmul gridder. Semantics identical to
     ops.wgridder.vis2dirty_wgrid (validated against the DFT oracle).
     Pass plan=mm_plan(...) to amortise binning across calls."""
@@ -458,10 +466,14 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     # accumulator copy is GBs and the FFT stage needs the headroom
     # (a joint program's (Yr, Yi) scan carry double-buffers to 2x)
     prec = p.get("precision", lax.Precision.HIGHEST)
+    # double-accum is only realisable with x64 available (CPU); on TPU
+    # the f32 path already runs HIGHEST-precision dots
+    accum64 = bool(double_accum and jax.config.jax_enable_x64
+                   and np.dtype(rdtype) == np.float32)
     Yr = _grid_all_taps(p["pu_c"], p["pv_c"], vr_flat, p["idx_c"],
                         p["pm_c"], p["pw_c"], p["tx_c"], p["ty_c"],
                         p["beta"], k, nw, ntx, nty, txs, tys, C,
-                        precision=prec)
+                        precision=prec, accum64=accum64)
     float(jnp.sum(Yr[0, 0, :8]))
     grids_r = _dense_overlap(Yr, nw, ntx, nty, txs, tys, k, p["Nx"],
                              p["Ny"])
@@ -470,7 +482,7 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     Yi = _grid_all_taps(p["pu_c"], p["pv_c"], vi_flat, p["idx_c"],
                         p["pm_c"], p["pw_c"], p["tx_c"], p["ty_c"],
                         p["beta"], k, nw, ntx, nty, txs, tys, C,
-                        precision=prec)
+                        precision=prec, accum64=accum64)
     float(jnp.sum(Yi[0, 0, :8]))
     grids_i = _dense_overlap(Yi, nw, ntx, nty, txs, tys, k, p["Nx"],
                              p["Ny"])

@@ -101,15 +101,50 @@ def counts_to_weights(counts, uvw, freq, nx, ny, cellx, celly, robust):
     return jnp.where(jnp.any(counts != 0), w, jnp.zeros_like(w)).astype(dtype)
 
 
-def filter_extreme_counts(counts, level=10.0):
-    """Clamp near-empty uv cells to median/level to avoid upweighting
-    them (reference: pfb/utils/weighting.py:186-215). Host-side numpy
-    (needs a data-dependent median over nonzeros)."""
+def filter_extreme_counts(counts, level=10.0, nbox=None):
+    """Clamp near-empty uv cells to avoid upweighting them
+    (reference: pfb/utils/weighting.py:186-215). Host-side numpy
+    (needs a data-dependent median over nonzeros).
+
+    nbox=None (default): global median clamp — occupied cells below
+    median/level are raised to it (the reference's live behaviour).
+    nbox=N: the reference's dormant local-mean variant (its numba loop
+    is commented out upstream), vectorised: each occupied cell is
+    compared against the mean of the occupied cells in its N x N
+    neighbourhood; cells below local_mean/level are raised to the
+    local mean, and cells with fewer than N occupied neighbours are
+    zeroed (too isolated to weight against)."""
     counts = np.asarray(counts).copy()
     ix, iy = np.where(counts > 0)
     if ix.size == 0:
         return counts
-    cnts = counts[ix, iy]
-    med = np.median(cnts)
-    counts[ix, iy] = np.maximum(cnts, med / level)
+    if nbox is None:
+        cnts = counts[ix, iy]
+        med = np.median(cnts)
+        counts[ix, iy] = np.maximum(cnts, med / level)
+        return counts
+    # box sums via 2D cumulative sums (O(npix), no scipy needed)
+    occ = (counts > 0).astype(np.float64)
+
+    def box_sum(a, n):
+        c = np.cumsum(np.cumsum(a, axis=0), axis=1)
+        c = np.pad(c, ((1, 0), (1, 0)))
+        h = n // 2
+        nx, ny = a.shape
+        i0 = np.clip(np.arange(nx) - h, 0, nx)
+        i1 = np.clip(np.arange(nx) + n - h, 0, nx)
+        j0 = np.clip(np.arange(ny) - h, 0, ny)
+        j1 = np.clip(np.arange(ny) + n - h, 0, ny)
+        return (c[i1][:, j1] - c[i0][:, j1] - c[i1][:, j0]
+                + c[i0][:, j0])
+
+    nocc = box_sum(occ, nbox)
+    tot = box_sum(counts.astype(np.float64), nbox)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        local_mean = np.where(nocc > 0, tot / np.maximum(nocc, 1), 0.0)
+    sel = counts > 0
+    too_isolated = sel & (nocc < nbox)
+    low = sel & ~too_isolated & (counts < local_mean / level)
+    counts[low] = local_mean[low]
+    counts[too_isolated] = 0.0
     return counts

@@ -211,8 +211,10 @@ def _centre_shift(uvw, freq, x0, y0, sign):
 def vis2dirty_wgrid(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
                     cellx, celly, x0=0.0, y0=0.0, epsilon=1e-7,
                     do_wgridding=True, sigma=2.0, row_chunk=2048,
-                    divide_by_n=False):
+                    divide_by_n=False, double_accum=False):
     """R.H: visibilities -> dirty image via w-stacked ES gridding."""
+    import jax
+
     k, beta = kernel_params(epsilon)
     Nx, Ny = _grid_setup(nx, ny, cellx, celly, sigma)
     rdtype = jnp.finfo(vis.dtype).dtype
@@ -221,6 +223,14 @@ def vis2dirty_wgrid(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     if mask is not None:
         w = w * mask
     vis_w = vis * w
+    # gridding.yml double-accum: spread/accumulate in f64 for f32
+    # inputs (CPU/x64 only — TPU has no f64)
+    if (double_accum and jax.config.jax_enable_x64
+            and rdtype == jnp.float32):
+        vis_w = vis_w.astype(jnp.complex128)
+        rdtype_out = jnp.float32
+    else:
+        rdtype_out = None
     if x0 or y0:
         vis_w = vis_w * _centre_shift(uvw, freq, x0, y0, +1.0)
 
@@ -240,6 +250,9 @@ def vis2dirty_wgrid(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     gr, gi = _spread(uvw, freq, vis_w, nx, ny, cellx, celly, k,
                      beta, Nx, Ny, row_chunk, do_wgridding and nw > 1,
                      nw, w0, dw)
+    if rdtype_out is not None:  # double-accum: back to f32 post-spread
+        gr = gr.astype(rdtype_out)
+        gi = gi.astype(rdtype_out)
     return _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny,
                           do_wgridding and nw > 1, nw, w0, dw,
                           divide_by_n, x0, y0)

@@ -67,8 +67,32 @@ def cg(A, b, x0=None, tol=1e-5, maxit=500):
     return x
 
 
+def _progress(name, k, eps, report_freq, verbosity):
+    """In-loop convergence reporting for the fused solvers
+    (reference per-iteration prints, pfb/opt/pcg.py:120-132): a
+    jax.debug.print every ``report_freq`` iterations when
+    verbosity >= 2 — not traced at all below that, so the default
+    single-XLA-program solvers stay print-free."""
+    if verbosity < 2 or not report_freq:
+        return
+    lax.cond(
+        (k % report_freq) == 0,
+        lambda: jax.debug.print(
+            name + ": iter {k}  eps {e:.3e}", k=k, e=jnp.max(eps)),
+        lambda: None)
+
+
+def _summary(name, k, eps, verbosity):
+    """End-of-solve summary (verbosity >= 1)."""
+    if verbosity < 1:
+        return
+    jax.debug.print(name + ": done at iter {k}  eps {e:.3e}",
+                    k=k, e=jnp.max(eps))
+
+
 def pcg(A, b, x0=None, M=None, tol=1e-5, maxit=500, minit=100,
-        backtrack=True, return_resid=False):
+        backtrack=True, return_resid=False, verbosity=0,
+        report_freq=10, name="pcg"):
     """PCG with preconditioner M, minimum iterations and a backtracking
     "line search" that shrinks alpha by 0.75 while the (preconditioned)
     residual norm increases (reference: pfb/opt/pcg.py:53-136).
@@ -95,7 +119,11 @@ def pcg(A, b, x0=None, M=None, tol=1e-5, maxit=500, minit=100,
         rp = r
         Ap = A(p)
         rnorm = jnp.vdot(r, y).real
-        alpha0 = rnorm / jnp.vdot(p, Ap).real
+        pAp = jnp.vdot(p, Ap).real
+        # guard the exactly-converged case (r = p = 0 when minit
+        # forces iterations past convergence): 0/0 would poison x
+        alpha0 = jnp.where(pAp != 0,
+                           rnorm / jnp.where(pAp == 0, 1.0, pAp), 0.0)
 
         def bt_cond(bt_state):
             alpha, x_, r_, y_, rnn = bt_state
@@ -118,14 +146,18 @@ def pcg(A, b, x0=None, M=None, tol=1e-5, maxit=500, minit=100,
             _, x, r, y, rnorm_next = lax.while_loop(
                 bt_cond, bt_body, (alpha0, x, r, y, rnorm_next))
 
-        beta = rnorm_next / rnorm
+        beta = jnp.where(rnorm != 0,
+                         rnorm_next / jnp.where(rnorm == 0, 1.0,
+                                                rnorm), 0.0)
         p = beta * p - y
         eps = norm_diff(x, xp)
+        _progress(name, k, eps, report_freq, verbosity)
         return x, r, y, p, eps, k + 1
 
     dt = jnp.result_type(b.dtype, jnp.float32)
     state0 = (x0, r, y, p, jnp.asarray(1.0, dt), jnp.asarray(0, jnp.int32))
     x, r, y, p, eps, k = lax.while_loop(cond, body, state0)
+    _summary(name, k, eps, verbosity)
     if return_resid:
         return x, r
     return x
@@ -137,7 +169,8 @@ def _band_vdot(a, b):
 
 
 def pcg_bands_hostloop(A, b, x0=None, M=None, tol=1e-5, maxit=500,
-                       minit=100):
+                       minit=100, verbosity=0, report_freq=10,
+                       name="pcg"):
     """Batched per-band PCG with the outer loop on the host, one jitted
     iteration on device. Same math as :func:`pcg_bands` (without
     backtracking); useful when the matvec is a Pallas pipeline that XLA
@@ -168,6 +201,9 @@ def pcg_bands_hostloop(A, b, x0=None, M=None, tol=1e-5, maxit=500,
         eps = jnp.sqrt(num / den)
         return xn, rn, yn, pn, eps
 
+    from pfb_tpu.utils.logging import get_logger
+    log = get_logger("PCG")
+
     x = x0
     r = A(x0) - b
     y = M(r)
@@ -175,13 +211,20 @@ def pcg_bands_hostloop(A, b, x0=None, M=None, tol=1e-5, maxit=500,
     for k in range(maxit):
         Ap = A(p)
         x, r, y, p, eps = step(x, r, y, p, Ap)
+        if verbosity > 1 and report_freq and \
+                (k + 1) % report_freq == 0:
+            log.info(f"{name}: iter {k + 1}  eps "
+                     f"{float(jnp.max(eps)):.3e}")
         if k + 1 >= minit and float(jnp.max(eps)) < tol:
             break
+    if verbosity >= 1:
+        log.info(f"{name}: done at iter {k + 1}")
     return x
 
 
 def pcg_bands(A, b, x0=None, M=None, tol=1e-5, maxit=500, minit=100,
-              backtrack=True):
+              backtrack=True, verbosity=0, report_freq=10,
+              name="pcg"):
     """Batched per-band PCG: solve nband independent systems in one XLA
     program, with per-band alpha/beta/backtracking and per-band
     convergence freezing.
@@ -253,10 +296,12 @@ def pcg_bands(A, b, x0=None, M=None, tol=1e-5, maxit=500, minit=100,
         r = jnp.where(active, r, rp)
         y = jnp.where(active, y, M(rp))
         p_new = jnp.where(active, p_new, p)
+        _progress(name, k, eps, report_freq, verbosity)
         return x, r, y, p_new, eps, active_new, k + 1
 
     state0 = (x0, r, y, p, eps0, active0, jnp.asarray(0, jnp.int32))
-    x, *_ = lax.while_loop(cond, body, state0)
+    x, _, _, _, eps, _, k = lax.while_loop(cond, body, state0)
+    _summary(name, k, eps, verbosity)
     return x
 
 
@@ -296,7 +341,8 @@ def cg_dct(A, b, x, tol=1e-5, maxit=500):
 
 
 def pcg_psf(psfhat, b, x0, beam=None, lastsize=None, sigmainv=0.0,
-            tol=1e-5, maxit=500, minit=100, backtrack=True):
+            tol=1e-5, maxit=500, minit=100, backtrack=True,
+            verbosity=0, report_freq=10):
     """PCG against the per-band PSF Hessian, used by the klean flux mop
     (reference: pfb/opt/pcg.py:310-360). sigmainv>0 adds Tikhonov
     regularisation and enables the diagonal preconditioner M(x)=x/sigmainv
@@ -312,4 +358,5 @@ def pcg_psf(psfhat, b, x0, beam=None, lastsize=None, sigmainv=0.0,
 
     M = (lambda x: x / sigmainv) if sigmainv > 0 else None
     return pcg_bands(A, b, x0=x0, M=M, tol=tol, maxit=maxit, minit=minit,
-                     backtrack=backtrack)
+                     backtrack=backtrack, verbosity=verbosity,
+                     report_freq=report_freq)

@@ -11,7 +11,7 @@ from jax import lax
 
 
 def power_method(A, imsize, b0=None, tol=1e-5, maxit=250, key=None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, verbosity=0, report_freq=100):
     """Dominant eigenvalue (and eigenvector) of the symmetric operator A.
 
     Matches the reference iteration: b <- A(b_prev); beta = <b_prev, b> /
@@ -40,8 +40,12 @@ def power_method(A, imsize, b0=None, tol=1e-5, maxit=250, key=None,
         beta = jnp.vdot(bp, bnew).real / jnp.vdot(bp, bp).real
         bnew = bnew / bnorm
         eps = jnp.abs(beta - betap) / betap
+        from pfb_tpu.opt.pcg import _progress
+        _progress("pm", k, eps, report_freq, verbosity)
         return bnew, bnew, beta, eps, k + 1
 
     state0 = (b, b, one, one, jnp.asarray(0, jnp.int32))
     b, bp, beta, eps, k = lax.while_loop(cond, body, state0)
+    from pfb_tpu.opt.pcg import _summary
+    _summary("pm", k, eps, verbosity)
     return beta, b

@@ -56,7 +56,9 @@ def primal_dual(x,
                 maxit=1000,
                 positivity=1,
                 gamma=1.0,
-                maxreweight=50):
+                maxreweight=50,
+                verbosity=0,
+                report_freq=50):
     """Returns (x, v, l1weight, niters).
 
     Matches primal_dual_optimised (pfb/opt/primal_dual.py:91-180)
@@ -90,6 +92,8 @@ def primal_dual(x,
             done = converged & ~do_rw
         else:
             done = converged
+        from pfb_tpu.opt.pcg import _progress
+        _progress("pd", k, eps, report_freq, verbosity)
         return xnew, vnew, w, nrw, eps, done, k + 1
 
     dt = jnp.result_type(x.dtype, jnp.float32)
@@ -97,13 +101,15 @@ def primal_dual(x,
               jnp.asarray(1.0, dt), jnp.asarray(False),
               jnp.asarray(0, jnp.int32))
     xf, vf, wf, nrw, eps, done, k = lax.while_loop(cond, body, state0)
+    from pfb_tpu.opt.pcg import _summary
+    _summary("pd", k, eps, verbosity)
     return xf, vf, wf, k
 
 
 def primal_dual_hostloop(x, v, lam, psiH, psi, L, l1weight, grad,
                          reweighter=None, nu=1.0, sigma=None, tol=1e-5,
                          maxit=1000, positivity=1, gamma=1.0,
-                         maxreweight=50):
+                         maxreweight=50, verbosity=0, report_freq=50):
     """Same iteration as :func:`primal_dual` with the outer loop on the
     host and one jitted step on device. Use when the Hessian matvec is
     a Pallas pipeline (XLA drops the kernels' scoped-VMEM parameters
@@ -127,18 +133,25 @@ def primal_dual_hostloop(x, v, lam, psiH, psi, L, l1weight, grad,
         eps = norm_diff(xnew, xp)
         return xnew, vnew, eps
 
+    from pfb_tpu.utils.logging import get_logger
+    log = get_logger("PD")
+
     nrw = 0
     k = 0
     w = l1weight
     while k < maxit:
         x, v, eps = step(x, v, w)
         k += 1
+        if verbosity > 1 and report_freq and k % report_freq == 0:
+            log.info(f"pd: iter {k}  eps {float(eps):.3e}")
         if float(eps) < tol:
             if reweighter is not None and nrw < maxreweight:
                 w = reweighter(x)
                 nrw += 1
             else:
                 break
+    if verbosity >= 1:
+        log.info(f"pd: done at iter {k}")
     return x, v, w, k
 
 

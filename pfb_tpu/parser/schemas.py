@@ -30,6 +30,21 @@ def _load():
         name = os.path.splitext(os.path.basename(path))[0]
         with open(path) as f:
             spec = yaml.safe_load(f) or {}
+        inputs = spec.get("inputs") or {}
+        # shared option mixins (reference: pfb/parser/*.yml included
+        # via scabha's _include): a worker yaml lists mixin .yml files
+        # under inputs._include; mixin options merge in but the
+        # worker's own definitions win
+        include = inputs.pop("_include", None) or []
+        if isinstance(include, str):
+            include = [include]
+        merged = {}
+        for mixin in include:
+            with open(os.path.join(_here, mixin)) as f:
+                merged.update(yaml.safe_load(f) or {})
+        merged.update(inputs)
+        if merged:
+            spec["inputs"] = merged
         out[name] = spec
     return _Schema(**out)
 

@@ -55,6 +55,31 @@ def get_coordinates(obs_time, target="Sun"):
     return float(ra), float(dec)
 
 
+def parse_target(target, obs_time=None):
+    """Resolve a --target string to (ra, dec) radians (reference
+    grid.py target / fastim.py target semantics): either an ephemeris
+    body name (see :func:`get_coordinates`) or 'HH:MM:SS,DD:MM:SS'
+    (comma-delimited, as the reference documents), or 'rad,rad' when
+    both fields are plain floats."""
+    s = str(target).strip()
+    if "," not in s:
+        return get_coordinates(obs_time, target=s)
+    a, b = (p.strip() for p in s.split(",", 1))
+
+    def sexa(txt, hours):
+        parts = [float(p) for p in txt.split(":")]
+        while len(parts) < 3:
+            parts.append(0.0)
+        sign = -1.0 if txt.lstrip().startswith("-") else 1.0
+        val = abs(parts[0]) + parts[1] / 60.0 + parts[2] / 3600.0
+        deg = val * (15.0 if hours else 1.0)
+        return sign * np.deg2rad(deg)
+
+    if ":" in a or ":" in b:
+        return sexa(a, hours=True), sexa(b, hours=False)
+    return float(a), float(b)
+
+
 def parallactic_angle(time_s, ra, dec, lat, lst0=0.0,
                       earth_rate=2 * np.pi / 86164.0905):
     """Parallactic angle (radians) per time sample for a source at
@@ -78,6 +103,36 @@ def radec_to_lm(radec_target, radec_phase_centre):
     m = (np.sin(dec) * np.cos(dec0) -
          np.cos(dec) * np.sin(dec0) * np.cos(dra))
     return l, m
+
+
+def _uvw_basis(ra, dec):
+    """Rows (u, v, w) of the uvw projection for phase centre
+    (ra, dec): w along the source, u east, v north."""
+    sa, ca = np.sin(ra), np.cos(ra)
+    sd, cd = np.sin(dec), np.cos(dec)
+    return np.array([[-sa, ca, 0.0],
+                     [-sd * ca, -sd * sa, cd],
+                     [cd * ca, cd * sa, sd]])
+
+
+def rephase_to(vis, uvw, radec_in, radec_out, freq):
+    """Exactly re-reference visibilities to a new phase centre
+    (init.yaml radec; the reference raises NotImplementedError on this
+    path, stokes2vis.py:162-165): rotate the uvw frame
+    (uvw' = T(out) T(in)^T uvw, the fixvis operation) and counter-
+    rotate the phases by the w change. Returns (vis', uvw')."""
+    Tin = _uvw_basis(*radec_in)
+    Tout = _uvw_basis(*radec_out)
+    uvw_new = np.asarray(uvw) @ (Tout @ Tin.T).T
+    from pfb_tpu.ops.dft import LIGHTSPEED
+    # vis convention exp(-2pi i (u l + v m + w (n-1))) (ops/dft.py):
+    # vis' = vis * exp(+2pi i (w_new - w_old) / lambda)
+    dw = uvw_new[:, 2] - np.asarray(uvw)[:, 2]  # metres
+    phase = dw[:, None] * (np.asarray(freq)[None, :] / LIGHTSPEED)
+    vis = np.asarray(vis)
+    if vis.ndim == 3:  # (row, chan, corr)
+        phase = phase[..., None]
+    return vis * np.exp(2j * np.pi * phase), uvw_new
 
 
 def rephase_vis(vis, uvw, radec_in, radec_out, freq=None):

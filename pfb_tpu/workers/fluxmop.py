@@ -25,8 +25,11 @@ def _fluxmop(ddsi=None, output_filename=None, product="I",
              suffix="main", nband=None, mask=None, min_model=0.0,
              zero_model_outside_mask=False, use_psf=True, sigmainv=1e-5,
              gamma=0.9, cg_tol=1e-5, cg_maxit=150, cg_minit=10,
+             cg_verbose=0, cg_report_freq=10,
              backtrack=True, model_name="MODEL", backend="dft",
-             epsilon=1e-7, write=True, band_chunk=None, verbose=1, **kw):
+             epsilon=1e-7, do_wgridding=True, write=True,
+             band_chunk=None, verbose=1, fits_mfs=False,
+             fits_cubes=False, **kw):
     """Returns (model, residual). Writes back into the dds store."""
     import jax.numpy as jnp
 
@@ -53,7 +56,8 @@ def _fluxmop(ddsi=None, output_filename=None, product="I",
 
     # exact-residual operator built once (one compiled program)
     hess0 = make_hessian_dds(dds, nband, wsum, nx, ny, use_beam=False,
-                             backend=backend, epsilon=epsilon)
+                             backend=backend, epsilon=epsilon,
+                             do_wgridding=do_wgridding)
 
     def hess_exact(m):
         return np.asarray(hess0(jnp.asarray(m)))
@@ -83,15 +87,20 @@ def _fluxmop(ddsi=None, output_filename=None, product="I",
 
         update = np.asarray(pcg_bands(A, b, tol=cg_tol, maxit=cg_maxit,
                                       minit=cg_minit,
-                                      backtrack=backtrack))
+                                      backtrack=backtrack,
+                                      verbosity=cg_verbose,
+                                      report_freq=cg_report_freq))
     else:
         A = make_hessian_dds(dds, nband, wsum, nx, ny,
                              sigmainv=np.sqrt(sigmainv),
                              mask_image=mask_im, use_beam=False,
-                             backend=backend, epsilon=epsilon)
+                             backend=backend, epsilon=epsilon,
+                             do_wgridding=do_wgridding)
 
         update = np.asarray(pcg(A, b, tol=cg_tol, maxit=cg_maxit,
-                                minit=cg_minit, backtrack=backtrack))
+                                minit=cg_minit, backtrack=backtrack,
+                                verbosity=cg_verbose,
+                                report_freq=cg_report_freq))
 
     modelp = model.copy()
     model = model + gamma * update
@@ -111,5 +120,16 @@ def _fluxmop(ddsi=None, output_filename=None, product="I",
                       "UPDATE": update[bnd]}
             dstore.update_ds(dds_name, i, arrays)
             ds.update(arrays)
+
+    # fits products (reference fluxmop.py fits-mfs/fits-cubes options)
+    if (fits_mfs or fits_cubes) and output_filename is not None:
+        from pfb_tpu.utils.fits import dds2fits, dds2fits_mfs
+        base = f"{output_filename}_{product.upper()}_{suffix}"
+        for col, norm in (("RESIDUAL", True), ("MODEL", False),
+                          ("UPDATE", False)):
+            if fits_mfs:
+                dds2fits_mfs(dds, col, base, norm_wsum=norm)
+            if fits_cubes:
+                dds2fits(dds, col, base, norm_wsum=norm)
 
     return model, residual

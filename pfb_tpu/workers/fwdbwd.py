@@ -80,10 +80,14 @@ def _fwdbwd(ddsi=None, output_filename=None, product="I",
             suffix="main", nband=None, niter=5, tol=5e-4,
             parametrisation="id", sigmainv=1e-5, sigma21=None,
             rmsfactor=1.0, gamma=1.0, bases="self,db1,db2", nlevels=2,
-            l1reweight_from=5, pm_tol=1e-4, pm_maxit=100, cg_tol=1e-4,
-            cg_maxit=100, cg_minit=5, pd_tol=1e-4, pd_maxit=300,
-            positivity=0, backend="dft", write=True, verbose=1,
-            restart=False, **kw):
+            l1reweight_from=5, pm_tol=1e-4, pm_maxit=100,
+            pm_verbose=0, pm_report_freq=100, cg_tol=1e-4,
+            cg_maxit=100, cg_minit=5, cg_verbose=0, cg_report_freq=10,
+            backtrack=True, pd_tol=1e-4, pd_maxit=300, pd_verbose=0,
+            pd_report_freq=50, positivity=0, backend="dft",
+            epsilon=1e-7, do_wgridding=True, mask=None,
+            model_name="MODEL", write=True, verbose=1,
+            fits_mfs=False, fits_cubes=False, restart=False, **kw):
     """Returns (model, param, residual)."""
     import jax.numpy as jnp
 
@@ -101,15 +105,21 @@ def _fwdbwd(ddsi=None, output_filename=None, product="I",
     freqs_out = np.unique([ds["freq_out"] for ds in dds])
     nband = freqs_out.size if nband is None else nband
     dirty, model, residual, psf, psfhat, beam, wsums, _ = dds2cubes(
-        dds, nband, apparent=False)
+        dds, nband, apparent=False, modelname=model_name)
     wsum = wsums.sum()
     if residual is None:
         residual = dirty.copy()
     nx, ny = dirty.shape[-2:]
 
+    mask_im = None
+    if mask is not None:
+        mask_im = (np.any(model > 0, axis=0) if mask == "model"
+                   else np.asarray(mask)).astype(dirty.dtype)
+
     # exact-residual operator built once (one compiled program)
     hess = make_hessian_dds(dds, nband, wsum, nx, ny, use_beam=False,
-                            backend=backend)
+                            backend=backend, epsilon=epsilon,
+                            do_wgridding=do_wgridding)
     lastsize = dds[0]["PSF"].shape[-1]
 
     psf_convolve = make_psf_convolve(to_device(psfhat), lastsize)
@@ -123,7 +133,9 @@ def _fwdbwd(ddsi=None, output_filename=None, product="I",
     # Psi Psi.H spectral norm (reference fwdbwd.py:247-259)
     psinorm, _ = power_method(lambda v: psiF(psiH(v)),
                               (nband, nx, ny), tol=pm_tol,
-                              maxit=pm_maxit, dtype=dirty.dtype)
+                              maxit=pm_maxit, dtype=dirty.dtype,
+                              verbosity=pm_verbose,
+                              report_freq=pm_report_freq)
     psinorm = float(psinorm)
 
     minval = float(np.median(model[model > 0])) if model.any() else 1e-5
@@ -160,7 +172,9 @@ def _fwdbwd(ddsi=None, output_filename=None, product="I",
         xp = jnp.asarray(x)
         df = partial(dfunc, xp)
         dhf = partial(dhfunc, xp)
-        j = np.asarray(dhf(2.0 * jnp.asarray(residual)))
+        res_in = residual if mask_im is None else \
+            residual * mask_im[None]
+        j = np.asarray(dhf(2.0 * jnp.asarray(res_in)))
         sigmainv_k = max(float(np.std(j)), sigmainv)
 
         def hesspsf(v):
@@ -168,11 +182,13 @@ def _fwdbwd(ddsi=None, output_filename=None, product="I",
 
         hessnorm, hessbeta = power_method(
             hesspsf, (nband, nx, ny), b0=hessbeta, tol=pm_tol,
-            maxit=pm_maxit, dtype=dirty.dtype)
+            maxit=pm_maxit, dtype=dirty.dtype, verbosity=pm_verbose,
+            report_freq=pm_report_freq)
         hessnorm = float(hessnorm)
 
         delx = pcg(hesspsf, jnp.asarray(j), tol=cg_tol, maxit=cg_maxit,
-                   minit=cg_minit)
+                   minit=cg_minit, backtrack=backtrack,
+                   verbosity=cg_verbose, report_freq=cg_report_freq)
 
         # threshold scale (reference fwdbwd.py:339-348)
         tmpx = np.random.default_rng(k).standard_normal(dirty.shape)
@@ -200,7 +216,8 @@ def _fwdbwd(ddsi=None, output_filename=None, product="I",
             xn, dual, l1weight, _ = primal_dual(
                 xp, dual, sig21, psiH, psiF, hessnorm, l1weight,
                 grad21, nu=psinorm, tol=pd_tol, maxit=pd_maxit,
-                positivity=positivity, gamma=gamma)
+                positivity=positivity, gamma=gamma,
+                verbosity=pd_verbose, report_freq=pd_report_freq)
             x = np.asarray(xn) + dmode
         else:
             x = np.asarray(xp + gamma * delx)
@@ -231,5 +248,15 @@ def _fwdbwd(ddsi=None, output_filename=None, product="I",
             if verbose:
                 log.info(f"fwdbwd: converged after {k + 1} iterations")
             break
+
+    # fits products (reference fwdbwd.py fits-mfs/fits-cubes options)
+    if (fits_mfs or fits_cubes) and output_filename is not None:
+        from pfb_tpu.utils.fits import dds2fits, dds2fits_mfs
+        base = f"{output_filename}_{product.upper()}_{suffix}"
+        for col, norm in (("RESIDUAL", True), ("MODEL", False)):
+            if fits_mfs:
+                dds2fits_mfs(dds, col, base, norm_wsum=norm)
+            if fits_cubes:
+                dds2fits(dds, col, base, norm_wsum=norm)
 
     return model, x, residual

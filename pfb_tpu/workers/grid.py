@@ -19,21 +19,30 @@ from pfb_tpu.utils import dstore
 def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
           nband=None, field_of_view=None, cell_size=None, nx=None,
           ny=None, super_resolution_factor=2.0, robustness=None,
-          psf=True, psf_oversize=2.0, residual=True, weight=True,
-          filter_extreme_counts_flag=False, filter_level=10.0,
-          l2reweight_dof=None, overwrite=True, write=True,
-          backend="dft", epsilon=1e-7, do_wgridding=True,
-          transfer_model_from=None, x0=0.0, y0=0.0, **kw):
+          dirty=True, psf=True, psf_oversize=2.0, residual=True,
+          weight=True, filter_extreme_counts_flag=False,
+          filter_level=10.0, filter_nbox=None, l2reweight_dof=None,
+          overwrite=True, write=True, backend="dft", epsilon=1e-7,
+          do_wgridding=True, double_accum=True,
+          transfer_model_from=None, use_best_model=False, target=None,
+          x0=0.0, y0=0.0, xds=None, fits_mfs=False, fits_cubes=False,
+          **kw):
     """Returns the list of dds datasets (and writes
     ``{output_filename}_{PRODUCT}_{suffix}.dds`` unless write=False).
 
     ``transfer_model_from`` names an mds store (or passes its dict):
     the fitted component model is rendered onto each dataset's image
     grid at its (time_out, freq_out) and the RESIDUAL is computed at
-    grid time (reference grid.py:308-334). ``epsilon``/``do_wgridding``
-    plumb gridder accuracy to the backend (gridding.yml:1-5)."""
+    grid time (reference grid.py:308-334); ``use_best_model`` degrids
+    MODEL_BEST instead of MODEL when no mds is given (grid.yaml).
+    ``epsilon``/``do_wgridding``/``double_accum`` plumb gridder
+    accuracy to the backend (gridding.yml:1-5). ``target`` recentres
+    the image on an ephemeris body or 'HH:MM:SS,DD:MM:SS' by setting
+    (x0, y0) from the phase-centre offset (reference grid.py:371)."""
     if xdsi is None:
-        xds = dstore.read_store(f"{output_filename}_{product.upper()}.xds")
+        path = xds if isinstance(xds, str) and xds else \
+            f"{output_filename}_{product.upper()}.xds"
+        xds = dstore.read_store(path)
     else:
         xds = xdsi
 
@@ -102,6 +111,17 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
         wgt = jnp.asarray(ds["WEIGHT"])
         mask = jnp.asarray(ds["MASK"])
 
+        x0_ds, y0_ds = x0, y0
+        if target is not None:
+            # recentre on the target: (x0, y0) = direction cosines of
+            # the target w.r.t. this dataset's phase centre
+            from pfb_tpu.utils.astrometry import (parse_target,
+                                                  radec_to_lm)
+            radec_t = parse_target(target,
+                                   obs_time=ds.get("time_out"))
+            x0_ds, y0_ds = radec_to_lm(radec_t,
+                                       (ds["ra"], ds["dec"]))
+
         if robustness is not None:
             from pfb_tpu.ops.gridder import pad_rows, row_bucket
             uvw_p, mask_p = pad_rows(row_bucket(uvw.shape[0]), uvw,
@@ -110,11 +130,14 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
                                     cell_rad, cell_rad)
             if filter_extreme_counts_flag:
                 counts = jnp.asarray(filter_extreme_counts(
-                    np.asarray(counts), level=filter_level))
+                    np.asarray(counts), level=filter_level,
+                    nbox=filter_nbox))
         else:
             counts = None
 
         model = ds.get("MODEL")
+        if use_best_model and transfer_model_from is None:
+            model = ds.get("MODEL_BEST", model)
         if mds is not None:
             from pfb_tpu.models.comps import eval_coeffs_to_slice
             model = eval_coeffs_to_slice(
@@ -124,16 +147,17 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
                 mds["fexpr"], mds["npix_x"], mds["npix_y"],
                 mds["cell_rad_x"], mds["cell_rad_y"],
                 mds.get("center_x", 0.0), mds.get("center_y", 0.0),
-                nx, ny, cell_rad, cell_rad, x0, y0)
+                nx, ny, cell_rad, cell_rad, x0_ds, y0_ds)
         out = image_data_products(
             uvw, freq, vis, wgt, mask, counts, nx, ny, nx_psf, ny_psf,
             cell_rad, cell_rad, model=model, robustness=robustness,
-            x0=x0, y0=y0, l2reweight_dof=l2reweight_dof, do_psf=psf,
-            do_weight=weight, do_residual=residual, backend=backend,
-            epsilon=epsilon, do_wgridding=do_wgridding)
+            x0=x0_ds, y0=y0_ds, l2reweight_dof=l2reweight_dof,
+            do_dirty=dirty, do_psf=psf, do_weight=weight,
+            do_residual=residual, backend=backend, epsilon=epsilon,
+            do_wgridding=do_wgridding, double_accum=double_accum)
 
         out_ds = {
-            "ra": ds["ra"], "dec": ds["dec"], "x0": x0, "y0": y0,
+            "ra": ds["ra"], "dec": ds["dec"], "x0": x0_ds, "y0": y0_ds,
             "cell_rad": cell_rad, "bandid": bandid, "timeid": timeid,
             "freq_out": ds["freq_out"], "time_out": ds["time_out"],
             "robustness": robustness, "product": product,
@@ -143,11 +167,12 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
             "FREQ": np.asarray(ds["FREQ"]),
             "UVW": np.asarray(ds["UVW"]),
             "MASK": np.asarray(ds["MASK"]),
-            "BEAM": _eval_ds_beam(ds, nx, ny, cell_rad, x0, y0,
+            "BEAM": _eval_ds_beam(ds, nx, ny, cell_rad, x0_ds, y0_ds,
                                   real_type),
-            "DIRTY": np.asarray(out["DIRTY"]),
             "WSUM": np.asarray(out["WSUM"]),
         }
+        if dirty:
+            out_ds["DIRTY"] = np.asarray(out["DIRTY"])
         if psf:
             out_ds["PSF"] = np.asarray(out["PSF"])
             # PSFHAT is complex; keep device->host copy off the TPU
@@ -168,6 +193,18 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
     if write and output_filename is not None:
         name = f"{output_filename}_{product.upper()}_{suffix}.dds"
         dstore.write_store(name, dds, overwrite=overwrite)
+        if fits_mfs or fits_cubes:
+            from pfb_tpu.utils.fits import dds2fits, dds2fits_mfs
+            base = f"{output_filename}_{product.upper()}_{suffix}"
+            cols = ["DIRTY"] if dirty else []
+            cols += ["PSF"] if psf else []
+            cols += ["RESIDUAL"] if any("RESIDUAL" in d
+                                        for d in dds) else []
+            for col in cols:
+                if fits_mfs:
+                    dds2fits_mfs(dds, col, base)
+                if fits_cubes:
+                    dds2fits(dds, col, base)
     return dds
 
 

@@ -80,11 +80,12 @@ def _chan_average(vis, wgt, freq, cb):
 
 def _init(ms=None, output_filename=None, product="I",
           channels_per_image=None, integrations_per_image=-1,
-          gain_table=None, data_column="DATA", weight_column=None,
-          flag_column="FLAG", beam_model=None, max_field_of_view=3.0,
+          gain_table=None, gain_term="NET", data_column="DATA",
+          weight_column=None, sigma_column=None, flag_column="FLAG",
+          beam_model=None, max_field_of_view=3.0,
           chan_average=1, freq_range=None, fields=None, ddids=None,
           scans=None, site_latitude=None, precision="double",
-          overwrite=True, write=True, **kw):
+          radec=None, overwrite=True, write=True, **kw):
     """Returns the list of xds datasets (and writes
     ``{output_filename}_{PRODUCT}.xds`` unless write=False).
 
@@ -107,8 +108,14 @@ def _init(ms=None, output_filename=None, product="I",
     ant2 = msd["ANTENNA2"]
     freq_tab = np.asarray(msd["FREQ"], np.float64)
     flag = msd.get(flag_column, np.zeros(data.shape, bool))
-    wgt = msd.get(weight_column or "WEIGHT_SPECTRUM",
-                  np.ones(data.shape))
+    if sigma_column is not None:
+        # weights from standard deviations (reference init.py:216-219)
+        sigma = np.asarray(msd[sigma_column], np.float64)
+        with np.errstate(divide="ignore"):
+            wgt = np.where(sigma > 0, 1.0 / (sigma * sigma), 0.0)
+    else:
+        wgt = msd.get(weight_column or "WEIGHT_SPECTRUM",
+                      np.ones(data.shape))
     pol = str(msd.get("POLTYPE", "linear"))
 
     fid = np.asarray(msd.get("FIELD_ID", np.zeros(nrow, np.int32)))
@@ -123,10 +130,23 @@ def _init(ms=None, output_filename=None, product="I",
     nant = int(max(ant1.max(), ant2.max())) + 1
 
     if gain_table is not None:
-        g = np.load(gain_table) if isinstance(gain_table, str) else \
-            gain_table
-        jones = np.asarray(g["jones"]) if hasattr(g, "files") or \
-            isinstance(g, dict) else np.asarray(g)
+        if isinstance(gain_table, str):
+            # QuartiCal-style term selection: 'path::TERM' wins over
+            # the gain-term option (reference init.py:146)
+            path, _, term = gain_table.partition("::")
+            g = np.load(path)
+            term = term or gain_term
+        else:
+            g, term = gain_table, gain_term
+        is_d = hasattr(g, "files") or isinstance(g, dict)
+        keys = set(g.files if hasattr(g, "files") else g.keys()) \
+            if is_d else set()
+        if is_d and f"jones_{term}" in keys:
+            jones = np.asarray(g[f"jones_{term}"])
+        elif is_d:
+            jones = np.asarray(g["jones"])
+        else:
+            jones = np.asarray(g)
         jones, mode = _jones_mode(jones)
         gain_time = np.asarray(g["gain_time"]) if (
             hasattr(g, "files") and "gain_time" in g.files) or (
@@ -151,6 +171,12 @@ def _init(ms=None, output_filename=None, product="I",
     ddids = _idlist(ddids)
     scans = _idlist(scans)
 
+    radec_out = None
+    if radec is not None:
+        from pfb_tpu.utils.astrometry import parse_target
+        radec_out = parse_target(radec,
+                                 obs_time=float(np.mean(time)))
+
     # (field, ddid, scan) groups (reference misc.py:312-370)
     groups = np.unique(np.stack([fid, did, sid], axis=1), axis=0)
 
@@ -174,6 +200,19 @@ def _init(ms=None, output_filename=None, product="I",
         if chans.size == 0:
             continue
         nchan = chans.size
+
+        ra_f = float(fra[min(f, fra.size - 1)])
+        dec_f = float(fdec[min(f, fdec.size - 1)])
+        data_g = uvw_g = None
+        if radec_out is not None and not np.allclose(
+                (ra_f, dec_f), radec_out):
+            # re-reference this field to the common centre (exact
+            # fixvis-style uvw rotation + phase counter-rotation)
+            from pfb_tpu.utils.astrometry import rephase_to
+            data_g, uvw_g = rephase_to(data[grow], uvw[grow],
+                                       (ra_f, dec_f), radec_out,
+                                       freq_g)
+            ra_f, dec_f = radec_out
 
         utime = np.unique(time[grow])
         ntime = utime.size
@@ -209,8 +248,10 @@ def _init(ms=None, output_filename=None, product="I",
                 cloc = np.arange(c0, min(c0 + cpi, nchan))
                 csel = chans[cloc]
                 jsel = fsel_gain[cloc]
+                dchunk = (data_g[rloc] if data_g is not None
+                          else data[rows])[:, csel]
                 vis, wout = weight_data(
-                    to_device(data[rows][:, csel]),
+                    to_device(dchunk),
                     jnp.asarray(wgt[rows][:, csel]),
                     jnp.asarray(
                         flag_rc[rloc][:, cloc].astype(np.uint8)),
@@ -233,7 +274,8 @@ def _init(ms=None, output_filename=None, product="I",
                     "VIS": vis,
                     "WEIGHT": wout,
                     "MASK": mask,
-                    "UVW": uvw[rows],
+                    "UVW": (uvw_g[rloc] if uvw_g is not None
+                            else uvw[rows]),
                     "FREQ": freq_c,
                     "time_out": float(np.mean(utime[t0:t0 + ipi])),
                     "freq_out": float(np.mean(freq_c)),
@@ -241,8 +283,8 @@ def _init(ms=None, output_filename=None, product="I",
                     "freq_max": float(freq_c.max()),
                     "time_min": float(utime[t0:t0 + ipi].min()),
                     "time_max": float(utime[t0:t0 + ipi].max()),
-                    "ra": float(fra[min(f, fra.size - 1)]),
-                    "dec": float(fdec[min(f, fdec.size - 1)]),
+                    "ra": ra_f,
+                    "dec": dec_f,
                     "fieldid": int(f),
                     "ddid": int(d),
                     "scanid": int(s),

@@ -26,9 +26,10 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
            gamma=0.05, peak_factor=0.05, sub_peak_factor=0.5,
            minor_maxit=50, subminor_maxit=1000, mop_flux=True,
            mop_gamma=0.65, dirosion=1, cg_tol=1e-5, cg_maxit=100,
-           cg_minit=10, backtrack=True, backend="dft", engine="fft",
-           mask=None,
-           write=True, band_chunk=None, verbose=1,
+           cg_minit=10, cg_verbose=0, cg_report_freq=10,
+           backtrack=True, backend="dft", engine="fft",
+           epsilon=1e-7, do_wgridding=True, mask=None,
+           write=True, band_chunk=None, verbose=1, report_freq=1,
            fits_mfs=False, fits_cubes=False, **kw):
     """Returns (model, residual_cube). Writes back into the dds store."""
     import jax.numpy as jnp
@@ -79,7 +80,8 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
     # exact-residual operator built once: one compiled program reused
     # across major iterations (reference klean.py:175-178)
     hess = make_hessian_dds(dds, nband, wsum, nx, ny, use_beam=False,
-                            backend=backend)
+                            backend=backend, epsilon=epsilon,
+                            do_wgridding=do_wgridding)
 
     if verbose:
         log.info(f"klean iter {iter0}: peak residual = {rmax:.3e}, "
@@ -133,7 +135,9 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
                         beam=jnp.asarray(np.broadcast_to(
                             mopmask_f, residual.shape)),
                         sigmainv=float(rmax), tol=cg_tol, maxit=cg_maxit,
-                        minit=cg_minit, backtrack=backtrack)
+                        minit=cg_minit, backtrack=backtrack,
+                        verbosity=cg_verbose,
+                        report_freq=cg_report_freq)
             model = model + mop_gamma * np.asarray(x)
 
             conv = np.asarray(hess(jnp.asarray(model)))
@@ -150,7 +154,7 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
             thresholdf = sigmathreshold * rms if threshold is None else \
                 threshold
 
-        if verbose:
+        if verbose and (k + 1 - iter0) % max(report_freq, 1) == 0:
             log.info(f"klean iter {k + 1}: peak residual = {rmax:.3e}, "
                   f"rms = {rms:.3e}")
 

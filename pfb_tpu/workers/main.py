@@ -63,14 +63,30 @@ def cli(profile_dir, coordinator, num_processes, process_id):
                    num_processes=num_processes, process_id=process_id)
 
 
+def _args(worker, kw):
+    """Schema defaults overlaid with the CLI's non-None options; pops
+    log-directory and attaches the per-run file log there (reference:
+    pyscilog.log_to_file into opts.log_directory)."""
+    import os
+    import time as _time
+
+    args = defaults_for(worker)
+    args.update({k: v for k, v in kw.items() if v is not None})
+    ldir = args.pop("log_directory", None)
+    if ldir:
+        os.makedirs(ldir, exist_ok=True)
+        from pfb_tpu.utils.logging import log_to_file
+        stamp = _time.strftime("%Y%m%d-%H%M%S")
+        log_to_file(os.path.join(ldir, f"{worker}_{stamp}.log"))
+    return args
+
+
 @cli.command()
 @_clickify("init")
 def init(**kw):
     """Create a Stokes visibility store from an MS."""
     from pfb_tpu.workers.init import _init
-    args = defaults_for("init")
-    args.update({k: v for k, v in kw.items() if v is not None})
-    _init(write=True, **args)
+    _init(write=True, **_args("init", kw))
 
 
 @cli.command()
@@ -78,8 +94,7 @@ def init(**kw):
 def grid(**kw):
     """Grid visibilities to dirty/PSF image products."""
     from pfb_tpu.workers.grid import _grid
-    args = defaults_for("grid")
-    args.update({k: v for k, v in kw.items() if v is not None})
+    args = _args("grid", kw)
     args["filter_extreme_counts_flag"] = args.pop(
         "filter_extreme_counts", False)
     _grid(write=True, **args)
@@ -90,8 +105,7 @@ def grid(**kw):
 def klean(**kw):
     """Modified single-scale CLEAN."""
     from pfb_tpu.workers.klean import _klean
-    args = defaults_for("klean")
-    args.update({k: v for k, v in kw.items() if v is not None})
+    args = _args("klean", kw)
     _klean(write=True, **args)
 
 
@@ -100,8 +114,7 @@ def klean(**kw):
 def spotless(**kw):
     """SARA wavelet-sparsity deconvolution."""
     from pfb_tpu.workers.spotless import _spotless
-    args = defaults_for("spotless")
-    args.update({k: v for k, v in kw.items() if v is not None})
+    args = _args("spotless", kw)
     _spotless(write=True, **args)
 
 
@@ -110,8 +123,7 @@ def spotless(**kw):
 def model2comps(**kw):
     """Fit the model cube to a continuous parametrisation."""
     from pfb_tpu.workers.model2comps import _model2comps
-    args = defaults_for("model2comps")
-    args.update({k: v for k, v in kw.items() if v is not None})
+    args = _args("model2comps", kw)
     _model2comps(**args)
 
 
@@ -120,8 +132,7 @@ def model2comps(**kw):
 def degrid(**kw):
     """Render the component model to model visibilities."""
     from pfb_tpu.workers.degrid import _degrid
-    args = defaults_for("degrid")
-    args.update({k: v for k, v in kw.items() if v is not None})
+    args = _args("degrid", kw)
     _degrid(write=True, **args)
 
 
@@ -130,8 +141,7 @@ def degrid(**kw):
 def restore(**kw):
     """Write restored FITS image products."""
     from pfb_tpu.workers.restore import _restore
-    args = defaults_for("restore")
-    args.update({k: v for k, v in kw.items() if v is not None})
+    args = _args("restore", kw)
     _restore(**args)
 
 
@@ -140,8 +150,7 @@ def restore(**kw):
 def fluxmop(**kw):
     """Standalone forward (PCG) step."""
     from pfb_tpu.workers.fluxmop import _fluxmop
-    args = defaults_for("fluxmop")
-    args.update({k: v for k, v in kw.items() if v is not None})
+    args = _args("fluxmop", kw)
     _fluxmop(write=True, **args)
 
 
@@ -150,8 +159,7 @@ def fluxmop(**kw):
 def fastim(**kw):
     """High-cadence residual snapshot imaging."""
     from pfb_tpu.workers.fastim import _fastim
-    args = defaults_for("fastim")
-    args.update({k: v for k, v in kw.items() if v is not None})
+    args = _args("fastim", kw)
     _fastim(write=True, **args)
 
 
@@ -160,8 +168,7 @@ def fastim(**kw):
 def smoovie(**kw):
     """Render fds snapshots to a movie."""
     from pfb_tpu.workers.smoovie import _smoovie
-    args = defaults_for("smoovie")
-    args.update({k: v for k, v in kw.items() if v is not None})
+    args = _args("smoovie", kw)
     _smoovie(write=True, **args)
 
 
@@ -170,8 +177,7 @@ def smoovie(**kw):
 def fwdbwd(**kw):
     """Generalised forward-backward with nonlinear parametrisation."""
     from pfb_tpu.workers.fwdbwd import _fwdbwd
-    args = defaults_for("fwdbwd")
-    args.update({k: v for k, v in kw.items() if v is not None})
+    args = _args("fwdbwd", kw)
     _fwdbwd(write=True, **args)
 
 

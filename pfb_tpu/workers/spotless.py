@@ -30,8 +30,11 @@ def _spotless(ddsi=None, output_filename=None, product="I",
               suffix="main", nband=None, niter=5, tol=5e-4,
               rmsfactor=1.0, init_factor=0.5, gamma=1.0, bases="self,db1,db2",
               nlevels=3, l1reweight_from=5, alpha=4.0, hessnorm=None,
-              pm_tol=1e-5, pm_maxit=100, pd_tol=1e-5, pd_maxit=500,
-              positivity=1, epsilon=1e-7, backend="dft", engine="fft",
+              pm_tol=1e-5, pm_maxit=100, pm_verbose=0,
+              pm_report_freq=100, pd_tol=1e-5, pd_maxit=500,
+              pd_verbose=0, pd_report_freq=50, positivity=1,
+              epsilon=1e-7, do_wgridding=True, backend="dft",
+              engine="fft", diverge_count=3,
               write=True, band_chunk=None, verbose=1,
               fits_mfs=False, fits_cubes=False, **kw):
     """Returns (model, residual_cube). Writes back into the dds store."""
@@ -78,7 +81,9 @@ def _spotless(ddsi=None, output_filename=None, product="I",
     if hessnorm is None:
         hessnorm, _ = power_method(psf_convolve, (nband, nx, ny),
                                    tol=pm_tol, maxit=pm_maxit,
-                                   dtype=dirty.dtype)
+                                   dtype=dirty.dtype,
+                                   verbosity=pm_verbose,
+                                   report_freq=pm_report_freq)
         hessnorm = float(hessnorm) * 1.05  # reference spotless.py:193
     if verbose:
         log.info(f"spotless: hessnorm = {hessnorm:.3e}")
@@ -121,7 +126,7 @@ def _spotless(ddsi=None, output_filename=None, product="I",
     rmax = np.abs(residual_mfs).max()
     best_rms, best_rmax = rms, rmax
     best_model = model.copy()
-    diverge_count = 0
+    n_diverge = 0
     if verbose:
         log.info(f"spotless iter {iter0}: peak residual = {rmax:.3e}, "
               f"rms = {rms:.3e}")
@@ -129,7 +134,8 @@ def _spotless(ddsi=None, output_filename=None, product="I",
     # exact-residual operator built once (one compiled program reused
     # across major iterations; reference spotless.py:186-190)
     hess = make_hessian_dds(dds, nband, wsum, nx, ny, use_beam=False,
-                            backend=backend)
+                            backend=backend, epsilon=epsilon,
+                            do_wgridding=do_wgridding)
 
     dual_j = jnp.asarray(dual)
     for k in range(iter0, iter0 + niter):
@@ -159,7 +165,8 @@ def _spotless(ddsi=None, output_filename=None, product="I",
             jnp.asarray(model), dual_j, rf * rms, psiH, psiF, hessnorm,
             l1weight, grad21, reweighter=reweighter, nu=nbasis,
             tol=pd_tol, maxit=pd_maxit, positivity=positivity,
-            gamma=gamma)
+            gamma=gamma, verbosity=pd_verbose,
+            report_freq=pd_report_freq)
         model = np.asarray(model_j)
 
         conv = np.asarray(hess(model_j))
@@ -204,8 +211,8 @@ def _spotless(ddsi=None, output_filename=None, product="I",
                 log.info(f"spotless: converged after {k + 1} iterations")
             break
         if rms > rmsp:
-            diverge_count += 1
-            if diverge_count > 3:
+            n_diverge += 1
+            if n_diverge > diverge_count:
                 log.info("spotless: algorithm diverging, terminating")
                 break
 
