@@ -18,7 +18,8 @@ from pfb_tpu.utils.ms import read_ms, update_ms_column
 def _degrid(ms=None, mds=None, output_filename=None, product="I",
             suffix="main", model_column="MODEL_DATA",
             channels_per_image=None, integrations_per_image=-1,
-            accumulate=False, backend="dft", nx=None, ny=None,
+            accumulate=False, backend="dft", epsilon=1e-7,
+            do_wgridding=True, nx=None, ny=None,
             cell_rad=None, x0=0.0, y0=0.0, write=True, **kw):
     """Returns the model visibility column (nrow, nchan, ncorr) and
     writes it into the MS unless write=False."""
@@ -52,7 +53,7 @@ def _degrid(ms=None, mds=None, output_filename=None, product="I",
     x0 = x0 or mds.get("center_x", 0.0)
     y0 = y0 or mds.get("center_y", 0.0)
 
-    d2v, _ = get_backend(backend)
+    d2v, _ = get_backend(backend, epsilon, do_wgridding)
 
     vis = np.zeros((nrow, nchan), dtype=np.complex128)
     for t0 in range(0, ntime, ipi):

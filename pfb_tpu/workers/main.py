@@ -160,6 +160,8 @@ def fastim(**kw):
     """High-cadence residual snapshot imaging."""
     from pfb_tpu.workers.fastim import _fastim
     args = _args("fastim", kw)
+    args["filter_extreme_counts_flag"] = args.pop(
+        "filter_extreme_counts", False)
     _fastim(write=True, **args)
 
 

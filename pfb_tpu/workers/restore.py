@@ -16,7 +16,8 @@ from pfb_tpu.workers.cubes import dds2cubes
 
 def _restore(ddsi=None, output_filename=None, product="I",
              suffix="main", outputs="mMrRiI", model_name="MODEL",
-             overwrite=True, **kw):
+             residual_name="RESIDUAL", nband=None, overwrite=True,
+             **kw):
     """Returns a dict of product name -> array; writes the selected
     FITS files."""
     if ddsi is None:
@@ -26,10 +27,17 @@ def _restore(ddsi=None, output_filename=None, product="I",
         dds = ddsi
 
     freqs_out = np.unique([ds["freq_out"] for ds in dds])
-    nband = freqs_out.size
+    nband = freqs_out.size if nband is None else nband
     dirty, model, residual, psf, psfhat, beam, wsums, _ = dds2cubes(
         dds, nband, apparent=False, modelname=model_name)
     wsum = wsums.sum()
+    if residual_name != "RESIDUAL" and residual_name in dds[0]:
+        # alternative residual field, e.g. UPDATE after a fluxmop
+        # (reference restore.yaml residual-name)
+        residual = np.zeros_like(dirty)
+        for ds in dds:
+            residual[ds["bandid"]] += np.asarray(ds[residual_name])
+        residual /= max(wsum, 1e-12)
     if residual is None:
         residual = dirty.copy()
     nx, ny = dirty.shape[-2:]

@@ -1,5 +1,7 @@
 """fluxmop / fastim / smoovie / beam / gauss coverage."""
 
+import os
+
 import numpy as np
 import pytest
 from numpy.testing import assert_allclose
@@ -167,3 +169,106 @@ def test_sun_ephemeris():
     import pytest as _pt
     with _pt.raises(ValueError):
         get_coordinates(t_j2000, target="Jupiter")
+
+
+def test_fastim_selection_and_degrid_resolution(tmp_path):
+    """fastim parity features: scan selection, freq-range, the
+    channels-per-grid vs channels-per-degrid split, and target
+    recentring all wired (reference fastim.yaml)."""
+    from pfb_tpu.utils.ms import simulate_ms
+    from pfb_tpu.workers.fastim import _fastim
+
+    ms_path = str(tmp_path / "t.npz")
+    simulate_ms(ms_path, nant=7, ntime=6, nchan=4, nsource=2,
+                fov_deg=0.3, seed=5, nscan=2)
+    ms = dict(np.load(ms_path))
+    freqs = ms["FREQ"]
+
+    # scan selection: only scan 0 (3 of 6 utimes)
+    fds = _fastim(ms=ms_path, output_filename=None, scans="0",
+                  integrations_per_image=1, channels_per_image=-1,
+                  field_of_view=0.3, write=False)
+    assert len(fds) == 3
+    assert all(ds["scanid"] == 0 for ds in fds)
+
+    # freq-range keeps 2 of 4 channels -> freq_out shifts accordingly
+    fr = f"{freqs[0]}:{freqs[1] + 1.0}"
+    fds = _fastim(ms=ms_path, output_filename=None, freq_range=fr,
+                  integrations_per_image=-1, write=False,
+                  field_of_view=0.3)
+    # ipi=-1 is not supported by fastim (snapshots!), so 1 per utime
+    assert all(abs(ds["freq_out"] - freqs[:2].mean()) < 1.0
+               for ds in fds)
+
+    # degrid-resolution split runs (cpdi < cpi)
+    fds = _fastim(ms=ms_path, output_filename=None,
+                  integrations_per_image=2,
+                  channels_per_grid_image=4,
+                  channels_per_degrid_image=2, field_of_view=0.3,
+                  write=False)
+    assert len(fds) >= 2
+
+
+def test_smoovie_parity_features(tmp_path):
+    """smoovie parity: time-range filter, per-band movies, fits frame
+    output, median-rms scaling options."""
+    import os
+
+    from pfb_tpu.utils.ms import simulate_ms
+    from pfb_tpu.workers.fastim import _fastim
+    from pfb_tpu.workers.smoovie import _smoovie
+
+    ms_path = str(tmp_path / "t.npz")
+    simulate_ms(ms_path, nant=7, ntime=6, nchan=2, nsource=2,
+                fov_deg=0.3, seed=6)
+    fds = _fastim(ms=ms_path, output_filename=None,
+                  integrations_per_image=2, channels_per_image=1,
+                  field_of_view=0.3, write=False)
+    tmid = np.median([ds["time_out"] for ds in fds])
+    frames = _smoovie(fdsi=fds, output_filename=str(tmp_path / "m"),
+                      time_range=f":{tmid}", movie_cubes=True,
+                      fits_mfs=True, min_frac=3.0, max_frac=3.0,
+                      time_bin=1)
+    assert len(frames) < 3  # time range dropped late frames
+    made = os.listdir(tmp_path)
+    assert any("band0000_movie" in p for p in made)
+    assert any(p.endswith("_frames_mfs.fits") for p in made)
+
+
+def test_model2comps_minval_json(small_pipeline, tmp_path):
+    import json
+
+    from pfb_tpu.workers.model2comps import _model2comps
+
+    p = small_pipeline
+    dds = [dict(d) for d in p["dds"]]
+    # inject a model with one strong and one weak source
+    for d in dds:
+        m = np.zeros_like(d["DIRTY"])
+        m[10, 10] = 1.0
+        m[20, 20] = 1e-4
+        d["MODEL"] = m
+    mds = _model2comps(ddsi=dds, output_filename=str(tmp_path / "o"),
+                       min_val=1e-2, out_format="json")
+    assert len(mds["location_x"]) == 1  # weak source thresholded away
+    made = [f for f in np.sort(os.listdir(tmp_path)).tolist()
+            if f.endswith(".json")]
+    assert made
+    with open(tmp_path / made[0]) as f:
+        ser = json.load(f)
+    assert ser["parametrisation"] == mds["parametrisation"]
+
+
+def test_restore_residual_name(small_pipeline, tmp_path):
+    from pfb_tpu.workers.restore import _restore
+
+    p = small_pipeline
+    dds = [dict(d) for d in p["dds"]]
+    for d in dds:
+        d["MODEL"] = np.zeros_like(d["DIRTY"])
+        d["UPDATE"] = np.ones_like(d["DIRTY"])
+    out = _restore(ddsi=dds, output_filename=str(tmp_path / "r"),
+                   outputs="r", residual_name="UPDATE")
+    nb = len({d["bandid"] for d in dds})
+    wsum = np.sum([d["WSUM"][0] for d in dds])
+    assert np.allclose(out["residual_mfs"], nb / wsum)
