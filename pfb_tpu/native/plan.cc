@@ -1,0 +1,170 @@
+// Native gridder plan builder.
+//
+// The Pallas gridder (pfb_tpu/ops/pgridder.py) needs a host-side plan:
+// every (row, chan) visibility is binned to a uv tile, tiles are packed
+// into capacity-C entry blocks (stable order, duplicates-by-split for
+// over-full tiles, one all-padding entry for empty tiles) and the
+// tile-local kernel coordinates + DMA-aligned window coordinates are
+// packed into the (nentries, 8, C) position tensor the kernel
+// scalar-prefetches. The numpy version of this pass costs ~1.5 s per
+// 1M visibilities — 25x the device gridding time on a v5e — because it
+// makes ~10 full-size temporaries and a global argsort. This C++
+// builder does it in two O(N) passes with per-tile cursors (a stable
+// counting sort) and no temporaries. It is the analogue of the binning
+// ducc0's C++ wgridder does internally (reference
+// pfb/operators/gridder.py:10 delegates to ducc0.wgridder).
+//
+// Exposed as a plain C ABI consumed via ctypes
+// (pfb_tpu/native/__init__.py); all buffers are allocated by the
+// caller.
+
+#include <cmath>
+#include <cstdint>
+
+namespace {
+
+inline int64_t posmod(int64_t a, int64_t n) {
+  int64_t r = a % n;
+  return r < 0 ? r + n : r;
+}
+
+struct Geom {
+  const double* uvw;      // (nrow, 3)
+  const double* freq;     // (nchan,)
+  int64_t nrow, nchan;
+  double cellx, celly;
+  int64_t Nx, Ny, txs, tys, nty;
+  double w0, dw;
+  int nw;
+};
+
+// per-visibility grid coordinates and tile id; i = row * nchan + chan.
+// Multiply order matches the numpy planner exactly
+// (((u * s) * cell) * N, s = freq / c) so the outputs are
+// bit-identical.
+inline void vis_coords(const Geom& g, int64_t i, double* ug, double* vg,
+                       double* wp, int64_t* tid) {
+  const double c_light = 299792458.0;
+  int64_t r = i / g.nchan;
+  int64_t c = i % g.nchan;
+  double s = g.freq[c] / c_light;
+  double u = ((g.uvw[3 * r + 0] * s) * g.cellx) * (double)g.Nx;
+  double v = ((g.uvw[3 * r + 1] * s) * g.celly) * (double)g.Ny;
+  double w = g.uvw[3 * r + 2] * s;
+  *ug = u;
+  *vg = v;
+  *wp = g.nw > 1 ? (w - g.w0) / g.dw : 0.0;
+  // nearbyint: round-half-even, matching np.round in the numpy planner
+  int64_t tx = posmod((int64_t)std::nearbyint(u), g.Nx) / g.txs;
+  int64_t ty = posmod((int64_t)std::nearbyint(v), g.Ny) / g.tys;
+  *tid = tx * g.nty + ty;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: per-tile visibility counts (tile_counts must be zeroed,
+// length ntx*nty).
+int pg_plan_count(const double* uvw, int64_t nrow, const double* freq,
+                  int64_t nchan, double cellx, double celly,
+                  int64_t Nx, int64_t Ny, int64_t txs, int64_t tys,
+                  int64_t ntx, int64_t nty, double w0, double dw,
+                  int nw, int64_t* tile_counts) {
+  Geom g{uvw, freq, nrow, nchan, cellx, celly, Nx, Ny,
+         txs, tys, nty, w0, dw, nw};
+  const int64_t n = nrow * nchan;
+  double ug, vg, wp;
+  int64_t tid;
+  for (int64_t i = 0; i < n; ++i) {
+    vis_coords(g, i, &ug, &vg, &wp, &tid);
+    ++tile_counts[tid];
+  }
+  return 0;
+}
+
+// Pass 2: fill the plan arrays. entry_offset (ntiles+1) is the prefix
+// sum of max(1, ceil(count/C)) per tile; outputs (len nentries):
+//   pos   (nentries, 8, C) zero-initialised by the caller
+//   tid   (nentries,) int32
+//   idx   (nentries, C) int32 zero-initialised
+//   pm    (nentries, C) float64 zero-initialised (1.0 = live slot)
+int pg_plan_fill(const double* uvw, int64_t nrow, const double* freq,
+                 int64_t nchan, double cellx, double celly, int64_t Nx,
+                 int64_t Ny, int64_t txs, int64_t tys, int64_t ntx,
+                 int64_t nty, double w0, double dw, int nw, int64_t C,
+                 int64_t k, const int64_t* tile_counts,
+                 const int64_t* entry_offset, int64_t nentries,
+                 double* pos, int32_t* tid_out, int32_t* idx,
+                 double* pm) {
+  Geom g{uvw, freq, nrow, nchan, cellx, celly, Nx, Ny,
+         txs, tys, nty, w0, dw, nw};
+  const int64_t n = nrow * nchan;
+  const int64_t ntiles = ntx * nty;
+  const double pad_uv = -2.0 * (double)k;
+
+  // tile ids per entry + raw coordinates (rows 0-2 hold raw ug/vg/wp
+  // for now; the local/window transform runs in the entry pass below)
+  // per-tile write cursors
+  int64_t* cursor = new int64_t[ntiles]();
+  double ug, vg, wp;
+  int64_t t;
+  for (int64_t i = 0; i < n; ++i) {
+    vis_coords(g, i, &ug, &vg, &wp, &t);
+    int64_t cur = cursor[t]++;
+    int64_t e = entry_offset[t] + cur / C;
+    int64_t s = cur % C;
+    double* p = pos + (e * 8 + 0) * C;
+    p[s] = ug;
+    p[C + s] = vg;
+    p[2 * C + s] = wp;
+    idx[e * C + s] = (int32_t)i;
+    pm[e * C + s] = 1.0;
+  }
+  delete[] cursor;
+
+  // entry pass: tile ids, empty-tile padding, local + window coords
+  const int64_t h = k / 2;
+  for (int64_t t2 = 0; t2 < ntiles; ++t2) {
+    int64_t e0 = entry_offset[t2];
+    int64_t e1 = entry_offset[t2 + 1];
+    int64_t tx = t2 / nty;
+    int64_t ty = t2 % nty;
+    int64_t sx = posmod(tx * txs - h, Nx);
+    int64_t sy = posmod(ty * tys - h, Ny);
+    double ax = (double)((sx / 8) * 8);
+    double ay = (double)((sy / 128) * 128);
+    double dxw = (double)(sx) - ax;
+    double dyw = (double)(sy) - ay;
+    bool empty = tile_counts[t2] == 0;
+    for (int64_t e = e0; e < e1; ++e) {
+      tid_out[e] = (int32_t)t2;
+      double* p = pos + e * 8 * C;
+      for (int64_t s = 0; s < C; ++s) {
+        double pu = empty ? pad_uv : p[s];
+        double pv = empty ? pad_uv : p[C + s];
+        // tile-local coordinates with the mod-wrap unwrapped
+        double ul = std::fmod(pu, (double)Nx);
+        if (ul < 0) ul += (double)Nx;
+        ul -= (double)(tx * txs) - (double)h;
+        if (ul < 0) ul += (double)Nx;
+        if (ul > (double)(txs + k)) ul -= (double)Nx;
+        double vl = std::fmod(pv, (double)Ny);
+        if (vl < 0) vl += (double)Ny;
+        vl -= (double)(ty * tys) - (double)h;
+        if (vl < 0) vl += (double)Ny;
+        if (vl > (double)(tys + k)) vl -= (double)Ny;
+        p[s] = ul;
+        p[C + s] = vl;
+        p[3 * C + s] = ul + dxw;
+        p[4 * C + s] = vl + dyw;
+        p[5 * C + s] = ax;
+        p[6 * C + s] = ay;
+      }
+    }
+  }
+  (void)nentries;
+  return 0;
+}
+
+}  // extern "C"

@@ -70,40 +70,20 @@ def w_geometry(uvw, freq, nx, ny, cellx, celly, x0, y0, sigma, k,
     return _w_params(uvw, freq, nm1_min, sigma, k)
 
 
-def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
-               do_wgridding=True, sigma=2.0, capacity=128, tile_u=None,
-               tile_v=None, dtype=None, x0=0.0, y0=0.0, w_params=None,
-               nentries_to=None):
-    """Reusable plan for the Pallas gridder: geometry + per-uv-tile
-    binning (all w planes of a tile belong to the same entry stream).
-    Reuse one plan across every matvec of a major cycle.
-
-    ``w_params=(nw, w0, dw)`` overrides the w-plane geometry (row
-    shards of one observation must agree on it); ``nentries_to`` pads
-    the entry stream with no-op entries so shards share one compiled
-    program shape."""
-    k, beta = kernel_params(epsilon)
-    Nx, Ny = _grid_setup(nx, ny, cellx, celly, sigma)
-    uvw_np = np.asarray(uvw)
-    freq_np = np.asarray(freq)
+def _pg_plan_numpy(uvw_np, freq_np, Nx, Ny, cellx, celly, txs, tys,
+                   ntx, nty, w0, dw, nw, C, k):
+    """Pure-numpy plan binning/packing (fallback for
+    pfb_tpu/native/plan.cc; same outputs bit-for-bit)."""
     scale = freq_np / LIGHTSPEED
     ug = (uvw_np[:, 0:1] * scale[None, :]) * cellx * Nx
     vg = (uvw_np[:, 1:2] * scale[None, :]) * celly * Ny
     wl = uvw_np[:, 2:3] * scale[None, :]
-
-    if w_params is not None:
-        nw, w0, dw = w_params
-    else:
-        nw, w0, dw = w_geometry(uvw_np, freq_np, nx, ny, cellx, celly,
-                                x0, y0, sigma, k, do_wgridding)
     wpos = ((wl - w0) / dw).ravel() if nw > 1 else \
         np.zeros(ug.size)
 
     ugf, vgf = ug.ravel(), vg.ravel()
-    txs, tys = _tile_geometry(Nx, Ny, k, tile_u, tile_v)
-    order, tids, ntx, nty = _bin_to_tiles(
+    order, tids, _, _ = _bin_to_tiles(
         ugf, vgf, np.zeros(ugf.size, np.int64), txs, tys, Nx, Ny, 1)
-    C = capacity
     (pu, pv, pw), utid, idx, pmask, _ = _pad_tiles(order, tids,
                                                    [ugf, vgf, wpos], C)
 
@@ -139,9 +119,6 @@ def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
     pv_loc = np.where(pv_loc < 0, pv_loc + Ny, pv_loc)
     pv_loc = np.where(pv_loc > tys + k, pv_loc - Ny, pv_loc)
 
-    if dtype is None:
-        dtype = jnp.zeros(0).dtype  # honours jax_enable_x64
-
     # (nentries, 8, C) position pack: rows 0-2 = tile-local u, v and
     # fractional w-plane coordinate (adjoint spread); rows 3-4 =
     # window-local u, v and rows 5-6 the window start for the degrid
@@ -158,6 +135,52 @@ def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
     pos[:, 4] = pv_loc + (sy - ay)[:, None]
     pos[:, 5] = ax[:, None]
     pos[:, 6] = ay[:, None]
+    return pos, utid, idx, pmask, nentries
+
+
+def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
+               do_wgridding=True, sigma=2.0, capacity=128, tile_u=None,
+               tile_v=None, dtype=None, x0=0.0, y0=0.0, w_params=None,
+               nentries_to=None):
+    """Reusable plan for the Pallas gridder: geometry + per-uv-tile
+    binning (all w planes of a tile belong to the same entry stream).
+    Reuse one plan across every matvec of a major cycle.
+
+    ``w_params=(nw, w0, dw)`` overrides the w-plane geometry (row
+    shards of one observation must agree on it); ``nentries_to`` pads
+    the entry stream with no-op entries so shards share one compiled
+    program shape."""
+    k, beta = kernel_params(epsilon)
+    Nx, Ny = _grid_setup(nx, ny, cellx, celly, sigma)
+    uvw_np = np.asarray(uvw)
+    freq_np = np.asarray(freq)
+
+    if w_params is not None:
+        nw, w0, dw = w_params
+    else:
+        nw, w0, dw = w_geometry(uvw_np, freq_np, nx, ny, cellx, celly,
+                                x0, y0, sigma, k, do_wgridding)
+    txs, tys = _tile_geometry(Nx, Ny, k, tile_u, tile_v)
+    ntx = -(-Nx // txs)
+    nty = -(-Ny // tys)
+    C = capacity
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype  # honours jax_enable_x64
+
+    # native C++ plan builder (two O(N) passes, stable counting sort;
+    # the numpy path below costs ~25x the device gridding time at 1M
+    # vis) — bit-identical output, numpy fallback when no toolchain
+    from pfb_tpu.native import pg_plan_native
+    nat = pg_plan_native(uvw_np, freq_np, Nx=Nx, Ny=Ny, cellx=cellx,
+                         celly=celly, txs=txs, tys=tys, ntx=ntx,
+                         nty=nty, w0=w0, dw=dw, nw=nw, C=C, k=k)
+    if nat is not None:
+        pos, utid, idx, pmask = nat
+        nentries = utid.size
+    else:
+        pos, utid, idx, pmask, nentries = _pg_plan_numpy(
+            uvw_np, freq_np, Nx, Ny, cellx, celly, txs, tys, ntx,
+            nty, w0, dw, nw, C, k)
 
     if nentries_to is not None:
         if nentries_to < nentries:

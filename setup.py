@@ -7,7 +7,8 @@ setup(
                  "pre-conditioned forward-backward deconvolution stack "
                  "in JAX/XLA/Pallas"),
     packages=find_packages(include=["pfb_tpu", "pfb_tpu.*"]),
-    package_data={"pfb_tpu.parser": ["*.yaml", "*.yml"]},
+    package_data={"pfb_tpu.parser": ["*.yaml", "*.yml"],
+                  "pfb_tpu.native": ["*.cc"]},
     python_requires=">=3.10",
     install_requires=["jax", "numpy", "scipy", "sympy", "click",
                       "pyyaml"],
