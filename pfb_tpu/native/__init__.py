@@ -35,15 +35,17 @@ def _build_lib():
     if os.path.exists(out):
         return out
     tmp = out + f".{os.getpid()}.tmp"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
-           "-o", tmp]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        os.replace(tmp, out)
-        return out
-    except (subprocess.CalledProcessError, FileNotFoundError,
-            OSError):
-        return None
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+            "-o", tmp]
+    for cmd in (base + ["-fopenmp"], base):  # OpenMP when available
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, out)
+            return out
+        except (subprocess.CalledProcessError, FileNotFoundError,
+                OSError):
+            continue
+    return None
 
 
 def get_lib():

@@ -20,6 +20,9 @@
 
 #include <cmath>
 #include <cstdint>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -74,12 +77,30 @@ int pg_plan_count(const double* uvw, int64_t nrow, const double* freq,
   Geom g{uvw, freq, nrow, nchan, cellx, celly, Nx, Ny,
          txs, tys, nty, w0, dw, nw};
   const int64_t n = nrow * nchan;
+  const int64_t ntiles = ntx * nty;
+#ifdef _OPENMP
+#pragma omp parallel
+  {
+    int64_t* local = new int64_t[ntiles]();
+    double ug, vg, wp;
+    int64_t tid;
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+      vis_coords(g, i, &ug, &vg, &wp, &tid);
+      ++local[tid];
+    }
+#pragma omp critical
+    for (int64_t t = 0; t < ntiles; ++t) tile_counts[t] += local[t];
+    delete[] local;
+  }
+#else
   double ug, vg, wp;
   int64_t tid;
   for (int64_t i = 0; i < n; ++i) {
     vis_coords(g, i, &ug, &vg, &wp, &tid);
     ++tile_counts[tid];
   }
+#endif
   return 0;
 }
 
@@ -103,9 +124,49 @@ int pg_plan_fill(const double* uvw, int64_t nrow, const double* freq,
   const int64_t ntiles = ntx * nty;
   const double pad_uv = -2.0 * (double)k;
 
-  // tile ids per entry + raw coordinates (rows 0-2 hold raw ug/vg/wp
-  // for now; the local/window transform runs in the entry pass below)
-  // per-tile write cursors
+  // scatter pass: raw ug/vg/wp into per-tile entry slots in stable
+  // (encounter) order via per-tile cursors — a stable counting sort.
+  // Parallelised by TILE RANGE: every thread scans all visibilities
+  // (the coordinate math is ~10% of the pass) but only writes tiles it
+  // owns, so writes are disjoint and cache-local. Ranges are balanced
+  // by visibility count, not tile count.
+#ifdef _OPENMP
+#pragma omp parallel
+  {
+    int nth = omp_get_num_threads();
+    int me = omp_get_thread_num();
+    int64_t per = (n + nth - 1) / nth;  // target vis per thread
+    if (per < 1) per = 1;
+    // thread me owns tile t iff (vis count before t) / per == me:
+    // disjoint, covering, contiguous ranges balanced by vis count
+    int64_t t_lo = ntiles, t_hi = ntiles;
+    for (int64_t t = 0, a = 0; t < ntiles; ++t) {
+      int64_t owner = a / per;
+      if (owner == (int64_t)me && t_lo == ntiles) t_lo = t;
+      if (owner > (int64_t)me) { t_hi = t; break; }
+      a += tile_counts[t];
+    }
+    if (t_lo < t_hi) {
+      int64_t* cursor = new int64_t[t_hi - t_lo]();
+      double ug, vg, wp;
+      int64_t t;
+      for (int64_t i = 0; i < n; ++i) {
+        vis_coords(g, i, &ug, &vg, &wp, &t);
+        if (t < t_lo || t >= t_hi) continue;
+        int64_t cur = cursor[t - t_lo]++;
+        int64_t e = entry_offset[t] + cur / C;
+        int64_t s = cur % C;
+        double* p = pos + (e * 8 + 0) * C;
+        p[s] = ug;
+        p[C + s] = vg;
+        p[2 * C + s] = wp;
+        idx[e * C + s] = (int32_t)i;
+        pm[e * C + s] = 1.0;
+      }
+      delete[] cursor;
+    }
+  }
+#else
   int64_t* cursor = new int64_t[ntiles]();
   double ug, vg, wp;
   int64_t t;
@@ -122,9 +183,13 @@ int pg_plan_fill(const double* uvw, int64_t nrow, const double* freq,
     pm[e * C + s] = 1.0;
   }
   delete[] cursor;
+#endif
 
   // entry pass: tile ids, empty-tile padding, local + window coords
   const int64_t h = k / 2;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
   for (int64_t t2 = 0; t2 < ntiles; ++t2) {
     int64_t e0 = entry_offset[t2];
     int64_t e1 = entry_offset[t2 + 1];
