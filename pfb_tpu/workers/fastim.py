@@ -119,7 +119,9 @@ def _fastim(ms=None, output_filename=None, product="I", suffix="fds",
         mds = dstore.read_store(mds)[0]
 
     ipi = integrations_per_image or 1
-    cpi = channels_per_grid_image or channels_per_image
+    cpi = channels_per_grid_image
+    if cpi in (0, -1, None):  # fall back to the legacy alias
+        cpi = channels_per_image
     if cpi in (0, -1, None):
         cpi = nchan
     cpdi = channels_per_degrid_image
