@@ -104,13 +104,23 @@ def main():
     b = hess(x)
     niter = 50 if on_accel else 20
 
-    # host-loop PCG: XLA mis-fuses the Pallas pipeline inside
-    # while-loop bodies (scoped-VMEM overflow), and the per-iteration
-    # host dispatch is negligible at this matvec cost
-    def run_pcg():
-        return pcg_bands_hostloop(lambda v: hess(v), b,
-                                  x0=jnp.zeros_like(b), tol=0.0,
-                                  maxit=niter, minit=niter)
+    if engine == "pallas" and hasattr(hess, "apply"):
+        # fully fused: one XLA program for the whole solve, with the
+        # transfer function as a jit ARGUMENT (baking it as an HLO
+        # constant blows the compile payload; an eager while_loop
+        # closing over it deoptimises the Pallas pipeline ~40x)
+        from pfb_tpu.opt.pcg import make_pcg_bands_fused
+        solve = make_pcg_bands_fused(hess.apply, tol=0.0,
+                                     maxit=niter, minit=niter)
+        x0 = jnp.zeros_like(b)
+
+        def run_pcg():
+            return solve(b, x0, hess.consts)
+    else:
+        def run_pcg():
+            return pcg_bands_hostloop(lambda v: hess(v), b,
+                                      x0=jnp.zeros_like(b), tol=0.0,
+                                      maxit=niter, minit=niter)
     sync(run_pcg())  # compile
     t0 = time.perf_counter()
     sync(run_pcg())

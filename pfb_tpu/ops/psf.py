@@ -135,6 +135,30 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
                        ny=ny, row_block=row_block,
                        has_beam=beam is not None, has_sig=has_sig)
 
+        # fused-solver hooks: `apply(x, consts)` is the same matvec
+        # with the GB-scale operands as explicit (pytree) arguments, so
+        # a whole solver can be jitted with `consts` passed per call.
+        # Baking H as HLO constants blows the compile payload, and an
+        # EAGER while_loop that closes over H (consts become loop
+        # operands) deoptimises the Pallas pipeline ~40x on TPU — jit
+        # arguments are the only layout that is both compilable and
+        # fast (measured: 36.5 ms/PCG-iter at 4096^2 x 8 vs 1130 for
+        # the eager path).
+        def apply(x, consts):
+            hr, hi, beam_c = consts["hr"], consts["hi"], consts["beam"]
+            xin = x * beam_c if beam_c is not None else x
+            out = psf_convolve_pallas_v3_cube(xin, hr, hi, nx, ny,
+                                              row_block=row_block)
+            if beam_c is not None:
+                out = out * beam_c
+            if wsum is not None:
+                out = out / wsum
+            if has_sig:
+                out = out + x * sigmainv
+            return out
+
+        matvec.apply = apply
+        matvec.consts = {"hr": phrT, "hi": phiT, "beam": beam}
         matvec.real_transfer = use_real
         return matvec
     else:

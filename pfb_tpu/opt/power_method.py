@@ -49,3 +49,26 @@ def power_method(A, imsize, b0=None, tol=1e-5, maxit=250, key=None,
     from pfb_tpu.opt.pcg import _summary
     _summary("pm", k, eps, verbosity)
     return beta, b
+
+
+def make_power_method_fused(apply, tol=1e-5, maxit=250, verbosity=0,
+                            report_freq=100):
+    """Jit :func:`power_method` around ``apply(x, consts)`` with the
+    operator constants as runtime arguments (see
+    opt/pcg.py:make_pcg_bands_fused for why): ``pm(b0, consts)``
+    returns (beta, b). Used for the Pallas PSF Hessian, whose
+    transfer function must not be baked into the program nor closed
+    over by an eager while_loop."""
+
+    @jax.jit
+    def pm(b0, consts):
+        # align with the operator's output dtype (the Pallas pipeline
+        # is float32 even when the caller's cubes are f64 on CPU) —
+        # the while_loop carry must be dtype-stable
+        out_dt = jax.eval_shape(lambda z: apply(z, consts), b0).dtype
+        return power_method(lambda z: apply(z, consts), b0.shape,
+                            b0=b0.astype(out_dt), tol=tol,
+                            maxit=maxit, verbosity=verbosity,
+                            report_freq=report_freq, dtype=out_dt)
+
+    return pm

@@ -109,12 +109,20 @@ def primal_dual(x,
 def primal_dual_hostloop(x, v, lam, psiH, psi, L, l1weight, grad,
                          reweighter=None, nu=1.0, sigma=None, tol=1e-5,
                          maxit=1000, positivity=1, gamma=1.0,
-                         maxreweight=50, verbosity=0, report_freq=50):
+                         maxreweight=50, verbosity=0, report_freq=50,
+                         check_freq=4):
     """Same iteration as :func:`primal_dual` with the outer loop on the
     host and one jitted step on device. Use when the Hessian matvec is
     a Pallas pipeline (XLA drops the kernels' scoped-VMEM parameters
     when fusing them inside while-loop bodies) or when per-iteration
-    host-side monitoring is wanted."""
+    host-side monitoring is wanted.
+
+    Convergence (and hence the reweight-on-converge restart) is only
+    tested every ``check_freq`` iterations: the device dispatch is
+    asynchronous, and fetching eps each iteration costs a host sync
+    that dwarfs the step itself over a remote-TPU relay. The solve may
+    run up to ``check_freq - 1`` iterations past convergence before
+    reweighting/stopping."""
     import jax
 
     L = jnp.asarray(L, x.dtype)
@@ -144,7 +152,7 @@ def primal_dual_hostloop(x, v, lam, psiH, psi, L, l1weight, grad,
         k += 1
         if verbosity > 1 and report_freq and k % report_freq == 0:
             log.info(f"pd: iter {k}  eps {float(eps):.3e}")
-        if float(eps) < tol:
+        if tol > 0 and k % check_freq == 0 and float(eps) < tol:
             if reweighter is not None and nrw < maxreweight:
                 w = reweighter(x)
                 nrw += 1
@@ -153,6 +161,44 @@ def primal_dual_hostloop(x, v, lam, psiH, psi, L, l1weight, grad,
     if verbosity >= 1:
         log.info(f"pd: done at iter {k}")
     return x, v, w, k
+
+
+def make_primal_dual_fused(apply, psiH, psi, nu, rmsfactor, alpha=4.0,
+                           sigma=None, tol=1e-5, maxit=1000,
+                           positivity=1, gamma=1.0, maxreweight=50,
+                           verbosity=0, report_freq=50):
+    """Jit the whole :func:`primal_dual` backward step around a
+    Hessian of the form ``apply(x, consts)`` with the operator
+    constants, the data term, the l1 weights and the coefficient rms
+    as runtime arguments (see opt/pcg.py:make_pcg_bands_fused for why
+    jit arguments are mandatory for the Pallas PSF pipeline).
+
+    ``solve(x, v, data, l1weight, lam, L, rms_comps, consts,
+    do_reweight=...)`` returns (x, v, l1weight, niters); grad is
+    ``apply(x, consts) - data`` and do_reweight toggles the in-loop
+    l1-reweight restart (two compiled variants over a major cycle)."""
+
+    @partial(jax.jit, static_argnames=("do_reweight",))
+    def solve(x, v, data, l1weight, lam, L, rms_comps, consts, *,
+              do_reweight=False):
+        def grad(z):
+            return apply(z, consts) - data
+
+        if do_reweight:
+            def reweighter(z):
+                mcomps = jnp.abs(jnp.sum(psiH(z), axis=0))
+                return (1 + rmsfactor) / \
+                    (1 + mcomps**alpha / rms_comps**alpha)
+        else:
+            reweighter = None
+        return primal_dual(x, v, lam, psiH, psi, L, l1weight, grad,
+                           reweighter=reweighter, nu=nu, sigma=sigma,
+                           tol=tol, maxit=maxit, positivity=positivity,
+                           gamma=gamma, maxreweight=maxreweight,
+                           verbosity=verbosity,
+                           report_freq=report_freq)
+
+    return solve
 
 
 def l1reweight_func(psiH, rmsfactor, rms_comps, model, alpha=4):

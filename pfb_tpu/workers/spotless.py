@@ -78,12 +78,26 @@ def _spotless(ddsi=None, output_filename=None, product="I",
         psf_convolve = make_psf_convolve(psfhat_j, ny_psf,
                                          band_chunk=band_chunk)
 
+    # fused Pallas engine: the transfer function must enter the fused
+    # while_loop solvers as a jit ARGUMENT (see make_pcg_bands_fused)
+    use_fused_pallas = hasattr(psf_convolve, "apply")
     if hessnorm is None:
-        hessnorm, _ = power_method(psf_convolve, (nband, nx, ny),
-                                   tol=pm_tol, maxit=pm_maxit,
-                                   dtype=dirty.dtype,
-                                   verbosity=pm_verbose,
-                                   report_freq=pm_report_freq)
+        if use_fused_pallas:
+            import jax
+            from pfb_tpu.opt.power_method import make_power_method_fused
+            pm = make_power_method_fused(psf_convolve.apply,
+                                         tol=pm_tol, maxit=pm_maxit,
+                                         verbosity=pm_verbose,
+                                         report_freq=pm_report_freq)
+            b0 = jax.random.normal(jax.random.PRNGKey(42),
+                                   (nband, nx, ny), dirty.dtype)
+            hessnorm, _ = pm(b0, psf_convolve.consts)
+        else:
+            hessnorm, _ = power_method(psf_convolve, (nband, nx, ny),
+                                       tol=pm_tol, maxit=pm_maxit,
+                                       dtype=dirty.dtype,
+                                       verbosity=pm_verbose,
+                                       report_freq=pm_report_freq)
         hessnorm = float(hessnorm) * 1.05  # reference spotless.py:193
     if verbose:
         log.info(f"spotless: hessnorm = {hessnorm:.3e}")
@@ -137,37 +151,60 @@ def _spotless(ddsi=None, output_filename=None, product="I",
                             backend=backend, epsilon=epsilon,
                             do_wgridding=do_wgridding)
 
+    if use_fused_pallas:
+        from pfb_tpu.opt.primal_dual import make_primal_dual_fused
+        pd_solve = make_primal_dual_fused(
+            psf_convolve.apply, psiH, psiF, nbasis, rmsfactor,
+            alpha=alpha, tol=pd_tol, maxit=pd_maxit,
+            positivity=positivity, gamma=gamma, verbosity=pd_verbose,
+            report_freq=pd_report_freq)
+
     dual_j = jnp.asarray(dual)
     for k in range(iter0, iter0 + niter):
         modelp = model.copy()
         data = jnp.asarray(residual) + psf_convolve(jnp.asarray(model))
 
-        def grad21(x, data=data):
-            return psf_convolve(x) - data
-
         rf = init_factor * rmsfactor if k == iter0 else rmsfactor
+        do_rw = k + 1 - iter0 >= l1reweight_from
 
-        # l1 reweighting closure, active from l1reweight_from
-        # (reference spotless.py:357-371 and misc.py:1070-1080)
-        if k + 1 - iter0 >= l1reweight_from:
-            rms_comps_j = jnp.asarray(rms_comps)
-
-            def reweighter(x):
-                mcomps = jnp.abs(jnp.sum(psiH(x), axis=0))
-                return (1 + rmsfactor) / \
-                    (1 + mcomps**alpha / rms_comps_j**alpha)
+        if use_fused_pallas:
+            # one fused XLA program: PD iteration + in-loop reweight,
+            # H/data/weights as arguments
+            rc = jnp.asarray(rms_comps) if do_rw else \
+                jnp.ones((1, 1, 1), dirty.dtype)
+            model_j, dual_j, l1weight, pd_iters = pd_solve(
+                jnp.asarray(model), dual_j, data, l1weight,
+                jnp.asarray(rf * rms, dirty.dtype),
+                jnp.asarray(hessnorm, dirty.dtype), rc,
+                psf_convolve.consts, do_reweight=do_rw)
+            model = np.asarray(model_j)
         else:
-            reweighter = None
+            def grad21(x, data=data):
+                return psf_convolve(x) - data
 
-        pd_fn = primal_dual_hostloop if engine == "pallas" else \
-            primal_dual
-        model_j, dual_j, l1weight, pd_iters = pd_fn(
-            jnp.asarray(model), dual_j, rf * rms, psiH, psiF, hessnorm,
-            l1weight, grad21, reweighter=reweighter, nu=nbasis,
-            tol=pd_tol, maxit=pd_maxit, positivity=positivity,
-            gamma=gamma, verbosity=pd_verbose,
-            report_freq=pd_report_freq)
-        model = np.asarray(model_j)
+            # l1 reweighting closure, active from l1reweight_from
+            # (reference spotless.py:357-371 and misc.py:1070-1080)
+            if do_rw:
+                rms_comps_j = jnp.asarray(rms_comps)
+
+                def reweighter(x):
+                    mcomps = jnp.abs(jnp.sum(psiH(x), axis=0))
+                    return (1 + rmsfactor) / \
+                        (1 + mcomps**alpha / rms_comps_j**alpha)
+            else:
+                reweighter = None
+
+            # non-v3 pallas shapes (no .apply) keep the host loop: an
+            # eager while_loop closing over the pipeline deoptimises it
+            pd_fn = primal_dual_hostloop if engine == "pallas" else \
+                primal_dual
+            model_j, dual_j, l1weight, pd_iters = pd_fn(
+                jnp.asarray(model), dual_j, rf * rms, psiH, psiF,
+                hessnorm, l1weight, grad21, reweighter=reweighter,
+                nu=nbasis, tol=pd_tol, maxit=pd_maxit,
+                positivity=positivity, gamma=gamma,
+                verbosity=pd_verbose, report_freq=pd_report_freq)
+            model = np.asarray(model_j)
 
         conv = np.asarray(hess(model_j))
         residual = dirty - conv
@@ -186,7 +223,7 @@ def _spotless(ddsi=None, output_filename=None, product="I",
                   f"rms = {rms:.3e}, eps = {eps:.3e} "
                   f"(pd iters {int(pd_iters)})")
 
-        if k + 1 - iter0 >= l1reweight_from:
+        if do_rw:
             rms_comps = coeff_rms(residual)
 
         if write and dds_name is not None:
