@@ -110,13 +110,19 @@ def main():
         # constant blows the compile payload; an eager while_loop
         # closing over it deoptimises the Pallas pipeline ~40x)
         from pfb_tpu.opt.pcg import make_pcg_bands_fused
+        # backtrack=False: fixed-iteration throughput measurement — a
+        # backtracking line search would add data-dependent extra
+        # matvecs and break comparability across runs
         solve = make_pcg_bands_fused(hess.apply, tol=0.0,
-                                     maxit=niter, minit=niter)
+                                     maxit=niter, minit=niter,
+                                     backtrack=False)
         x0 = jnp.zeros_like(b)
+        pcg_path = "fused"
 
         def run_pcg():
             return solve(b, x0, hess.consts)
     else:
+        pcg_path = "hostloop"
         def run_pcg():
             return pcg_bands_hostloop(lambda v: hess(v), b,
                                       x0=jnp.zeros_like(b), tol=0.0,
@@ -136,6 +142,7 @@ def main():
         "matvec_ms_spread": [round(t * 1e3, 2) for t in
                              sorted(trials)],
         "pcg_iters_per_s": round(pcg_iters_per_s, 2),
+        "pcg_path": pcg_path,
         "engine": engine,
     }
 

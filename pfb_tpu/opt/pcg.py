@@ -223,8 +223,11 @@ def pcg_bands_hostloop(A, b, x0=None, M=None, tol=1e-5, maxit=500,
                 (k + 1) % report_freq == 0:
             log.info(f"{name}: iter {k + 1}  eps "
                      f"{float(jnp.max(eps)):.3e}")
+        # checked every check_freq iterations AND on the final one, so
+        # a maxit not aligned to check_freq still gets a last check
         if tol > 0 and k + 1 >= minit and \
-                (k + 1 - minit) % check_freq == 0 and \
+                ((k + 1 - minit) % check_freq == 0
+                 or k + 1 == maxit) and \
                 float(jnp.max(eps)) < tol:
             break
     if verbosity >= 1:
@@ -316,7 +319,7 @@ def pcg_bands(A, b, x0=None, M=None, tol=1e-5, maxit=500, minit=100,
 
 
 def make_pcg_bands_fused(apply, M=None, tol=1e-5, maxit=500,
-                         minit=100, backtrack=False, verbosity=0,
+                         minit=100, backtrack=True, verbosity=0,
                          report_freq=10, name="pcg"):
     """Jit :func:`pcg_bands` around an operator of the form
     ``apply(x, consts)`` with the operator constants passed as runtime

@@ -122,7 +122,11 @@ def primal_dual_hostloop(x, v, lam, psiH, psi, L, l1weight, grad,
     asynchronous, and fetching eps each iteration costs a host sync
     that dwarfs the step itself over a remote-TPU relay. The solve may
     run up to ``check_freq - 1`` iterations past convergence before
-    reweighting/stopping."""
+    reweighting/stopping; a final check always runs on the last
+    iteration so a ``maxit`` not aligned to ``check_freq`` still
+    triggers the reweight if converged. Pass ``check_freq=1`` for the
+    reference's per-iteration semantics (local devices, where the
+    readback is cheap)."""
     import jax
 
     L = jnp.asarray(L, x.dtype)
@@ -152,7 +156,8 @@ def primal_dual_hostloop(x, v, lam, psiH, psi, L, l1weight, grad,
         k += 1
         if verbosity > 1 and report_freq and k % report_freq == 0:
             log.info(f"pd: iter {k}  eps {float(eps):.3e}")
-        if tol > 0 and k % check_freq == 0 and float(eps) < tol:
+        if tol > 0 and (k % check_freq == 0 or k == maxit) and \
+                float(eps) < tol:
             if reweighter is not None and nrw < maxreweight:
                 w = reweighter(x)
                 nrw += 1
@@ -186,9 +191,8 @@ def make_primal_dual_fused(apply, psiH, psi, nu, rmsfactor, alpha=4.0,
 
         if do_reweight:
             def reweighter(z):
-                mcomps = jnp.abs(jnp.sum(psiH(z), axis=0))
-                return (1 + rmsfactor) / \
-                    (1 + mcomps**alpha / rms_comps**alpha)
+                return l1reweight_func(psiH, rmsfactor, rms_comps, z,
+                                       alpha)
         else:
             reweighter = None
         return primal_dual(x, v, lam, psiH, psi, L, l1weight, grad,

@@ -185,12 +185,12 @@ def _spotless(ddsi=None, output_filename=None, product="I",
             # l1 reweighting closure, active from l1reweight_from
             # (reference spotless.py:357-371 and misc.py:1070-1080)
             if do_rw:
+                from pfb_tpu.opt.primal_dual import l1reweight_func
                 rms_comps_j = jnp.asarray(rms_comps)
 
                 def reweighter(x):
-                    mcomps = jnp.abs(jnp.sum(psiH(x), axis=0))
-                    return (1 + rmsfactor) / \
-                        (1 + mcomps**alpha / rms_comps_j**alpha)
+                    return l1reweight_func(psiH, rmsfactor,
+                                           rms_comps_j, x, alpha)
             else:
                 reweighter = None
 
