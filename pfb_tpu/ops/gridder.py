@@ -280,7 +280,17 @@ def make_hessian_dds(dds, nband, wsum, nx, ny, sigmainv=0.0,
     :func:`hessian_dds` (reference pfb/operators/hessian.py:11-59).
     """
     if backend == "pg":
-        from pfb_tpu.ops.pgridder import make_hessian_pg, pgrid_plan
+        from pfb_tpu.ops.pgridder import (make_hessian_pg,
+                                          make_hessian_pg_stacked,
+                                          pgrid_plan)
+        if len(dds) > 1:
+            # stacked layout: dispatch cost flat in the dataset count
+            # (a fused-program chain pays ~ms per dataset per matvec
+            # on a remote runtime)
+            return make_hessian_pg_stacked(
+                dds, nband, wsum, nx, ny, sigmainv=sigmainv,
+                use_beam=use_beam, mask_image=mask_image,
+                epsilon=epsilon, do_wgridding=do_wgridding)
         per_ds = []
         for ds in dds:
             plan = pgrid_plan(

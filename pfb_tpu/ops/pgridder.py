@@ -579,6 +579,201 @@ def dirty2vis_pg(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
             1j * np.asarray(fi).astype(np.float64))
 
 
+def w_geometry_union(dss, nx, ny, cellx, celly, x0, y0, sigma, k,
+                     do_wgridding):
+    """Shared (nw, w0, dw) covering EVERY dataset's w range: dw depends
+    only on the image geometry, so the union grid is the single-dataset
+    geometry evaluated on the pooled signed-w extrema (two synthetic
+    rows at the global min/max)."""
+    if not do_wgridding:
+        return 1, 0.0, 1.0
+    wmin, wmax = np.inf, -np.inf
+    for uvw, freq in dss:
+        ws = np.asarray(uvw)[:, 2:3] * (np.asarray(freq)[None, :]
+                                        / LIGHTSPEED)
+        wmin = min(wmin, ws.min())
+        wmax = max(wmax, ws.max())
+    uvw_syn = np.array([[0.0, 0.0, wmin], [0.0, 0.0, wmax]])
+    return w_geometry(uvw_syn, np.array([LIGHTSPEED]), nx, ny, cellx,
+                      celly, x0, y0, sigma, k, do_wgridding)
+
+
+def stack_pg_plans(dds, nband, *, nx, ny, epsilon=1e-7,
+                   do_wgridding=True, use_beam=True, mask_image=None,
+                   capacity=128):
+    """Stacked (nband, ndata, ...) pgrid plans with ONE shared static
+    geometry (grid, tiles, w planes, entry count, row bucket), so the
+    whole dataset-reduced Hessian runs as a single compiled program —
+    a lax.scan over the dataset axis per band instead of one dispatch
+    per dataset (the reference reduces hessian_xds in one dask graph,
+    pfb/operators/hessian.py:11-59; a Python chain of fused programs
+    pays ~ms of dispatch per dataset on a remote runtime).
+
+    Rows are zero-padded to a common bucket BEFORE planning (padded
+    rows carry zero weight so they grid nothing and their degridded
+    values are discarded by the weight); ragged channel counts pad with
+    unit frequency and zero weight; bands with fewer datasets pad with
+    zero-weight dummy plans."""
+    from pfb_tpu.ops.gridder import row_bucket
+
+    by_band = [[] for _ in range(nband)]
+    for ds in dds:
+        by_band[ds["bandid"]].append(ds)
+    ndata = max(len(g) for g in by_band)
+    R = row_bucket(max(ds["UVW"].shape[0] for ds in dds))
+    nchan = max(ds["FREQ"].shape[0] for ds in dds)
+    cell = float(dds[0]["cell_rad"])
+    x0 = float(dds[0].get("x0", 0.0))
+    y0 = float(dds[0].get("y0", 0.0))
+    for ds in dds:
+        assert float(ds["cell_rad"]) == cell, "mixed cell sizes"
+        assert float(ds.get("x0", 0.0)) == x0, "mixed phase centres"
+        assert float(ds.get("y0", 0.0)) == y0, "mixed phase centres"
+
+    k, _beta = kernel_params(epsilon)
+    wp = w_geometry_union(
+        [(ds["UVW"], ds["FREQ"]) for ds in dds], nx, ny, cell, cell,
+        x0, y0, 2.0, k, do_wgridding)
+
+    def pad_ds(ds):
+        uvw = np.zeros((R, 3))
+        frq = np.ones(nchan)
+        wgt = np.zeros((R, nchan))
+        if ds is not None:
+            nr, nc = ds["UVW"].shape[0], ds["FREQ"].shape[0]
+            uvw[:nr] = ds["UVW"]
+            frq[:nc] = ds["FREQ"]
+            wgt[:nr, :nc] = np.asarray(ds["WEIGHT"]) * \
+                np.asarray(ds["MASK"])
+        return uvw, frq, wgt
+
+    padded = [[pad_ds(g[d] if d < len(g) else None)
+               for d in range(ndata)] for g in by_band]
+    plans = [[pgrid_plan(u, f, nx=nx, ny=ny, cellx=cell, celly=cell,
+                         epsilon=epsilon, do_wgridding=do_wgridding,
+                         capacity=capacity, x0=x0, y0=y0, w_params=wp)
+              for (u, f, _) in row_]
+             for row_ in padded]
+    nent = max(p["nentries"] for row_ in plans for p in row_)
+    for b in range(nband):
+        for d in range(ndata):
+            if plans[b][d]["nentries"] != nent:
+                u, f, _ = padded[b][d]
+                plans[b][d] = pgrid_plan(
+                    u, f, nx=nx, ny=ny, cellx=cell, celly=cell,
+                    epsilon=epsilon, do_wgridding=do_wgridding,
+                    capacity=capacity, x0=x0, y0=y0, w_params=wp,
+                    nentries_to=nent)
+    p0 = plans[0][0]
+    rdt = p0["rdtype"]
+
+    def stk(key):
+        return jnp.stack([jnp.stack([plans[b][d][key]
+                                     for d in range(ndata)])
+                          for b in range(nband)])
+
+    beam = None
+    has_beam = use_beam and any("BEAM" in ds for ds in dds)
+    if has_beam or mask_image is not None:
+        beam = np.ones((nband, ndata, nx, ny))
+        for b, group in enumerate(by_band):
+            for d in range(ndata):
+                bm = 1.0
+                if d < len(group) and use_beam and "BEAM" in group[d]:
+                    bm = np.asarray(group[d]["BEAM"])
+                if mask_image is not None:
+                    bm = bm * np.asarray(mask_image)
+                beam[b, d] = bm
+        beam = jnp.asarray(beam.astype(rdt))
+
+    wgt = jnp.asarray(np.stack(
+        [np.stack([w for (_, _, w) in row_]) for row_ in padded])
+        .astype(rdt))
+    uvw = jnp.asarray(np.stack(
+        [np.stack([u for (u, _, _) in row_]) for row_ in padded])
+        .astype(rdt))
+    frq = jnp.asarray(np.stack(
+        [np.stack([f for (_, f, _) in row_]) for row_ in padded])
+        .astype(rdt))
+    return dict(p0=p0, pos=stk("pos"), tid=stk("tid"), idx=stk("idx"),
+                pm=stk("pm"), wgt=wgt, uvw=uvw, freq=frq, beam=beam,
+                ndata=ndata, R=R, nchan=nchan)
+
+
+def _hessian_pg_band_local(x_b, pos, tid, idx, pm, wgt, uvw, frq,
+                           beam, p0, interpret):
+    """Dataset-reduced R.H W R for ONE band: lax.scan over the stacked
+    dataset axis, each step one fused forward+adjoint through the
+    Pallas kernels (shapes shared by construction, so the scan body
+    compiles once)."""
+    statics = dict(beta=p0["beta"], k=p0["k"], nw=p0["nw"],
+                   txs=p0["txs"], tys=p0["tys"], C=p0["C"],
+                   Nx=p0["Nx"], Ny=p0["Ny"], nx=p0["nx"], ny=p0["ny"],
+                   cellx=p0["cellx"], celly=p0["celly"],
+                   w0=float(p0["w0"]), dw=float(p0["dw"]),
+                   x0=p0["x0"], y0=p0["y0"], interpret=interpret)
+    nvis = int(wgt.shape[-2] * wgt.shape[-1])
+
+    def one(acc, args):
+        if beam is None:
+            pos_d, tid_d, idx_d, pm_d, w_d, uvw_d, frq_d = args
+            xin = x_b
+        else:
+            pos_d, tid_d, idx_d, pm_d, w_d, uvw_d, frq_d, bm = args
+            xin = x_b * bm
+        fr, fi = _pg_forward(xin, pos_d, idx_d, pm_d, uvw_d, frq_d,
+                             tid_d, divide_by_n=False, nvis=nvis,
+                             engine="pallas", **statics)
+        conv = _pg_adjoint(fr, fi, w_d, tid_d, pos_d, idx_d, pm_d,
+                           uvw_d, frq_d, ntx=p0["ntx"], nty=p0["nty"],
+                           divide_by_n=False, **statics)
+        if beam is not None:
+            conv = conv * bm
+        return acc + conv, None
+
+    xs = (pos, tid, idx, pm, wgt, uvw, frq)
+    if beam is not None:
+        xs = xs + (beam,)
+    out, _ = lax.scan(one, jnp.zeros_like(x_b), xs)
+    return out
+
+
+def make_hessian_pg_stacked(dds, nband, wsum, nx, ny, sigmainv=0.0,
+                            use_beam=True, mask_image=None,
+                            epsilon=1e-7, do_wgridding=True):
+    """Dataset-reduced vis-space Hessian through the fused Pallas
+    gridder as ONE jitted program: per band a lax.scan over that
+    band's stacked datasets (stack_pg_plans), bands unrolled. Dispatch
+    cost is flat in the dataset count — the stacked twin of reference
+    hessian_xds's single-graph reduction (hessian.py:11-59)."""
+    st = stack_pg_plans(dds, nband, nx=nx, ny=ny, epsilon=epsilon,
+                        do_wgridding=do_wgridding, use_beam=use_beam,
+                        mask_image=mask_image)
+    p0 = st["p0"]
+    interpret = jax.default_backend() != "tpu"
+    has_beam = st["beam"] is not None
+    wsum = float(wsum)
+
+    @jax.jit
+    def matvec_j(x, pos, tid, idx, pm, wgt, uvw, frq, beam):
+        conv = jnp.stack([
+            _hessian_pg_band_local(
+                x[b], pos[b], tid[b], idx[b], pm[b], wgt[b], uvw[b],
+                frq[b], beam[b] if has_beam else None, p0, interpret)
+            for b in range(nband)])
+        out = conv / wsum
+        if sigmainv:
+            out = out + x * sigmainv**2
+        return out
+
+    def matvec(x):
+        return matvec_j(x.astype(p0["rdtype"]), st["pos"], st["tid"],
+                        st["idx"], st["pm"], st["wgt"], st["uvw"],
+                        st["freq"], st["beam"])
+
+    return matvec
+
+
 def make_hessian_pg(plan, wgt=None, mask=None, engine="pallas"):
     """Device-resident R.H W R for one dataset through the Pallas
     gridder: x -> vis2dirty(wgt * dirty2vis(x)), one jitted program,

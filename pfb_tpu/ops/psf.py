@@ -55,12 +55,16 @@ def _hess_cube_jit(x, psfhat, beam, lastsize, sigmainv, wsum, band_chunk):
                             band_chunk=band_chunk)
 
 
-def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
-                             wsum=None, real_transfer="auto"):
-    """PSF-Hessian matvec on the fused Pallas FFT pipeline
-    (ops/pallas_fft.py) — ~1.7x the throughput of the XLA-FFT path on
-    TPU v5e at 4096^2. ``psf`` is the (nband, nx_psf, ny_psf) PSF cube;
-    sizes must be 128-aligned.
+def prep_pallas_hessian(psf, nx, ny, real_transfer="auto"):
+    """Transfer-function operands for the v3 fused Pallas pipeline
+    (:func:`pfb_tpu.ops.pallas_fft.psf_convolve_pallas_v3_cube`).
+
+    Returns ``(phrT, phiT, row_block)`` with ``phrT`` the
+    (nband, N1y, NXH, N2y) scrambled half-height real part, ``phiT``
+    the matching imaginary part or None when the transfer function is
+    real (even PSF), and ``row_block`` the K2 row tile. Raises
+    ValueError when the shapes don't support v3 (psf_oversize must be
+    2 and nx/ny must satisfy :func:`v3_supported`).
 
     real_transfer: an even PSF (psf[k] == psf[-k mod N], which is what
     any self-adjoint ``R.H W R`` convolution kernel must be) has a REAL
@@ -69,22 +73,50 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
     and drops Im H below 1e-5; True forces the even-symmetrised
     operator (the self-adjoint part — what PCG assumes anyway); False
     keeps the full complex transfer function."""
+    from pfb_tpu.ops.mmfft import make_full_psfhat
+    from pfb_tpu.ops.pallas_fft import _factor, prep_H_v3, v3_supported
+
+    nx_psf, ny_psf = psf.shape[-2:]
+    if not (nx_psf == 2 * nx and ny_psf == 2 * ny
+            and v3_supported(nx, ny)):
+        raise ValueError(
+            f"v3 pipeline unsupported for psf {psf.shape} on "
+            f"({nx}, {ny}) images")
+    phr, phi = make_full_psfhat(jnp.asarray(psf, jnp.float32),
+                                band_chunk=1)
+    phrT = prep_H_v3(jnp.swapaxes(phr, -1, -2))
+    phiT = prep_H_v3(jnp.swapaxes(phi, -1, -2))
+    del phr, phi
+    if real_transfer == "auto":
+        rel = float(jnp.max(jnp.abs(phiT)) / jnp.max(jnp.abs(phrT)))
+        use_real = rel < 1e-5
+    else:
+        use_real = bool(real_transfer)
+    if use_real:
+        phiT = None
+    N1x, N2x = _factor(2 * nx)
+    nxh = N1x * (N2x // 2 + 1)
+    row_block = 128 if nxh % 128 == 0 else \
+        max(b for b in range(8, 129, 8) if nxh % b == 0)
+    return phrT, phiT, row_block
+
+
+def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
+                             wsum=None, real_transfer="auto"):
+    """PSF-Hessian matvec on the fused Pallas FFT pipeline
+    (ops/pallas_fft.py) — ~1.7x the throughput of the XLA-FFT path on
+    TPU v5e at 4096^2. ``psf`` is the (nband, nx_psf, ny_psf) PSF cube;
+    sizes must be 128-aligned. See :func:`prep_pallas_hessian` for the
+    ``real_transfer`` semantics."""
     import jax.numpy as jnp
 
     from jax import lax
 
-    from pfb_tpu.ops.mmfft import make_full_psfhat
-    from pfb_tpu.ops.pallas_fft import (_factor, prep_H_v3,
-                                        psf_convolve_pallas,
+    from pfb_tpu.ops.pallas_fft import (psf_convolve_pallas,
                                         psf_convolve_pallas_v3_cube,
                                         v3_supported)
 
     nx_psf, ny_psf = psf.shape[-2:]
-    phr, phi = make_full_psfhat(jnp.asarray(psf, jnp.float32),
-                                band_chunk=1)
-    phrT = jnp.swapaxes(phr, -1, -2)
-    phiT = jnp.swapaxes(phi, -1, -2)
-    del phr, phi
     sigmainv = jnp.asarray(sigmainv, jnp.float32)
     # the Hermitian-aware transpose-free whole-cube pipeline (v3) for
     # psf_oversize == 2: the band axis rides the pallas grid, so one
@@ -93,20 +125,10 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
               and v3_supported(nx, ny))
     nband = psf.shape[0]
     if use_v3:
-        phrT = prep_H_v3(phrT)
-        phiT = prep_H_v3(phiT)
-        if real_transfer == "auto":
-            rel = float(jnp.max(jnp.abs(phiT))
-                        / jnp.max(jnp.abs(phrT)))
-            use_real = rel < 1e-5
-        else:
-            use_real = bool(real_transfer)
-        if use_real:
-            phiT = None
-        N1x, N2x = _factor(2 * nx)
-        nxh = N1x * (N2x // 2 + 1)
-        row_block = 128 if nxh % 128 == 0 else \
-            max(b for b in range(8, 129, 8) if nxh % b == 0)
+        phrT, phiT, row_block = prep_pallas_hessian(
+            psf, nx, ny, real_transfer=real_transfer)
+        use_real = phiT is None
+        interpret = jax.default_backend() != "tpu"
 
         # whole matvec as ONE jitted program (H passed as arguments —
         # closures would bake the GB-scale transfer function into the
@@ -117,7 +139,8 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
                 has_beam, has_sig):
             xin = x * beam_a if has_beam else x
             out = psf_convolve_pallas_v3_cube(xin, hr, hi, nx, ny,
-                                              row_block=row_block)
+                                              row_block=row_block,
+                                              interpret=interpret)
             if has_beam:
                 out = out * beam_a
             if ws is not None:
@@ -148,7 +171,8 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
             hr, hi, beam_c = consts["hr"], consts["hi"], consts["beam"]
             xin = x * beam_c if beam_c is not None else x
             out = psf_convolve_pallas_v3_cube(xin, hr, hi, nx, ny,
-                                              row_block=row_block)
+                                              row_block=row_block,
+                                              interpret=interpret)
             if beam_c is not None:
                 out = out * beam_c
             if wsum is not None:
@@ -162,12 +186,21 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
         matvec.real_transfer = use_real
         return matvec
     else:
+        from pfb_tpu.ops.mmfft import make_full_psfhat
+        phr, phi = make_full_psfhat(jnp.asarray(psf, jnp.float32),
+                                    band_chunk=1)
+        phrT = jnp.swapaxes(phr, -1, -2)
+        phiT = jnp.swapaxes(phi, -1, -2)
+        del phr, phi
+        interpret = jax.default_backend() != "tpu"
+
         def convolve(xin):
             # unrolled band loop: wrapping the pallas pipeline in
             # lax.map makes XLA build an oversized output fusion that
             # blows scoped VMEM
             return jnp.stack([
-                psf_convolve_pallas(xin[b], phrT[b], phiT[b], nx, ny)
+                psf_convolve_pallas(xin[b], phrT[b], phiT[b], nx, ny,
+                                    interpret=interpret)
                 for b in range(nband)])
 
     def matvec(x):

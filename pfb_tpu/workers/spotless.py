@@ -273,7 +273,8 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
                    bases="self,db1,db2", nlevels=3, l1reweight_from=5,
                    alpha=4.0, hessnorm=None, pm_tol=1e-5, pm_maxit=100,
                    pd_tol=1e-5, pd_maxit=500, positivity=1,
-                   epsilon=1e-7, write=True, verbose=1, **kw):
+                   epsilon=1e-7, do_wgridding=True, backend="dft",
+                   engine="fft", write=True, verbose=1, **kw):
     """Mesh-resident spotless major cycle: the realisation of the
     reference's distributed design intent (pfb/workers/spotless.py:
     429-667, commented out upstream) as ONE SPMD program family.
@@ -285,6 +286,13 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
     the 'band' mesh axis, communicating only through psums of scalars
     and (nbasis, Nymax, Nxmax) coefficient band-sums. L1WEIGHT is
     persisted for resume (reference spotless.py:536-546).
+
+    engine="pallas" runs every per-shard PSF-Hessian matvec (power
+    method, primal-dual gradient, data step) through the fused v3
+    Pallas pipeline — the reference's each-actor-holds-the-FAST-
+    operator design (spotless.py:429-667 + hessian.py:129-158) on the
+    mesh; backend="pg" evaluates the exact vis-space residual through
+    shard-local fused Pallas gridders instead of the DFT oracle.
     """
     import jax
     import jax.numpy as jnp
@@ -334,16 +342,44 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
     dirty_d = jax.device_put(jnp.asarray(dirty), bands)
     model_d = jax.device_put(jnp.asarray(model), bands)
     resid_d = jax.device_put(jnp.asarray(residual), bands)
-    psfhat_d = jax.device_put(jnp.asarray(psfhat), bands)
 
-    psf_convolve = hessian_psf_dist(mesh, ny_psf)
+    # engine selection: the fused Pallas v3 pipeline needs 128-aligned
+    # shapes and psf_oversize=2; warn (don't silently degrade) on
+    # fallback so a mis-sized production run is visible in the log
+    nx_psf = dds[0]["PSF"].shape[-2]
+    if engine == "pallas":
+        from pfb_tpu.ops.pallas_fft import v3_supported
+        if not (nx_psf == 2 * nx and ny_psf == 2 * ny
+                and v3_supported(nx, ny)):
+            log.info(
+                f"spotless-dist: engine='pallas' unsupported for "
+                f"image ({nx}, {ny}) / psf ({nx_psf}, {ny_psf}) "
+                f"(needs 128-aligned sizes and psf_oversize=2) — "
+                f"falling back to engine='fft'")
+            engine = "fft"
+    ekw = dict(engine=engine)
+    if engine == "pallas":
+        from pfb_tpu.ops.psf import prep_pallas_hessian
+        hsharding = jax.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("band", None, None, None))
+        hr, hi, row_block = prep_pallas_hessian(psf, nx, ny)
+        hargs = (jax.device_put(hr, hsharding),) if hi is None else \
+            (jax.device_put(hr, hsharding),
+             jax.device_put(hi, hsharding))
+        del hr, hi
+        ekw.update(nx=nx, ny=ny, row_block=row_block, nh=len(hargs))
+    else:
+        ekw.update(lastsize=ny_psf)
+        hargs = (jax.device_put(jnp.asarray(psfhat), bands),)
+
+    psf_convolve = hessian_psf_dist(mesh, **ekw)
     if hessnorm is None:
-        pm = power_method_dist(mesh, ny_psf, tol=pm_tol,
-                               maxit=pm_maxit)
+        pm = power_method_dist(mesh, tol=pm_tol, maxit=pm_maxit,
+                               **ekw)
         b0 = jax.device_put(
             jnp.asarray(np.random.default_rng(42).normal(
                 size=(nband, nx, ny)).astype(dirty.dtype)), bands)
-        beta, _ = pm(b0, psfhat_d)
+        beta, _ = pm(b0, *hargs)
         hessnorm = float(beta) * 1.05  # reference spotless.py:193
     if verbose:
         log.info(f"spotless-dist: hessnorm = {hessnorm:.3e}")
@@ -373,11 +409,14 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
         l1weight = np.ones((nbasis, psi.Nymax, psi.Nxmax), dirty.dtype)
     l1w_d = jax.device_put(jnp.asarray(l1weight), repl)
 
-    pd = primal_dual_dist(mesh, psi, ny_psf, nu=nbasis, tol=pd_tol,
+    pd = primal_dual_dist(mesh, psi, nu=nbasis, tol=pd_tol,
                           maxit=pd_maxit, positivity=positivity,
-                          gamma=gamma, rmsfactor=rmsfactor, alpha=alpha)
+                          gamma=gamma, rmsfactor=rmsfactor, alpha=alpha,
+                          **ekw)
     hess_exact = make_hessian_dds_dist(mesh, dds, nband, wsum, nx, ny,
-                                       use_beam=False)
+                                       use_beam=False, backend=backend,
+                                       epsilon=epsilon,
+                                       do_wgridding=do_wgridding)
 
     residual_mfs = np.asarray(jnp.sum(resid_d, axis=0))
     rms = np.std(residual_mfs)
@@ -391,7 +430,7 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
 
     for k in range(iter0, iter0 + niter):
         modelp = np.asarray(model_d)
-        data = resid_d + psf_convolve(model_d, psfhat_d)
+        data = resid_d + psf_convolve(model_d, *hargs)
 
         rf = init_factor * rmsfactor if k == iter0 else rmsfactor
         do_rw = k + 1 - iter0 >= l1reweight_from
@@ -401,7 +440,7 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
                                 dirty.dtype)), repl) if do_rw else None
 
         model_d, dual_d, l1w_d, pd_iters = pd(
-            model_d, dual_d, data, psfhat_d, l1w_d,
+            model_d, dual_d, data, hargs, l1w_d,
             jnp.asarray(rf * rms, dirty.dtype),
             jnp.asarray(hessnorm, dirty.dtype),
             rms_comps=rms_comps_d, do_reweight=do_rw)

@@ -23,10 +23,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
-def bench_mesh(mesh, nband, nx, reps=3, chain=10):
+def bench_mesh(mesh, nband, nx, reps=3, chain=10, engine="fft"):
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from pfb_tpu.ops.fft import make_psfhat
     from pfb_tpu.parallel.dist import hessian_psf_dist
@@ -35,23 +37,42 @@ def bench_mesh(mesh, nband, nx, reps=3, chain=10):
     nxp = 2 * nx
     psf = jnp.zeros((nband, nxp, nxp), jnp.float32)
     psf = psf.at[:, nx, nx].set(0.5)
-    psfhat = make_psfhat(psf, band_chunk=1)
     sh = band_sharding(mesh)
     x = jax.device_put(jnp.full((nband, nx, nx), 1e-3, jnp.float32),
                        sh)
-    ph = jax.device_put(psfhat, sh)
-    hess = hessian_psf_dist(mesh, nxp)
-    z = hess(x, ph)
+    if engine == "pallas":
+        from pfb_tpu.ops.psf import prep_pallas_hessian
+        hr, hi, row_block = prep_pallas_hessian(
+            psf, nx, nx, real_transfer=False)
+        hsh = NamedSharding(mesh, P("band"))
+        hargs = tuple(jax.device_put(h, hsh) for h in (hr, hi))
+        hess = hessian_psf_dist(mesh, engine="pallas", nx=nx, ny=nx,
+                                row_block=row_block, nh=2)
+    else:
+        psfhat = make_psfhat(psf, band_chunk=1)
+        hargs = (jax.device_put(psfhat, sh),)
+        hess = hessian_psf_dist(mesh, nxp)
+    z = hess(x, *hargs)
     float(jnp.sum(z))
     best = np.inf
     for _ in range(reps):
         z = x
         t0 = time.perf_counter()
         for _ in range(chain):
-            z = hess(z, ph)
+            z = hess(z, *hargs)
         float(jnp.sum(z))
         best = min(best, (time.perf_counter() - t0) / chain)
     return 1.0 / best
+
+
+def efficiency_table(results):
+    """Weak-scaling efficiency per entry: (band-matvecs/s at n) /
+    (n x band-matvecs/s at 1 device)."""
+    base = results[0]["band_matvecs_per_s"]
+    for r in results:
+        r["efficiency"] = round(
+            r["band_matvecs_per_s"] / (r["ndevices"] * base), 4)
+    return results
 
 
 def main():
@@ -61,6 +82,17 @@ def main():
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--nx", type=int, default=None)
     ap.add_argument("--nband-per-device", type=int, default=1)
+    ap.add_argument("--engine", default="fft",
+                    choices=["fft", "pallas"])
+    ap.add_argument("--mode", default="weak",
+                    choices=["weak", "strong"],
+                    help="weak: nband grows with devices (per-device "
+                    "work fixed; the pod-slice metric). strong: fixed "
+                    "total cube sharded over 1..N devices — on a "
+                    "virtual CPU mesh (devices share cores) this is "
+                    "the meaningful check: ideal is FLAT wall time, "
+                    "and efficiency = t1/tn measures pure shard_map/"
+                    "collective overhead.")
     args = ap.parse_args()
 
     import jax
@@ -87,23 +119,27 @@ def main():
 
     results = []
     n = 1
+    nband_fixed = len(devs) * args.nband_per_device
     while n <= len(devs):
         mesh = make_mesh(nband=n, nspace=1, devices=devs[:n])
-        nband = n * args.nband_per_device
-        rate = bench_mesh(mesh, nband, nx)
-        # weak scaling: per-device problem size fixed; efficiency is
-        # (rate at n) / (n * rate at 1) of band-matvecs/s
+        nband = nband_fixed if args.mode == "strong" else \
+            n * args.nband_per_device
+        rate = bench_mesh(mesh, nband, nx, engine=args.engine)
         results.append(dict(ndevices=n, nband=nband,
                             matvecs_per_s=round(rate, 3),
                             band_matvecs_per_s=round(rate * nband, 3)))
         n *= 2
-    base = results[0]["band_matvecs_per_s"]
-    for r in results:
-        r["efficiency"] = round(
-            r["band_matvecs_per_s"] / (r["ndevices"] * base), 4)
+    if args.mode == "strong":
+        # fixed total work: ideal is flat wall time on shared cores
+        base = results[0]["matvecs_per_s"]
+        for r in results:
+            r["efficiency"] = round(r["matvecs_per_s"] / base, 4)
+    else:
+        results = efficiency_table(results)
     if args.process_id in (None, 0):
         print(json.dumps({"metric": "matvec_scaling",
                           "platform": platform, "nx": nx,
+                          "engine": args.engine, "mode": args.mode,
                           "results": results}))
 
 
