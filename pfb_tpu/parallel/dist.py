@@ -569,7 +569,7 @@ def _make_hessian_dds_dist_pg(mesh, dds, nband, wsum, nx, ny,
                               do_wgridding=True):
     """pg backend of :func:`make_hessian_dds_dist`: shard-local fused
     Pallas gridder chains over stacked plans."""
-    from pfb_tpu.ops.pgridder import (_hessian_pg_band_local,
+    from pfb_tpu.ops.pgridder import (_hessian_pg_cube_local,
                                       stack_pg_plans)
 
     st = stack_pg_plans(dds, nband, nx=nx, ny=ny, epsilon=epsilon,
@@ -579,17 +579,14 @@ def _make_hessian_dds_dist_pg(mesh, dds, nband, wsum, nx, ny,
     rdt = p0["rdtype"]
     interpret = jax.default_backend() != "tpu"
     has_beam = st["beam"] is not None
-    nb_local = nband // mesh.shape["band"]
     wsum = float(wsum)
     cube = P("band", None, None)
 
     def local(x, pos, tid, idx, pm, wgt, uvw, frq, *maybe_beam):
         beam = maybe_beam[0] if has_beam else None
-        conv = jnp.stack([
-            _hessian_pg_band_local(
-                x[b], pos[b], tid[b], idx[b], pm[b], wgt[b], uvw[b],
-                frq[b], beam[b] if has_beam else None, p0, interpret)
-            for b in range(nb_local)])
+        conv = _hessian_pg_cube_local(
+            x, (pos, tid, idx, pm, wgt, uvw, frq), beam, p0,
+            interpret)
         out = conv / wsum
         if sigmainv:
             out = out + x * sigmainv**2

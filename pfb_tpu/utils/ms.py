@@ -38,11 +38,17 @@ def read_ms(path):
 
 
 def read_ms_casa(path):
-    """CASA Measurement Set -> column dict (requires python-casacore;
-    import-gated since the TPU image ships without it). Reads the main
-    table plus SPECTRAL_WINDOW / FIELD / POLARIZATION subtables into
-    the same layout simulate_ms writes, including per-DDID frequency
-    tables and per-field phase centres."""
+    """CASA Measurement Set -> column dict (whole table, for small
+    sets; production ingestion streams row slabs through
+    :class:`CasaMSSource` instead). Requires python-casacore
+    (import-gated since the TPU image ships without it)."""
+    src = CasaMSSource(path)
+    out = dict(src.index())
+    out.update(src.read_rows(np.arange(src.nrow), src.data_columns()))
+    return out
+
+
+def _casa_table():
     try:
         from casacore.tables import table
     except ImportError as e:
@@ -51,44 +57,135 @@ def read_ms_casa(path):
             "(pip install python-casacore); alternatively convert to "
             "the npz container layout documented in pfb_tpu.utils.ms."
         ) from e
+    return table
 
-    out = {}
-    with table(path, ack=False) as t:
-        for col in ("DATA", "MODEL_DATA", "CORRECTED_DATA", "UVW",
-                    "TIME", "ANTENNA1", "ANTENNA2", "FLAG",
-                    "WEIGHT_SPECTRUM", "FIELD_ID", "DATA_DESC_ID",
-                    "SCAN_NUMBER"):
-            if col in t.colnames():
-                try:
+
+class CasaMSSource:
+    """Slab-streaming CASA MS reader: the small per-row INDEX columns
+    (TIME/FIELD_ID/DATA_DESC_ID/SCAN_NUMBER/ANTENNA1/2) and the
+    subtables load once; the big per-row columns (DATA/FLAG/WEIGHT/
+    UVW/...) are read per row-slab with ``table.getcol(startrow,
+    nrow)`` over maximal CONSECUTIVE runs of the requested rows —
+    bounded memory for observations larger than RAM (the reference
+    streams chunked reads through dask-ms,
+    /root/reference/pfb/utils/misc.py:250-370, workers/init.py:236)."""
+
+    INDEX_COLS = ("TIME", "ANTENNA1", "ANTENNA2", "FIELD_ID",
+                  "DATA_DESC_ID", "SCAN_NUMBER")
+
+    def __init__(self, path, max_slab_rows=100_000):
+        self._table = _casa_table()
+        self.path = str(path)
+        self.max_slab_rows = int(max_slab_rows)
+        with self._table(self.path, ack=False) as t:
+            self.nrow = t.nrows()
+            self._cols = set(t.colnames())
+
+    def data_columns(self):
+        cols = [c for c in ("DATA", "MODEL_DATA", "CORRECTED_DATA",
+                            "UVW", "FLAG", "WEIGHT_SPECTRUM", "WEIGHT",
+                            "SIGMA", "SIGMA_SPECTRUM")
+                if c in self._cols]
+        return tuple(cols)
+
+    def index(self):
+        """Small columns + subtable metadata, loaded once."""
+        out = {}
+        with self._table(self.path, ack=False) as t:
+            for col in self.INDEX_COLS:
+                if col in self._cols:
                     out[col] = t.getcol(col)
-                except RuntimeError:
-                    pass  # column defined but unfilled
-    if "WEIGHT_SPECTRUM" not in out:
-        with table(path, ack=False) as t:
-            w = t.getcol("WEIGHT")  # (nrow, ncorr)
+        # DATA_DESCRIPTION maps DDID -> (SPW row, POLARIZATION row);
+        # DDIDs are NOT SPW indices in general
+        with self._table(f"{self.path}::DATA_DESCRIPTION",
+                         ack=False) as t:
+            spw_of_dd = t.getcol("SPECTRAL_WINDOW_ID")
+            pol_of_dd = t.getcol("POLARIZATION_ID")
+        with self._table(f"{self.path}::SPECTRAL_WINDOW",
+                         ack=False) as t:
+            freq = t.getcol("CHAN_FREQ")  # (nspw, nchan)
+            by_dd = freq[spw_of_dd]       # indexable by DDID
+            out["FREQ"] = by_dd[0] if by_dd.shape[0] == 1 else by_dd
+        with self._table(f"{self.path}::FIELD", ack=False) as t:
+            pc = t.getcol("PHASE_DIR")[:, 0, :]  # (nfield, 2)
+            out["FIELD_RA"] = pc[:, 0]
+            out["FIELD_DEC"] = pc[:, 1]
+            out["RA"] = np.array(pc[0, 0])
+            out["DEC"] = np.array(pc[0, 1])
+        with self._table(f"{self.path}::POLARIZATION", ack=False) as t:
+            corr = t.getcol("CORR_TYPE")[int(pol_of_dd[0])]
+            # CASA stokes enums: 5-8 = RR,RL,LR,LL; 9-12 = XX,XY,YX,YY
+            out["POLTYPE"] = np.array(
+                "circular" if corr[0] in (5, 6, 7, 8) else "linear")
+        return out
+
+    def read_rows(self, rows, columns):
+        """Read ``columns`` for the given row indices as one dict of
+        arrays, slab by slab: consecutive-run segments (capped at
+        max_slab_rows) become ``getcol(startrow, nrow)`` calls, so a
+        time-sorted MS streams sequentially and a scattered selection
+        degrades gracefully."""
+        rows = np.asarray(rows, np.int64)
+        out = {}
+        # maximal consecutive runs
+        runs = []
+        if rows.size:
+            brk = np.where(np.diff(rows) != 1)[0] + 1
+            for seg in np.split(rows, brk):
+                s = 0
+                while s < seg.size:
+                    e = min(s + self.max_slab_rows, seg.size)
+                    runs.append((int(seg[s]), int(e - s)))
+                    s = e
+        with self._table(self.path, ack=False) as t:
+            for col in columns:
+                if col not in self._cols:
+                    continue
+                parts = [t.getcol(col, startrow=r0, nrow=nr)
+                         for r0, nr in runs]
+                if parts:
+                    out[col] = np.concatenate(parts, axis=0)
+        if "WEIGHT_SPECTRUM" in columns and \
+                "WEIGHT_SPECTRUM" not in out and "WEIGHT" in out and \
+                "DATA" in out:
+            w = out["WEIGHT"]  # (nrow, ncorr)
             out["WEIGHT_SPECTRUM"] = np.repeat(
                 w[:, None, :], out["DATA"].shape[1], axis=1)
-    # DATA_DESCRIPTION maps DDID -> (SPW row, POLARIZATION row); DDIDs
-    # are NOT SPW indices in general (e.g. one SPW with two pol setups)
-    with table(f"{path}::DATA_DESCRIPTION", ack=False) as t:
-        spw_of_dd = t.getcol("SPECTRAL_WINDOW_ID")
-        pol_of_dd = t.getcol("POLARIZATION_ID")
-    with table(f"{path}::SPECTRAL_WINDOW", ack=False) as t:
-        freq = t.getcol("CHAN_FREQ")  # (nspw, nchan)
-        by_dd = freq[spw_of_dd]       # (nDD, nchan), indexable by DDID
-        out["FREQ"] = by_dd[0] if by_dd.shape[0] == 1 else by_dd
-    with table(f"{path}::FIELD", ack=False) as t:
-        pc = t.getcol("PHASE_DIR")[:, 0, :]  # (nfield, 2)
-        out["FIELD_RA"] = pc[:, 0]
-        out["FIELD_DEC"] = pc[:, 1]
-        out["RA"] = np.array(pc[0, 0])
-        out["DEC"] = np.array(pc[0, 1])
-    with table(f"{path}::POLARIZATION", ack=False) as t:
-        corr = t.getcol("CORR_TYPE")[int(pol_of_dd[0])]
-        # CASA stokes enums: 5-8 = RR,RL,LR,LL; 9-12 = XX,XY,YX,YY
-        out["POLTYPE"] = np.array(
-            "circular" if corr[0] in (5, 6, 7, 8) else "linear")
-    return out
+        return out
+
+
+class DictMSSource:
+    """In-memory source over a column dict (the npz container /
+    programmatic path) with the same interface as CasaMSSource."""
+
+    def __init__(self, msd):
+        self.msd = dict(msd)
+        self.nrow = int(np.asarray(self.msd["UVW"]).shape[0])
+
+    def index(self):
+        return {k: v for k, v in self.msd.items()
+                if k not in ("DATA", "MODEL_DATA", "CORRECTED_DATA",
+                             "UVW", "FLAG", "WEIGHT_SPECTRUM",
+                             "WEIGHT", "SIGMA", "SIGMA_SPECTRUM")}
+
+    def read_rows(self, rows, columns):
+        rows = np.asarray(rows, np.int64)
+        return {c: np.asarray(self.msd[c])[rows] for c in columns
+                if c in self.msd}
+
+
+def open_ms_source(ms):
+    """MS source for a path (npz file or CASA MS directory) or an
+    in-memory column dict."""
+    if isinstance(ms, (str, bytes)) or hasattr(ms, "__fspath__"):
+        p = str(ms)
+        if Path(p).is_dir():
+            return CasaMSSource(p)
+        if not p.endswith(".npz"):
+            p = p + ".npz"
+        with np.load(p, allow_pickle=False) as f:
+            return DictMSSource({k: f[k] for k in f.files})
+    return DictMSSource(ms)
 
 
 def update_ms_column(path, name, values):

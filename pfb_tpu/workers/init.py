@@ -17,7 +17,7 @@ import re
 import numpy as np
 
 from pfb_tpu.utils import dstore
-from pfb_tpu.utils.ms import read_ms
+from pfb_tpu.utils.ms import open_ms_source
 from pfb_tpu.utils.stokes import unity_jones, weight_data
 
 
@@ -30,6 +30,11 @@ def _column_expr(msd, expr):
         col = np.asarray(msd[name], np.complex128)
         out = out + col if op == "+" else out - col
     return out
+
+
+def _expr_columns(expr):
+    return tuple(t for t in re.split(r"[+-]", expr.replace(" ", ""))
+                 if t)
 
 
 def _jones_mode(jones):
@@ -96,36 +101,79 @@ def _init(ms=None, output_filename=None, product="I",
     into channels_per_image-sized chunks (-1/None = all), each
     optionally averaged down by ``chan_average``. ``data_column``
     accepts +/- arithmetic between columns ("DATA-MODEL_DATA").
+
+    ``ms`` accepts a single MS (path / column dict) or a LIST of MSs
+    (or a comma-separated path string) — the reference scans many
+    (misc.py:250, init.py:236). Big per-row columns are read per
+    (group, time-chunk) slab through the MS source, never whole-table,
+    so observations larger than RAM ingest with bounded memory
+    (CasaMSSource streams getcol(startrow, nrow) runs).
     """
-    msd = read_ms(ms) if isinstance(ms, (str, bytes)) or hasattr(
-        ms, "__fspath__") else dict(ms)
-
-    data = _column_expr(msd, data_column)
-    nrow, nchan_ms, ncorr = data.shape
-    uvw = msd["UVW"]
-    time = msd["TIME"]
-    ant1 = msd["ANTENNA1"]
-    ant2 = msd["ANTENNA2"]
-    freq_tab = np.asarray(msd["FREQ"], np.float64)
-    flag = msd.get(flag_column, np.zeros(data.shape, bool))
-    if sigma_column is not None:
-        # weights from standard deviations (reference init.py:216-219)
-        sigma = np.asarray(msd[sigma_column], np.float64)
-        with np.errstate(divide="ignore"):
-            wgt = np.where(sigma > 0, 1.0 / (sigma * sigma), 0.0)
+    if isinstance(ms, (list, tuple)):
+        ms_list = list(ms)
+    elif isinstance(ms, str) and "," in ms:
+        ms_list = [p for p in ms.split(",") if p]
     else:
-        wgt = msd.get(weight_column or "WEIGHT_SPECTRUM",
-                      np.ones(data.shape))
-    pol = str(msd.get("POLTYPE", "linear"))
+        ms_list = [ms]
 
-    fid = np.asarray(msd.get("FIELD_ID", np.zeros(nrow, np.int32)))
-    did = np.asarray(msd.get("DATA_DESC_ID", np.zeros(nrow, np.int32)))
-    sid = np.asarray(msd.get("SCAN_NUMBER", np.zeros(nrow, np.int32)))
+    datasets = []
+    radec_shared = {}
+    for m in ms_list:
+        datasets.extend(_init_one_ms(
+            m, product=product, channels_per_image=channels_per_image,
+            integrations_per_image=integrations_per_image,
+            gain_table=gain_table, gain_term=gain_term,
+            data_column=data_column, weight_column=weight_column,
+            sigma_column=sigma_column, flag_column=flag_column,
+            beam_model=beam_model,
+            max_field_of_view=max_field_of_view,
+            chan_average=chan_average, freq_range=freq_range,
+            fields=fields, ddids=ddids, scans=scans,
+            site_latitude=site_latitude, precision=precision,
+            radec=radec, _radec_shared=radec_shared))
+
+    if write and output_filename is not None:
+        name = f"{output_filename}_{product.upper()}.xds"
+        dstore.write_store(name, datasets, overwrite=overwrite)
+    return datasets
+
+
+def _init_one_ms(ms, product, channels_per_image,
+                 integrations_per_image, gain_table, gain_term,
+                 data_column, weight_column, sigma_column, flag_column,
+                 beam_model, max_field_of_view, chan_average,
+                 freq_range, fields, ddids, scans, site_latitude,
+                 precision, radec, _radec_shared):
+    src = open_ms_source(ms)
+    idx = src.index()
+
+    time = np.asarray(idx["TIME"])
+    ant1 = np.asarray(idx["ANTENNA1"])
+    ant2 = np.asarray(idx["ANTENNA2"])
+    nrow = time.shape[0]
+    freq_tab = np.asarray(idx["FREQ"], np.float64)
+    pol = str(idx.get("POLTYPE", "linear"))
+
+    # per-chunk slab columns: the data expression's terms + flags +
+    # weights + UVW (bounded memory; see _init docstring)
+    slab_cols = set(_expr_columns(data_column)) | {"UVW"}
+    if flag_column:
+        slab_cols.add(flag_column)
+    if sigma_column is not None:
+        slab_cols.add(sigma_column)
+    else:
+        slab_cols.add(weight_column or "WEIGHT_SPECTRUM")
+    slab_cols = tuple(slab_cols)
+
+    fid = np.asarray(idx.get("FIELD_ID", np.zeros(nrow, np.int32)))
+    did = np.asarray(idx.get("DATA_DESC_ID",
+                             np.zeros(nrow, np.int32)))
+    sid = np.asarray(idx.get("SCAN_NUMBER", np.zeros(nrow, np.int32)))
     # per-field phase centres (FIELD table analogue); scalars fall back
-    fra = np.atleast_1d(np.asarray(msd.get("FIELD_RA",
-                                           msd.get("RA", 0.0))))
-    fdec = np.atleast_1d(np.asarray(msd.get("FIELD_DEC",
-                                            msd.get("DEC", 0.0))))
+    fra = np.atleast_1d(np.asarray(idx.get("FIELD_RA",
+                                           idx.get("RA", 0.0))))
+    fdec = np.atleast_1d(np.asarray(idx.get("FIELD_DEC",
+                                            idx.get("DEC", 0.0))))
 
     nant = int(max(ant1.max(), ant2.max())) + 1
 
@@ -173,9 +221,13 @@ def _init(ms=None, output_filename=None, product="I",
 
     radec_out = None
     if radec is not None:
-        from pfb_tpu.utils.astrometry import parse_target
-        radec_out = parse_target(radec,
-                                 obs_time=float(np.mean(time)))
+        # parse once per run and share across the MS list so every
+        # field of every MS re-references to the SAME centre
+        if "radec" not in _radec_shared:
+            from pfb_tpu.utils.astrometry import parse_target
+            _radec_shared["radec"] = parse_target(
+                radec, obs_time=float(np.mean(time)))
+        radec_out = _radec_shared["radec"]
 
     # (field, ddid, scan) groups (reference misc.py:312-370)
     groups = np.unique(np.stack([fid, did, sid], axis=1), axis=0)
@@ -203,15 +255,10 @@ def _init(ms=None, output_filename=None, product="I",
 
         ra_f = float(fra[min(f, fra.size - 1)])
         dec_f = float(fdec[min(f, fdec.size - 1)])
-        data_g = uvw_g = None
-        if radec_out is not None and not np.allclose(
-                (ra_f, dec_f), radec_out):
-            # re-reference this field to the common centre (exact
-            # fixvis-style uvw rotation + phase counter-rotation)
-            from pfb_tpu.utils.astrometry import rephase_to
-            data_g, uvw_g = rephase_to(data[grow], uvw[grow],
-                                       (ra_f, dec_f), radec_out,
-                                       freq_g)
+        need_rephase = radec_out is not None and not np.allclose(
+            (ra_f, dec_f), radec_out)
+        if need_rephase:
+            radec_orig = (ra_f, dec_f)
             ra_f, dec_f = radec_out
 
         utime = np.unique(time[grow])
@@ -238,23 +285,45 @@ def _init(ms=None, output_filename=None, product="I",
             fsel_gain = _bin_map(fgrid, freq_g[chans])
             jones_g = jones
 
-        flag_rc = flag[grow][:, chans].any(axis=-1)
-
         for t0 in range(0, ntime, ipi):
             tsel = (tbin >= t0) & (tbin < t0 + ipi)
             rows = grow[tsel]
             rloc = np.where(tsel)[0]
+
+            # stream THIS chunk's big columns (bounded memory)
+            slab = src.read_rows(rows, slab_cols)
+            data_t = _column_expr(slab, data_column)
+            uvw_t = np.asarray(slab["UVW"])
+            flag_t = np.asarray(slab[flag_column]) if (
+                flag_column and flag_column in slab) else \
+                np.zeros(data_t.shape, bool)
+            if sigma_column is not None:
+                # weights from standard deviations (ref init.py:216)
+                sigma = np.asarray(slab[sigma_column], np.float64)
+                with np.errstate(divide="ignore"):
+                    wgt_t = np.where(sigma > 0,
+                                     1.0 / (sigma * sigma), 0.0)
+            else:
+                wcol = weight_column or "WEIGHT_SPECTRUM"
+                wgt_t = np.asarray(slab[wcol]) if wcol in slab else \
+                    np.ones(data_t.shape)
+            if need_rephase:
+                # re-reference to the common centre (exact
+                # fixvis-style uvw rotation + phase counter-rotation)
+                from pfb_tpu.utils.astrometry import rephase_to
+                data_t, uvw_t = rephase_to(data_t, uvw_t, radec_orig,
+                                           radec_out, freq_g)
+            flag_rc = flag_t[:, chans].any(axis=-1)
+
             for c0 in range(0, nchan, cpi):
                 cloc = np.arange(c0, min(c0 + cpi, nchan))
                 csel = chans[cloc]
                 jsel = fsel_gain[cloc]
-                dchunk = (data_g[rloc] if data_g is not None
-                          else data[rows])[:, csel]
                 vis, wout = weight_data(
-                    to_device(dchunk),
-                    jnp.asarray(wgt[rows][:, csel]),
+                    to_device(data_t[:, csel]),
+                    jnp.asarray(wgt_t[:, csel]),
                     jnp.asarray(
-                        flag_rc[rloc][:, cloc].astype(np.uint8)),
+                        flag_rc[:, cloc].astype(np.uint8)),
                     to_device(np.ascontiguousarray(
                         jones_g[:, :, jsel])),
                     jnp.asarray(tmap[rloc]),
@@ -274,8 +343,7 @@ def _init(ms=None, output_filename=None, product="I",
                     "VIS": vis,
                     "WEIGHT": wout,
                     "MASK": mask,
-                    "UVW": (uvw_g[rloc] if uvw_g is not None
-                            else uvw[rows]),
+                    "UVW": uvw_t,
                     "FREQ": freq_c,
                     "time_out": float(np.mean(utime[t0:t0 + ipi])),
                     "freq_out": float(np.mean(freq_c)),
@@ -310,7 +378,4 @@ def _init(ms=None, output_filename=None, product="I",
                 ds["m_beam"] = m_b
                 datasets.append(ds)
 
-    if write and output_filename is not None:
-        name = f"{output_filename}_{product.upper()}.xds"
-        dstore.write_store(name, datasets, overwrite=overwrite)
     return datasets
