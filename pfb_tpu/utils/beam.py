@@ -1,11 +1,17 @@
 """Primary beam models and evaluation onto the image grid.
 
-Equivalent of pfb/utils/beam.py: the reference interpolates katbeam
-JimBeam (MeerKAT L/UHF polynomial fits) or a measured .npz beam onto the
-image grid. katbeam is unavailable here, so the built-in model is the
-standard cosine-cubed aperture-taper approximation used for MeerKAT-like
-dishes (cos^3 with frequency-scaled argument); measured beams load from
-npz with (beam, l_beam, m_beam) arrays. ``eval_beam`` regrids with a
+Equivalent of pfb/utils/beam.py: the reference evaluates katbeam
+JimBeam ('kbl'/'kbuhf', MeerKAT L/UHF fits, beam.py:84-140) or a
+measured .npz beam. Here 'kbl'/'kbuhf' evaluate :func:`jim_beam` — the
+same cosine-tapered-aperture power pattern JimBeam is built on, with
+the PUBLISHED MeerKAT beamwidth scaling (Mauch et al. 2020: Stokes-I
+HPBW 57.5' x (1500 MHz / f), confirmed UHF via the common lambda/D
+law). katbeam's per-polarisation squint/width polynomial refinements
+need its (unavailable offline) coefficient tables; when katbeam IS
+installed the test suite cross-validates against it
+(tests/test_beam_models.py). 'cos3' keeps the cruder cosine-cubed
+approximation. Measured beams load from npz with
+(beam, l_beam, m_beam) arrays. ``eval_beam`` regrids with a
 RegularGridInterpolator exactly like the reference (beam.py:143-154).
 """
 
@@ -16,9 +22,8 @@ from scipy.interpolate import RegularGridInterpolator
 def cos3_beam(l_deg, m_deg, freq_hz, dish_diameter=13.5,
               ref_freq=1.28e9):
     """Cosine-cubed primary beam: b = cos^3(min(theta_b, pi/2)) with
-    theta_b ~ 1.18 theta r / theta_HPBW — the standard analytic
-    MeerKAT-ish approximation (katbeam's JimBeam is a refined fit of
-    the same shape)."""
+    theta_b ~ 1.18 theta r / theta_HPBW — the crude analytic
+    approximation (use 'kbl'/'kbuhf' for the katbeam-class model)."""
     r = np.sqrt(l_deg**2 + m_deg**2)
     # HPBW in degrees ~ 1.18 lambda / D
     lam = 299792458.0 / freq_hz
@@ -26,6 +31,40 @@ def cos3_beam(l_deg, m_deg, freq_hz, dish_diameter=13.5,
     arg = 1.18866 * r / hpbw  # cos^3 hits 0.5 at arg ~ 0.5
     arg = np.minimum(arg * np.pi / 2 / 0.593, np.pi / 2)
     return np.cos(arg) ** 3
+
+
+# Stokes-I half-power beamwidth at the reference frequency:
+# L band 57.5 arcmin at 1500 MHz (Mauch et al. 2020, DEEP2); UHF by
+# the lambda/D scaling of the same dish/illumination.
+_JIM_HPBW_REF = {"l": (57.5 / 60.0, 1500.0e6),
+                 "uhf": (57.5 / 60.0 * 1500.0 / 816.0, 816.0e6)}
+
+
+def _cos_taper_voltage(x):
+    """Voltage pattern of a cosine-illuminated circular aperture,
+    V(x) = cos(pi x) / (1 - 4 x^2) — katbeam JimBeam's underlying
+    pattern. The x = 1/2 singularity is removable (limit pi/4)."""
+    x = np.asarray(x, float)
+    den = 1.0 - 4.0 * x * x
+    sing = np.abs(den) < 1e-6
+    den_safe = np.where(sing, 1.0, den)
+    v = np.cos(np.pi * x) / den_safe
+    return np.where(sing, np.pi / 4.0, v)
+
+
+def jim_beam(l_deg, m_deg, freq_hz, band="l"):
+    """katbeam-JimBeam-class Stokes-I power beam: squared
+    cosine-taper voltage pattern with x = 1.18896 r / HPBW(f) so the
+    half-power point lands exactly at r = HPBW/2, HPBW scaling as
+    1/f from the published reference widths (_JIM_HPBW_REF). Includes
+    the pattern's real sidelobes (first ~ -23 dB), unlike cos3 which
+    clips to zero (reference beam.py:107-117 evaluates
+    JimBeam('MKAT-AA-{L,UHF}-JIM-2020').I)."""
+    r = np.sqrt(np.asarray(l_deg) ** 2 + np.asarray(m_deg) ** 2)
+    hpbw0, f0 = _JIM_HPBW_REF[band]
+    hpbw = hpbw0 * (f0 / freq_hz)
+    v = _cos_taper_voltage(1.18896 * r / hpbw)
+    return v * v
 
 
 def interp_beam(freq, nx, ny, cell_deg, btype="kbl", l0=0.0, m0=0.0,
@@ -61,7 +100,13 @@ def interp_beam(freq, nx, ny, cell_deg, btype="kbl", l0=0.0, m0=0.0,
     def model(llg, mmg):
         if btype is None or btype == "none":
             return np.ones(llg.shape)
-        if btype in ("kbl", "kbuhf", "cos3"):
+        bt = btype.lower().replace("-", "_") if isinstance(
+            btype, str) else btype
+        if bt in ("kbl", "kb_l", "katbeam_l"):
+            return jim_beam(llg, mmg, freq, band="l")
+        if bt in ("kbuhf", "kb_uhf", "katbeam_uhf"):
+            return jim_beam(llg, mmg, freq, band="uhf")
+        if bt == "cos3":
             return cos3_beam(llg, mmg, freq,
                              dish_diameter=dish_diameter)
         if interp is not None:

@@ -70,9 +70,14 @@ def main():
     model = jax.device_put(jnp.zeros((nband, nx, nx), jnp.float32),
                            bands)
 
-    # synthetic visibility datasets for the exact pg residual
+    # synthetic visibility datasets for the exact pg residual.
+    # w-gridding OFF at 4096^2: with it on the all-planes layout needs
+    # (2 nw, 8192^2) grids (~5.4 GB at the k+1 ~ 10 plane minimum) in
+    # three buffer generations — over the 15.75 GB HBM (measured
+    # 17.8 G). The w-blocked scan is the planned fix (TODO.md).
+    do_w = not on_tpu
     uvw = rng.normal(scale=1000.0, size=(nrow, 3))
-    uvw[:, 2] *= 0.02  # modest w spread -> bounded w-plane count
+    uvw[:, 2] *= 0.02
     freqs = np.linspace(0.9e9, 1.1e9, nband * nchan)
     umax = np.abs(uvw[:, :2]).max() * freqs[-1] / 299792458.0
     cell = 1.0 / (2.0 * umax * 2.0)
@@ -86,7 +91,7 @@ def main():
     t0 = time.perf_counter()
     hess_exact = make_hessian_dds_dist(mesh, dds, nband, wsum, nx, nx,
                                        use_beam=False, backend="pg",
-                                       epsilon=1e-5)
+                                       epsilon=1e-5, do_wgridding=do_w)
     t_plan = time.perf_counter() - t0
 
     psi = make_psi(nx, nx, ("self", "db1"), 3)

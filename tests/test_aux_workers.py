@@ -167,8 +167,49 @@ def test_sun_ephemeris():
     assert abs(np.rad2deg(dec) - (-23.03)) < 0.1
     assert abs(ra - np.deg2rad(281.3)) < np.deg2rad(0.2)
     import pytest as _pt
-    with _pt.raises(ValueError):
-        get_coordinates(t_j2000, target="Jupiter")
+    with _pt.raises(ValueError, match="Unknown ephemeris body"):
+        get_coordinates(t_j2000, target="Vulcan")
+
+
+def _elongation(t, body):
+    from pfb_tpu.utils.astrometry import get_coordinates
+    ra_s, dec_s = get_coordinates(t, "Sun")
+    ra_b, dec_b = get_coordinates(t, body)
+    cs = np.sin(dec_s) * np.sin(dec_b) + \
+        np.cos(dec_s) * np.cos(dec_b) * np.cos(ra_s - ra_b)
+    return np.rad2deg(np.arccos(np.clip(cs, -1, 1)))
+
+
+def test_planet_ephemerides_invariants():
+    """Moon/planet low-precision series (the reference resolves bodies
+    via astropy builtin ephemeris, astrometry.py:104-137): checked
+    through orbital invariants — Mercury's elongation from the Sun
+    never exceeds ~28 deg, Venus' ~48 deg, every body stays within its
+    geocentric ecliptic-latitude bound, and the Moon's elongation
+    cycles through 0..180 over a synodic month."""
+    from pfb_tpu.utils.astrometry import get_coordinates
+    days = 51544.5 + np.arange(0, 3650, 13.7)  # 10 years
+    ts = days * 86400.0
+    merc = np.array([_elongation(t, "Mercury") for t in ts])
+    ven = np.array([_elongation(t, "Venus") for t in ts])
+    assert merc.max() < 29.0 and merc.max() > 15.0
+    assert ven.max() < 48.5 and ven.max() > 40.0
+    # outer planets reach opposition (elongation ~ 180)
+    jup = np.array([_elongation(t, "Jupiter") for t in ts])
+    assert jup.max() > 170.0 and jup.min() < 15.0
+    # geocentric ecliptic latitude bounds (inclination limits)
+    eps = np.deg2rad(23.4393)
+    for body, blim in (("Moon", 5.6), ("Saturn", 3.2),
+                       ("Mars", 7.0)):
+        for t in ts[::7]:
+            ra, dec = get_coordinates(t, body)
+            beta = np.arcsin(np.sin(dec) * np.cos(eps)
+                             - np.cos(dec) * np.sin(eps) * np.sin(ra))
+            assert abs(np.rad2deg(beta)) < blim, body
+    # lunar synodic cycle: elongation spans 0..180 within ~30 days
+    tm = (51544.5 + np.arange(0, 30, 0.5)) * 86400.0
+    em = np.array([_elongation(t, "Moon") for t in tm])
+    assert em.min() < 12.0 and em.max() > 168.0
 
 
 def test_fastim_selection_and_degrid_resolution(tmp_path):
