@@ -100,8 +100,11 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
     if isinstance(mds, (str, bytes)):
         mds = dstore.read_store(str(mds))[0]
 
-    dds = []
-    for ds in xds:
+    def launch(ds):
+        """Dispatch one dataset's device products (async) — chunk k+1
+        launches before chunk k's host materialisation so device
+        gridding overlaps host I/O (SURVEY.md 2.9.4 task pipelining;
+        same launch/finish pattern as workers/fastim.py)."""
         bandid = int(np.where(freqs_out == ds["freq_out"])[0][0])
         timeid = int(np.where(times_out == ds["time_out"])[0][0])
         from pfb_tpu.config import to_device
@@ -155,10 +158,18 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
             do_dirty=dirty, do_psf=psf, do_weight=weight,
             do_residual=residual, backend=backend, epsilon=epsilon,
             do_wgridding=do_wgridding, double_accum=double_accum)
+        return dict(ds=ds, out=out, counts=counts, model=model,
+                    bandid=bandid, timeid=timeid, x0=x0_ds, y0=y0_ds)
 
+    def finish(p):
+        """Materialise a launched dataset's products to host (the
+        blocking half; host beam evaluation rides here too)."""
+        ds, out = p["ds"], p["out"]
         out_ds = {
-            "ra": ds["ra"], "dec": ds["dec"], "x0": x0_ds, "y0": y0_ds,
-            "cell_rad": cell_rad, "bandid": bandid, "timeid": timeid,
+            "ra": ds["ra"], "dec": ds["dec"], "x0": p["x0"],
+            "y0": p["y0"],
+            "cell_rad": cell_rad, "bandid": p["bandid"],
+            "timeid": p["timeid"],
             "freq_out": ds["freq_out"], "time_out": ds["time_out"],
             "robustness": robustness, "product": product,
             "super_resolution_factor": super_resolution_factor,
@@ -167,8 +178,8 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
             "FREQ": np.asarray(ds["FREQ"]),
             "UVW": np.asarray(ds["UVW"]),
             "MASK": np.asarray(ds["MASK"]),
-            "BEAM": _eval_ds_beam(ds, nx, ny, cell_rad, x0_ds, y0_ds,
-                                  real_type),
+            "BEAM": _eval_ds_beam(ds, nx, ny, cell_rad, p["x0"],
+                                  p["y0"], real_type),
             "WSUM": np.asarray(out["WSUM"]),
         }
         if dirty:
@@ -184,11 +195,21 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
             out_ds["WEIGHT"] = np.asarray(out["WEIGHT"])
         if "RESIDUAL" in out:
             out_ds["RESIDUAL"] = np.asarray(out["RESIDUAL"])
-        if model is not None:
-            out_ds["MODEL"] = np.asarray(model)
-        if counts is not None:
-            out_ds["COUNTS"] = np.asarray(counts)
-        dds.append(out_ds)
+        if p["model"] is not None:
+            out_ds["MODEL"] = np.asarray(p["model"])
+        if p["counts"] is not None:
+            out_ds["COUNTS"] = np.asarray(p["counts"])
+        return out_ds
+
+    dds = []
+    pending = None
+    for ds in xds:
+        nxt = launch(ds)
+        if pending is not None:
+            dds.append(finish(pending))
+        pending = nxt
+    if pending is not None:
+        dds.append(finish(pending))
 
     if write and output_filename is not None:
         name = f"{output_filename}_{product.upper()}_{suffix}.dds"

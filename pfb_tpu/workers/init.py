@@ -237,6 +237,61 @@ def _init_one_ms(ms, product, channels_per_image,
     from pfb_tpu.config import to_device, to_host
 
     datasets = []
+    pending = None
+
+    def finish(p):
+        """Materialise a launched chunk (blocking device->host
+        readback + host-side averaging/beam/assembly). Chunk k+1's
+        weight_data dispatch and slab read happen BEFORE this runs
+        for chunk k, overlapping host I/O with device compute
+        (SURVEY.md 2.9.4; same pattern as workers/fastim.py)."""
+        vis = to_host(p["vis"])
+        wout = np.asarray(p["wout"])
+        if precision == "single":
+            vis = vis.astype(np.complex64)
+            wout = wout.astype(np.float32)
+        freq_c = p["freq_c"]
+        if chan_average and chan_average > 1:
+            vis, wout, freq_c = _chan_average(vis, wout, freq_c,
+                                              int(chan_average))
+        mask = (wout > 0).astype(np.uint8)
+        ut = p["utime_chunk"]
+        ds = {
+            "VIS": vis,
+            "WEIGHT": wout,
+            "MASK": mask,
+            "UVW": p["uvw"],
+            "FREQ": freq_c,
+            "time_out": float(np.mean(ut)),
+            "freq_out": float(np.mean(freq_c)),
+            "freq_min": float(freq_c.min()),
+            "freq_max": float(freq_c.max()),
+            "time_min": float(ut.min()),
+            "time_max": float(ut.max()),
+            "ra": p["ra"],
+            "dec": p["dec"],
+            "fieldid": p["fieldid"],
+            "ddid": p["ddid"],
+            "scanid": p["scanid"],
+            "product": product,
+        }
+        # primary beam on a coarse grid at freq_out (reference
+        # attaches BEAM/l_beam/m_beam, stokes2vis.py:235-280);
+        # with site_latitude the beam is the parallactic-angle
+        # average over the chunk's time samples (beam.py:16-83)
+        from pfb_tpu.utils.beam import interp_beam
+        nb = 64
+        cell_b = max_field_of_view / nb
+        bkw = {}
+        if site_latitude is not None:
+            bkw = dict(utime=ut, radec=(ds["ra"], ds["dec"]),
+                       lat=site_latitude)
+        bvals, l_b, m_b = interp_beam(ds["freq_out"], nb, nb, cell_b,
+                                      btype=beam_model, **bkw)
+        ds["BEAM"] = bvals
+        ds["l_beam"] = l_b
+        ds["m_beam"] = m_b
+        datasets.append(ds)
     for f, d, s in groups:
         if fields is not None and f not in fields:
             continue
@@ -329,53 +384,15 @@ def _init_one_ms(ms, product, channels_per_image,
                     jnp.asarray(tmap[rloc]),
                     jnp.asarray(ant1[rows]), jnp.asarray(ant2[rows]),
                     product=product, pol=pol, mode=mode)
-                vis = to_host(vis)
-                wout = np.asarray(wout)
-                if precision == "single":
-                    vis = vis.astype(np.complex64)
-                    wout = wout.astype(np.float32)
-                freq_c = freq_g[csel]
-                if chan_average and chan_average > 1:
-                    vis, wout, freq_c = _chan_average(
-                        vis, wout, freq_c, int(chan_average))
-                mask = (wout > 0).astype(np.uint8)
-                ds = {
-                    "VIS": vis,
-                    "WEIGHT": wout,
-                    "MASK": mask,
-                    "UVW": uvw_t,
-                    "FREQ": freq_c,
-                    "time_out": float(np.mean(utime[t0:t0 + ipi])),
-                    "freq_out": float(np.mean(freq_c)),
-                    "freq_min": float(freq_c.min()),
-                    "freq_max": float(freq_c.max()),
-                    "time_min": float(utime[t0:t0 + ipi].min()),
-                    "time_max": float(utime[t0:t0 + ipi].max()),
-                    "ra": ra_f,
-                    "dec": dec_f,
-                    "fieldid": int(f),
-                    "ddid": int(d),
-                    "scanid": int(s),
-                    "product": product,
-                }
-                # primary beam on a coarse grid at freq_out (reference
-                # attaches BEAM/l_beam/m_beam, stokes2vis.py:235-280);
-                # with site_latitude the beam is the parallactic-angle
-                # average over the chunk's time samples (beam.py:16-83)
-                from pfb_tpu.utils.beam import interp_beam
-                nb = 64
-                cell_b = max_field_of_view / nb
-                bkw = {}
-                if site_latitude is not None:
-                    bkw = dict(utime=utime[t0:t0 + ipi],
-                               radec=(ds["ra"], ds["dec"]),
-                               lat=site_latitude)
-                bvals, l_b, m_b = interp_beam(ds["freq_out"], nb, nb,
-                                              cell_b, btype=beam_model,
-                                              **bkw)
-                ds["BEAM"] = bvals
-                ds["l_beam"] = l_b
-                ds["m_beam"] = m_b
-                datasets.append(ds)
+                nxt = dict(vis=vis, wout=wout, freq_c=freq_g[csel],
+                           uvw=uvw_t,
+                           utime_chunk=utime[t0:t0 + ipi],
+                           ra=ra_f, dec=dec_f, fieldid=int(f),
+                           ddid=int(d), scanid=int(s))
+                if pending is not None:
+                    finish(pending)
+                pending = nxt
 
+    if pending is not None:
+        finish(pending)
     return datasets
