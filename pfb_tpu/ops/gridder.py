@@ -273,12 +273,56 @@ def _hessian_stacked_local(x, uvw, frq, wgt, msk, beam, *, cell, x0,
 
 def make_hessian_dds(dds, nband, wsum, nx, ny, sigmainv=0.0,
                      mask_image=None, use_beam=True, backend="dft",
-                     epsilon=1e-7, do_wgridding=True):
+                     epsilon=1e-7, do_wgridding=True,
+                     plane_block=None):
     """Build the exact-residual operator ONCE: a single compiled
     program (dft) or a chain of fused per-dataset programs (pg), reused
     across major iterations — replaces the per-call Python loop of
     :func:`hessian_dds` (reference pfb/operators/hessian.py:11-59).
+
+    ``plane_block`` (pg backend, w-gridding on): evaluate each
+    dataset through the w-plane-BLOCKED gridder — grid memory
+    O(plane_block x padded grid) instead of O(nw x padded grid),
+    required for w-term imaging at 4096^2+ on one chip (the all-planes
+    layout exceeds HBM there; see ops.pgridder.pgrid_plan_wblocked).
     """
+    if backend == "pg" and plane_block and do_wgridding:
+        from pfb_tpu.ops.pgridder import (make_hessian_pg_wblocked,
+                                          pgrid_plan_wblocked)
+        per_ds = []
+        for ds in dds:
+            bp = pgrid_plan_wblocked(
+                np.asarray(ds["UVW"]), np.asarray(ds["FREQ"]), nx=nx,
+                ny=ny, cellx=float(ds["cell_rad"]),
+                celly=float(ds["cell_rad"]), epsilon=epsilon,
+                plane_block=int(plane_block),
+                x0=float(ds.get("x0", 0.0)),
+                y0=float(ds.get("y0", 0.0)))
+            beam = None
+            if use_beam and "BEAM" in ds:
+                beam = jnp.asarray(np.asarray(ds["BEAM"]))
+            if mask_image is not None:
+                mi = jnp.asarray(mask_image)
+                beam = mi if beam is None else beam * mi
+            per_ds.append((ds["bandid"], beam,
+                           make_hessian_pg_wblocked(
+                               bp, wgt=ds["WEIGHT"],
+                               mask=ds["MASK"])))
+
+        def matvec_pg_blk(x):
+            conv = [jnp.zeros_like(x[0]) for _ in range(nband)]
+            for b, beam, h in per_ds:
+                if beam is None:
+                    conv[b] = conv[b] + h(x[b])
+                else:
+                    conv[b] = conv[b] + beam * h(beam * x[b])
+            out = jnp.stack(conv) / wsum
+            if sigmainv:
+                out = out + x * sigmainv**2
+            return out
+
+        return matvec_pg_blk
+
     if backend == "pg":
         from pfb_tpu.ops.pgridder import (make_hessian_pg,
                                           make_hessian_pg_stacked,

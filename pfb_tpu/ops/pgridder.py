@@ -579,6 +579,219 @@ def dirty2vis_pg(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
             1j * np.asarray(fi).astype(np.float64))
 
 
+def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
+                        epsilon=1e-7, sigma=2.0, capacity=128,
+                        x0=0.0, y0=0.0, plane_block=8, dtype=None):
+    """W-plane-BLOCKED plan set: the w geometry is split into blocks
+    of ``plane_block`` planes and each block gets a standard
+    :func:`pgrid_plan` over the rows whose kernel span intersects it,
+    with the block's plane offset folded into its w0. The blocked
+    adjoint/forward scan the blocks sequentially, so grid memory is
+    O(plane_block x padded grid) instead of O(nw x padded grid) —
+    the all-planes layout needs ~5.4 GB x 3 buffer generations at
+    4096^2 (> v5e HBM); this is the ducc0-style bounded-memory w
+    stack. The ES kernel's own support mask zeroes taps outside a
+    block, so the spread/degrid kernels run UNCHANGED; rows selected
+    into a block whose taps fall outside contribute exactly nothing.
+
+    Returns a dict with stacked per-block plan arrays
+    (pos/tid/idx/pm), per-block padded row selections (``sel``,
+    sentinel = nrow), per-block w0s, and the template plan ``p0``.
+    """
+    k, beta = kernel_params(epsilon)
+    uvw_np = np.asarray(uvw)
+    freq_np = np.asarray(freq)
+    nrow, nchan = uvw_np.shape[0], freq_np.shape[0]
+    nw, w0, dw = w_geometry(uvw_np, freq_np, nx, ny, cellx, celly,
+                            x0, y0, sigma, k, True)
+    B = int(plane_block)
+    nblocks = max(1, -(-nw // B))
+
+    # per-row plane-position extrema over channels
+    scale = freq_np / LIGHTSPEED
+    wf = (uvw_np[:, 2:3] * scale[None, :] - w0) / dw  # (nrow, nchan)
+    lo = wf.min(axis=1) - k / 2.0
+    hi = wf.max(axis=1) + k / 2.0
+
+    sels = []
+    for b in range(nblocks):
+        p_lo, p_hi = b * B, b * B + B - 1
+        sels.append(np.where((hi >= p_lo) & (lo <= p_hi))[0])
+    Rb = max(max(s.size for s in sels), 1)
+    from pfb_tpu.ops.gridder import row_bucket
+    Rb = row_bucket(Rb)
+
+    plans = []
+    sel_pad = np.full((nblocks, Rb), nrow, np.int64)
+    w0s = np.zeros(nblocks)
+    for b, s in enumerate(sels):
+        sel_pad[b, :s.size] = s
+        w0s[b] = w0 + b * B * dw
+        u = np.zeros((Rb, 3))
+        u[:s.size] = uvw_np[s]
+        plans.append(pgrid_plan(
+            u, freq_np, nx=nx, ny=ny, cellx=cellx, celly=celly,
+            epsilon=epsilon, do_wgridding=True, sigma=sigma,
+            capacity=capacity, x0=x0, y0=y0,
+            w_params=(B, w0s[b], dw), dtype=dtype))
+    nent = max(p["nentries"] for p in plans)
+    for b, s in enumerate(sels):
+        if plans[b]["nentries"] != nent:
+            u = np.zeros((Rb, 3))
+            u[:s.size] = uvw_np[s]
+            plans[b] = pgrid_plan(
+                u, freq_np, nx=nx, ny=ny, cellx=cellx, celly=celly,
+                epsilon=epsilon, do_wgridding=True, sigma=sigma,
+                capacity=capacity, x0=x0, y0=y0,
+                w_params=(B, w0s[b], dw), dtype=dtype,
+                nentries_to=nent)
+    p0 = plans[0]
+
+    def stk(key):
+        return jnp.stack([p[key] for p in plans])
+
+    return dict(p0=p0, B=B, nblocks=nblocks, nw=nw, w0=w0, dw=dw,
+                nrow=nrow, nchan=nchan, Rb=Rb,
+                sel=jnp.asarray(sel_pad.astype(np.int32)),
+                w0s=jnp.asarray(w0s.astype(p0["rdtype"])),
+                pos=stk("pos"), tid=stk("tid"), idx=stk("idx"),
+                pm=stk("pm"), uvw_d=stk("uvw_d"),
+                uvw_full=jnp.asarray(uvw_np.astype(p0["rdtype"])),
+                freq_d=p0["freq_d"])
+
+
+def _adjoint_wblocked_impl(bp, vr, vi, wflat, interpret):
+    """Blocked adjoint: scan over plane blocks; each step spreads the
+    block's rows with the fused kernel and accumulates the block's
+    plane images (w0 enters traced, so every block shares one
+    compiled scan body)."""
+    p0 = bp["p0"]
+    B = bp["B"]
+    dw = float(bp["dw"])
+    nchan = bp["nchan"]
+    rdt = p0["rdtype"]
+    # sentinel row (index nrow) carries zeros
+    z = jnp.zeros((1, nchan), rdt)
+    vrp = jnp.concatenate([vr.astype(rdt), z])
+    vip = jnp.concatenate([vi.astype(rdt), z])
+    wp = None if wflat is None else jnp.concatenate(
+        [wflat.astype(rdt), z])
+
+    def step(acc, args):
+        pos, tid, idx, pm, uvw_b, sel, w0b = args
+        vrb = vrp[sel]
+        vib = vip[sel]
+        wb = None if wp is None else wp[sel]
+        folded = _spread_fold(
+            vrb, vib, wb, tid, pos, idx, pm, uvw_b, bp["freq_d"],
+            beta=p0["beta"], k=p0["k"], nw=B, ntx=p0["ntx"],
+            nty=p0["nty"], txs=p0["txs"], tys=p0["tys"], C=p0["C"],
+            x0=p0["x0"], y0=p0["y0"], Nx=p0["Nx"], Ny=p0["Ny"],
+            interpret=interpret)
+        img = _grid_to_image(folded[:B], folded[B:], p0["nx"],
+                             p0["ny"], p0["cellx"], p0["celly"],
+                             p0["k"], p0["beta"], p0["Nx"], p0["Ny"],
+                             True, B, w0b, dw, False, p0["x0"],
+                             p0["y0"])
+        return acc + img, None
+
+    xs = (bp["pos"], bp["tid"], bp["idx"], bp["pm"], bp["uvw_d"],
+          bp["sel"], bp["w0s"])
+    img0 = jnp.zeros((p0["nx"], p0["ny"]), rdt)
+    img, _ = lax.scan(step, img0, xs)
+    return img
+
+
+def _forward_wblocked_impl(bp, image, interpret):
+    """Blocked forward (degrid): scan over plane blocks; each step
+    renders the block's planes, DMA-gathers its rows' windows and
+    accumulates into the global (nrow, nchan) components."""
+    p0 = bp["p0"]
+    B = bp["B"]
+    dw = float(bp["dw"])
+    k = p0["k"]
+    kh = k / 2.0
+    nrow, nchan = bp["nrow"], bp["nchan"]
+    rdt = p0["rdtype"]
+    Nx, Ny = p0["Nx"], p0["Ny"]
+    txs, tys, C = p0["txs"], p0["tys"], p0["C"]
+    Thx, Thy = txs + k, tys + k
+    ThxA = -(-(Thx + 7) // 8) * 8
+    ThyA = -(-(Thy + 127) // 128) * 128
+    image = image.astype(rdt)
+
+    def step(acc, args):
+        pos, tid, idx, pm, sel, w0b = args
+        gr, gi = _image_to_grid(image, p0["nx"], p0["ny"],
+                                p0["cellx"], p0["celly"], k,
+                                p0["beta"], Nx, Ny, True, B, w0b, dw,
+                                False, p0["x0"], p0["y0"], split=True)
+        ger = jnp.pad(gr, ((0, 0), (0, ThxA), (0, ThyA)), mode="wrap")
+        gei = jnp.pad(gi, ((0, 0), (0, ThxA), (0, ThyA)), mode="wrap")
+        sx = pos[:, 5, 0].astype(jnp.int32)
+        sy = pos[:, 6, 0].astype(jnp.int32)
+        out = _degrid_pallas(tid, sx // 8, sy // 128, pos, ger, gei,
+                             p0["beta"], k, B, ThxA, ThyA, C,
+                             interpret=interpret)
+        accr, acci = out[:, 0, :], out[:, 1, :]
+        nvis_b = bp["Rb"] * nchan
+        fr = jnp.zeros((nvis_b,), rdt).at[idx.reshape(-1)].add(
+            (accr * pm).reshape(-1)).reshape(bp["Rb"], nchan)
+        fi = jnp.zeros((nvis_b,), rdt).at[idx.reshape(-1)].add(
+            (acci * pm).reshape(-1)).reshape(bp["Rb"], nchan)
+        ar, ai = acc
+        ar = ar.at[sel].add(fr)
+        ai = ai.at[sel].add(fi)
+        return (ar, ai), None
+
+    acc0 = (jnp.zeros((nrow + 1, nchan), rdt),
+            jnp.zeros((nrow + 1, nchan), rdt))
+    xs = (bp["pos"], bp["tid"], bp["idx"], bp["pm"], bp["sel"],
+          bp["w0s"])
+    (fr, fi), _ = lax.scan(step, acc0, xs)
+    fr, fi = fr[:nrow], fi[:nrow]
+    if p0["x0"] or p0["y0"]:
+        # global centre shift on the TRUE uvw rows
+        uvw_full = bp.get("uvw_full")
+        cs, sn = _shift_phases(uvw_full, bp["freq_d"], p0["x0"],
+                               p0["y0"])
+        fr, fi = fr * cs + fi * sn, fi * cs - fr * sn
+    return fr, fi
+
+
+def make_hessian_pg_wblocked(bp, wgt=None, mask=None):
+    """Device-resident R.H W R through the w-blocked plan set: one
+    jitted program (two block scans), grid memory bounded at
+    O(plane_block x padded grid)."""
+    p0 = bp["p0"]
+    rdt = p0["rdtype"]
+    w = None
+    if wgt is not None:
+        w = jnp.asarray(np.asarray(wgt).astype(rdt))
+    if mask is not None:
+        m = jnp.asarray(np.asarray(mask).astype(rdt))
+        w = m if w is None else w * m
+    interpret = jax.default_backend() != "tpu"
+    # the stacked plan arrays enter as jit ARGUMENTS — closed-over
+    # device arrays get baked as HLO constants and blow the
+    # remote-compile payload (HTTP 413 measured at 4096^2)
+    akeys = ("pos", "tid", "idx", "pm", "uvw_d", "sel", "w0s",
+             "uvw_full", "freq_d")
+    arrs = {k: bp[k] for k in akeys}
+    meta = {k: v for k, v in bp.items() if k not in akeys}
+
+    @jax.jit
+    def matvec_j(x, w, arrs):
+        bpx = dict(meta, **arrs)
+        fr, fi = _forward_wblocked_impl(bpx, x, interpret)
+        return _adjoint_wblocked_impl(bpx, fr, fi, w, interpret)
+
+    def matvec(x):
+        return matvec_j(x.astype(rdt), w, arrs)
+
+    return matvec
+
+
 def w_geometry_union(dss, nx, ny, cellx, celly, x0, y0, sigma, k,
                      do_wgridding):
     """Shared (nw, w0, dw) covering EVERY dataset's w range: dw depends

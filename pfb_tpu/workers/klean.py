@@ -28,7 +28,7 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
            mop_gamma=0.65, dirosion=1, cg_tol=1e-5, cg_maxit=100,
            cg_minit=10, cg_verbose=0, cg_report_freq=10,
            backtrack=True, backend="dft", engine="fft",
-           epsilon=1e-7, do_wgridding=True, mask=None,
+           epsilon=1e-7, do_wgridding=True, plane_block=0, mask=None,
            write=True, band_chunk=None, verbose=1, report_freq=1,
            fits_mfs=False, fits_cubes=False, **kw):
     """Returns (model, residual_cube). Writes back into the dds store."""
@@ -80,6 +80,7 @@ def _klean(ddsi=None, output_filename=None, product="I", suffix="main",
     # exact-residual operator built once: one compiled program reused
     # across major iterations (reference klean.py:175-178)
     hess = make_hessian_dds(dds, nband, wsum, nx, ny, use_beam=False,
+                            plane_block=plane_block or None,
                             backend=backend, epsilon=epsilon,
                             do_wgridding=do_wgridding)
 

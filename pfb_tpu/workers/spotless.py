@@ -34,7 +34,7 @@ def _spotless(ddsi=None, output_filename=None, product="I",
               pm_report_freq=100, pd_tol=1e-5, pd_maxit=500,
               pd_verbose=0, pd_report_freq=50, positivity=1,
               epsilon=1e-7, do_wgridding=True, backend="dft",
-              engine="fft", diverge_count=3,
+              engine="fft", plane_block=0, diverge_count=3,
               write=True, band_chunk=None, verbose=1,
               fits_mfs=False, fits_cubes=False, **kw):
     """Returns (model, residual_cube). Writes back into the dds store."""
@@ -149,7 +149,8 @@ def _spotless(ddsi=None, output_filename=None, product="I",
     # across major iterations; reference spotless.py:186-190)
     hess = make_hessian_dds(dds, nband, wsum, nx, ny, use_beam=False,
                             backend=backend, epsilon=epsilon,
-                            do_wgridding=do_wgridding)
+                            do_wgridding=do_wgridding,
+                            plane_block=plane_block or None)
 
     if use_fused_pallas:
         from pfb_tpu.opt.primal_dual import make_primal_dual_fused

@@ -158,3 +158,52 @@ if __name__ == "__main__":
         timeit("K3 L=128 DEF", k3(128, "default"), zr0, zi0)
     elif which == "m256":
         timeit("K2 M=256 HI", k2(256), zr0, zi0, Hsr, Hsi)
+    elif which == "sanity":
+        from pfb_tpu.ops.pallas_fft import psf_convolve_pallas_v3_cube
+
+        def full(xx):
+            return psf_convolve_pallas_v3_cube(xx, Hsr, Hsi, nx, ny,
+                                               row_block=128)
+        timeit("full v3 matvec", full, x)
+        timeit("K1 L=128 HI (again)", k1(128), x)
+    elif which == "flow":
+        # natural data-flow chains: K3(K1(x)) -> x' self-composes, and
+        # K2 self-composes; no artificial scalar-add dependencies
+        k1f, k2f, k3f = k1(128), k2(128), k3(128)
+
+        @jax.jit
+        def chain13(xx, n=10):
+            for _ in range(n):
+                zr, zi = k1f(xx)
+                xx = k3f(zr, zi)
+            return xx
+
+        @jax.jit
+        def chain2(zr, zi, hr, hi, n=10):
+            for _ in range(n):
+                zr, zi = k2f(zr, zi, hr, hi)
+            return zr
+
+        @jax.jit
+        def chain_full(xx, hr, hi, n=10):
+            from pfb_tpu.ops.pallas_fft import \
+                psf_convolve_pallas_v3_cube as f
+            for _ in range(n):
+                xx = f(xx, hr, hi, nx, ny, row_block=128)
+            return xx
+
+        float(jnp.sum(chain13(x)))
+        t0 = time.perf_counter()
+        float(jnp.sum(chain13(x)))
+        print(f"K1+K3 flow: {(time.perf_counter()-t0)*1e2:.2f} ms",
+              flush=True)
+        float(jnp.sum(chain2(zr0, zi0, Hsr, Hsi)))
+        t0 = time.perf_counter()
+        float(jnp.sum(chain2(zr0, zi0, Hsr, Hsi)))
+        print(f"K2 flow: {(time.perf_counter()-t0)*1e2:.2f} ms",
+              flush=True)
+        float(jnp.sum(chain_full(x, Hsr, Hsi)))
+        t0 = time.perf_counter()
+        float(jnp.sum(chain_full(x, Hsr, Hsi)))
+        print(f"full flow: {(time.perf_counter()-t0)*1e2:.2f} ms",
+              flush=True)

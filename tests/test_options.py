@@ -14,8 +14,10 @@ def test_parse_target_formats():
     assert (ra, dec) == (0.5, -0.3)
     ra, dec = parse_target("Sun", obs_time=5e9)
     assert 0 <= ra < 2 * np.pi and abs(dec) < 0.42  # |dec| <= 23.5 deg
+    ra, dec = parse_target("Jupiter", obs_time=5e9)
+    assert 0 <= ra < 2 * np.pi and abs(dec) < 0.45
     with pytest.raises(ValueError):
-        parse_target("Jupiter", obs_time=5e9)
+        parse_target("Vulcan", obs_time=5e9)
 
 
 def test_rephase_to_matches_independent_uvw():

@@ -76,3 +76,57 @@ def test_pg_plan_reuse(obs):
                                  cell, cell, epsilon=1e-7,
                                  do_wgridding=True))
     np.testing.assert_allclose(va, vb, rtol=0, atol=0)
+
+
+@pmp("shift", [False, True])
+def test_wblocked_matches_unblocked(obs, shift):
+    """W-plane-blocked gridding (bounded memory: O(plane_block x grid)
+    instead of O(nw x grid)) is numerically identical to the all-planes
+    layout in both directions and through the Hessian."""
+    import jax
+    from pfb_tpu.ops.pgridder import (_adjoint_wblocked_impl,
+                                      _forward_wblocked_impl,
+                                      make_hessian_pg,
+                                      make_hessian_pg_wblocked,
+                                      pgrid_plan_wblocked)
+    nx, cell = image_size_for(obs, fov_deg=0.2)
+    nx = min(nx, 64)
+    x0, y0 = (1e-3, -2e-3) if shift else (0.0, 0.0)
+    rng = np.random.default_rng(2)
+    nrow, nchan = obs.uvw.shape[0], obs.freq.size
+    vr = rng.normal(size=(nrow, nchan))
+    vi = rng.normal(size=(nrow, nchan))
+    wgt = rng.random((nrow, nchan))
+    img = rng.normal(size=(nx, nx))
+
+    plan = pgrid_plan(obs.uvw, obs.freq, nx=nx, ny=nx, cellx=cell,
+                      celly=cell, epsilon=1e-7, do_wgridding=True,
+                      x0=x0, y0=y0)
+    assert plan["nw"] > 3  # w planes actually exercised
+    bp = pgrid_plan_wblocked(obs.uvw, obs.freq, nx=nx, ny=nx,
+                             cellx=cell, celly=cell, epsilon=1e-7,
+                             plane_block=3, x0=x0, y0=y0)
+    assert bp["nblocks"] > 1
+
+    interp = jax.default_backend() != "tpu"
+    ref = np.asarray(vis2dirty_pg(obs.uvw, obs.freq, vr + 1j * vi,
+                                  wgt=wgt, nx=nx, ny=nx, cellx=cell,
+                                  celly=cell, plan=plan))
+    got = np.asarray(_adjoint_wblocked_impl(
+        bp, jnp.asarray(vr), jnp.asarray(vi), jnp.asarray(wgt),
+        interp))
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-10
+                               * np.abs(ref).max())
+
+    fref = dirty2vis_pg(obs.uvw, obs.freq, jnp.asarray(img), cell,
+                        cell, plan=plan)
+    fr, fi = _forward_wblocked_impl(bp, jnp.asarray(img), interp)
+    fgot = np.asarray(fr) + 1j * np.asarray(fi)
+    assert np.abs(fgot - fref).max() / np.abs(fref).max() < 1e-10
+
+    h_ref = make_hessian_pg(plan, wgt=wgt)
+    h_blk = make_hessian_pg_wblocked(bp, wgt=wgt)
+    xr = jnp.asarray(img)
+    np.testing.assert_allclose(np.asarray(h_blk(xr)),
+                               np.asarray(h_ref(xr)), rtol=1e-9,
+                               atol=1e-10)
