@@ -29,7 +29,7 @@ def _fluxmop(ddsi=None, output_filename=None, product="I",
              backtrack=True, model_name="MODEL", backend="dft",
              epsilon=1e-7, do_wgridding=True, write=True,
              band_chunk=None, verbose=1, fits_mfs=False,
-             fits_cubes=False, **kw):
+             fits_cubes=False, space_shards=0, **kw):
     """Returns (model, residual). Writes back into the dds store."""
     import jax.numpy as jnp
 
@@ -77,14 +77,9 @@ def _fluxmop(ddsi=None, output_filename=None, product="I",
     b = bm * jnp.asarray(residual)
 
     if use_psf:
-        psfhat_j = to_device(psfhat)
-
-        def A(x):
-            return hessian_psf_cube(x, psfhat_j, beam=bm,
-                                    lastsize=lastsize,
-                                    sigmainv=sigmainv,
-                                    band_chunk=band_chunk)
-
+        A, b = _psf_hessian_maybe_space(b, bm, psfhat, lastsize,
+                                        sigmainv, band_chunk, nband,
+                                        nx, space_shards)
         update = np.asarray(pcg_bands(A, b, tol=cg_tol, maxit=cg_maxit,
                                       minit=cg_minit,
                                       backtrack=backtrack,
@@ -102,6 +97,7 @@ def _fluxmop(ddsi=None, output_filename=None, product="I",
                                 verbosity=cg_verbose,
                                 report_freq=cg_report_freq))
 
+    update = np.asarray(update)
     modelp = model.copy()
     model = model + gamma * update
     residual = dirty - hess_exact(model)
@@ -133,3 +129,59 @@ def _fluxmop(ddsi=None, output_filename=None, product="I",
                 dds2fits(dds, col, base, norm_wsum=norm)
 
     return model, residual
+
+
+def _psf_hessian_maybe_space(b, bm, psfhat, lastsize, sigmainv,
+                             band_chunk, nband, nx, space_shards):
+    """(A, b) for the PCG forward step: the single-program PSF Hessian,
+    or — when ``space_shards`` > 1 and the device/shape constraints
+    hold — the band+space-sharded distributed-rFFT2 Hessian
+    (parallel/dist.py:hessian_psf_space_dist) with ``b`` laid out
+    P('band', 'space', None) so the whole solve runs with the image
+    plane sharded across chips (SURVEY.md section 5 long-context
+    analogue, now reachable from a worker)."""
+    import jax
+    import jax.numpy as jnp
+
+    ns = int(space_shards) if space_shards else 0
+    if ns > 1:
+        ndev = len(jax.devices())
+        nb_ax = max(1, ndev // ns)
+        if ns * nb_ax <= ndev and nx % ns == 0 and \
+                nband % nb_ax == 0:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from pfb_tpu.parallel.dist import (hessian_psf_space_dist,
+                                               prep_psfhat_space)
+            from pfb_tpu.parallel.mesh import make_mesh
+            log.info("fluxmop: space-sharding the PCG forward step "
+                     "over a (%d band x %d space) mesh", nb_ax, ns)
+            mesh = make_mesh(nband=nb_ax, nspace=ns,
+                             devices=jax.devices()[:nb_ax * ns])
+            hd = hessian_psf_space_dist(mesh, lastsize, sigmainv=0.0)
+            php = jax.device_put(
+                prep_psfhat_space(to_device(psfhat), ns),
+                NamedSharding(mesh, P("band", None, "space")))
+            sh = NamedSharding(mesh, P("band", "space", None))
+            bm_s = jax.device_put(bm, sh)
+            b_s = jax.device_put(b, sh)
+
+            def A(x):
+                out = bm_s * hd(x * bm_s, php)
+                return out + x * sigmainv if sigmainv else out
+
+            return A, b_s
+        log.warning(
+            "fluxmop: space-shards=%d incompatible with %d device(s), "
+            "nx=%d, nband=%d — using the single-program Hessian",
+            ns, len(jax.devices()), nx, nband)
+
+    psfhat_j = to_device(psfhat)
+
+    def A(x):
+        return hessian_psf_cube(x, psfhat_j, beam=bm,
+                                lastsize=lastsize, sigmainv=sigmainv,
+                                band_chunk=band_chunk)
+
+    return A, b

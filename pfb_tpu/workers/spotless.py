@@ -73,6 +73,14 @@ def _spotless(ddsi=None, output_filename=None, product="I",
         from pfb_tpu.ops.psf import make_psf_convolve_pallas
         psf_convolve = make_psf_convolve_pallas(psf, nx, ny)
     else:
+        if engine == "pallas":
+            # the fused v3 pipeline needs 128-aligned image/PSF and
+            # psf_oversize=2; make the ~40x-slower fallback VISIBLE
+            get_logger("spotless").warning(
+                "engine='pallas' unsupported for shapes "
+                "nx=%d ny=%d psf=%dx%d (needs 128-aligned, "
+                "psf_oversize=2); falling back to engine='fft' "
+                "host-loop solvers", nx, ny, nx_psf, ny_psf)
         from pfb_tpu.config import to_device
         psfhat_j = to_device(psfhat)
         psf_convolve = make_psf_convolve(psfhat_j, ny_psf,

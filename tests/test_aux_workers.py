@@ -62,7 +62,9 @@ def test_fastim_smoovie(small_pipeline, tmp_path):
 
 def test_beam_models():
     from pfb_tpu.utils.beam import cos3_beam, eval_beam, interp_beam
-    beam, l, m = interp_beam(1.28e9, 64, 64, 0.01)
+    # cell chosen so the grid corner (r ~ 0.9 deg) sits outside the
+    # kbl half-power radius (HPBW/2 ~ 0.56 deg at 1.28 GHz)
+    beam, l, m = interp_beam(1.28e9, 64, 64, 0.02)
     assert beam.shape == (64, 64)
     assert beam.max() == pytest.approx(1.0, abs=1e-6)
     assert beam[0, 0] < 0.5  # tapers off axis

@@ -220,3 +220,62 @@ def test_vis2dirty_rowdist_matches_local():
         epsilon=1e-7, do_wgridding=True)
     out = np.asarray(fn(vis.real, vis.imag, wgt))
     assert_allclose(out, ref, rtol=1e-10, atol=1e-10 * np.abs(ref).max())
+
+
+def test_grid_worker_row_shards_matches_local(tmp_path):
+    """The grid worker's --row-shards path (row-sharded Pallas
+    gridding adjoints, one psum of subgrids per image) reproduces the
+    single-device pg grid exactly: DIRTY, PSF, PSFHAT, RESIDUAL and
+    WSUM all match (SURVEY.md section 2.9.2 row parallelism, now
+    reachable from a worker)."""
+    from pfb_tpu.utils.ms import simulate_ms
+    from pfb_tpu.workers.grid import _grid
+    from pfb_tpu.workers.init import _init
+
+    ms = str(tmp_path / "t.npz")
+    model, Ix, Iy, nx, cell, _ = simulate_ms(
+        ms, nant=7, ntime=4, nchan=2, nsource=2, fov_deg=0.2, seed=5,
+        gains=False)
+    xds = _init(ms=ms, output_filename=str(tmp_path / "o"),
+                channels_per_image=1, write=False)
+    kwargs = dict(output_filename=None, suffix="main",
+                  field_of_view=0.2, robustness=0.0, psf=True,
+                  residual=False, backend="pg", write=False)
+    ref = _grid(xdsi=[dict(d) for d in xds], **kwargs)
+    got = _grid(xdsi=[dict(d) for d in xds], row_shards=4, **kwargs)
+    assert len(ref) == len(got)
+    for r, g in zip(ref, got):
+        for key in ("DIRTY", "PSF", "PSFHAT_real", "PSFHAT_imag",
+                    "WSUM", "WEIGHT"):
+            assert_allclose(g[key], r[key], rtol=1e-10,
+                            atol=1e-10 * max(1.0,
+                                             np.abs(r[key]).max()),
+                            err_msg=key)
+
+
+def test_fluxmop_space_shards_matches_local(tmp_path):
+    """fluxmop --space-shards (band+space-sharded distributed-rFFT2
+    PCG forward step) reproduces the single-program solve (SURVEY.md
+    section 2.9.8 spatial sharding, now reachable from a worker)."""
+    from pfb_tpu.utils.ms import simulate_ms
+    from pfb_tpu.workers.fluxmop import _fluxmop
+    from pfb_tpu.workers.grid import _grid
+    from pfb_tpu.workers.init import _init
+
+    ms = str(tmp_path / "t.npz")
+    simulate_ms(ms, nant=7, ntime=4, nchan=2, nsource=2, fov_deg=0.2,
+                seed=11, gains=False)
+    xds = _init(ms=ms, output_filename=str(tmp_path / "o"),
+                channels_per_image=1, write=False)
+    dds = _grid(xdsi=xds, output_filename=None, suffix="main",
+                nx=64, ny=64, field_of_view=0.2, robustness=0.0,
+                psf=True, residual=False, write=False)
+    kwargs = dict(output_filename=None, use_psf=True, sigmainv=1e-4,
+                  gamma=0.9, cg_maxit=60, verbose=0, write=False)
+    m_ref, r_ref = _fluxmop(ddsi=[dict(d) for d in dds], **kwargs)
+    m_sp, r_sp = _fluxmop(ddsi=[dict(d) for d in dds],
+                          space_shards=4, **kwargs)
+    assert_allclose(m_sp, m_ref, rtol=1e-8,
+                    atol=1e-10 * np.abs(m_ref).max())
+    assert_allclose(r_sp, r_ref, rtol=1e-8,
+                    atol=1e-10 * np.abs(r_ref).max())
