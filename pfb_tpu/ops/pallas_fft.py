@@ -66,6 +66,21 @@ def _mm(A, B, prec=None):
                                preferred_element_type=jnp.float32)
 
 
+def _cmm(dot, wr, wi, xr, xi, prec):
+    """Complex matmul (wr + i wi)(xr + i xi) via THREE real matmuls
+    (Karatsuba / Gauss): t1 = wr x_r, t2 = wi x_i,
+    t3 = (wr + wi)(x_r + x_i); real = t1 - t2,
+    imag = t3 - t1 - t2. The MXU stages dominate the v3 pipeline
+    (K2 is MXU-bound), so trading one matmul for three VPU adds is a
+    ~25% cut on every complex-by-complex stage. ``dot(A, B, prec)``
+    supplies the contraction (the W operand may be on either side —
+    the identity is symmetric)."""
+    t1 = dot(wr, xr, prec)
+    t2 = dot(wi, xi, prec)
+    t3 = dot(wr + wi, xr + xi, prec)
+    return t1 - t2, t3 - t1 - t2
+
+
 def _mmr(B, A, prec=None):
     """B (..., n) contracted with A (k, n) -> (..., k)."""
     return jax.lax.dot_general(B, A, (((1,), (1,)), ((), ())),
@@ -100,8 +115,7 @@ def _fft_sublane_block(xr, xi, C, N, L, inverse, zero_frac=1,
         ai = _mm(w1i_c, xr, prec)
     else:
         xi = xi.reshape(n1_in, N2 * L)
-        ar = _mm(w1r_c, xr, prec) - _mm(w1i_c, xi, prec)
-        ai = _mm(w1r_c, xi, prec) + _mm(w1i_c, xr, prec)
+        ar, ai = _cmm(_mm, w1r_c, w1i_c, xr, xi, prec)
     ar = ar.reshape(N1, N2, L)
     ai = ai.reshape(N1, N2, L)
     br = ar * twr3 - ai * twi3
@@ -116,11 +130,12 @@ def _fft_sublane_block(xr, xi, C, N, L, inverse, zero_frac=1,
     k2_out = N2 // keep_frac
     w2r_c = w2r[:k2_out]
     w2i_c = w2i[:k2_out]
-    cr = _mm(w2r_c, br, prec) - _mm(w2i_c, bi, prec)
-    yr = cr.reshape(k2_out * N1, L)
-    if real_output:  # caller discards the imaginary part
+    if real_output:  # caller discards the imaginary part: 2 matmuls
+        cr = _mm(w2r_c, br, prec) - _mm(w2i_c, bi, prec)
+        yr = cr.reshape(k2_out * N1, L)
         return (yr / N, None) if inverse else (yr, None)
-    ci = _mm(w2r_c, bi, prec) + _mm(w2i_c, br, prec)
+    cr, ci = _cmm(_mm, w2r_c, w2i_c, br, bi, prec)
+    yr = cr.reshape(k2_out * N1, L)
     yi = ci.reshape(k2_out * N1, L)
     if inverse:
         yr = yr / N
@@ -253,6 +268,44 @@ def _const_specs_lane(N):
             full((N2, N2)), full((N1, N2)), full((N1, N2))]
 
 
+# -- twiddle-absorbed lane constants: the four-step's twiddle factors
+# fold into per-n1 BATCHED stage-2 matrices, WTf[n1, n2, k2] =
+# W2[k2, n2] tw[n1, n2] (forward) and its conjugate-transpose
+# (inverse) — two full VPU elementwise passes per K2 grid step move
+# onto the MXU (same flop count: batched matmuls with a different
+# 128-point matrix per n1) where the pipeline has headroom.
+
+@lru_cache(maxsize=None)
+def _consts_lane_tw_np(N):
+    N1, N2 = _factor_lane(N)
+    n1 = np.arange(N1)
+    n2 = np.arange(N2)
+    W1 = np.exp(-2j * np.pi * np.outer(n1, n1) / N1)
+    W2 = np.exp(-2j * np.pi * np.outer(n2, n2) / N2)
+    tw = np.exp(-2j * np.pi * np.outer(n1, n2) / N)
+    # WTf[n1, n2, k2] = W2[k2, n2] * tw[n1, n2]
+    WTf = W2.T[None, :, :] * tw[:, :, None]
+    # WTi[n1, k2, n2] = conj(WTf[n1, n2, k2])
+    WTi = np.conj(WTf).transpose(0, 2, 1)
+    f32 = np.float32
+    return (W1.real.astype(f32), W1.imag.astype(f32),
+            WTf.real.astype(f32), WTf.imag.astype(f32),
+            WTi.real.astype(f32), WTi.imag.astype(f32))
+
+
+def consts_lane_tw_for(N):
+    return tuple(jnp.asarray(a) for a in _consts_lane_tw_np(N))
+
+
+def _const_specs_lane_tw(N):
+    N1, N2 = _factor_lane(N)
+    full = lambda shape: pl.BlockSpec(shape, lambda *_: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    return [full((N1, N1)), full((N1, N1)), full((N1, N2, N2)),
+            full((N1, N2, N2)), full((N1, N2, N2)),
+            full((N1, N2, N2))]
+
+
 def v3_supported(nx, ny):
     """Shape constraints of the v3 pipeline: NY must factor with
     N2 = 128 lanes and an even N1 (the zero-aware stages assume the
@@ -330,13 +383,12 @@ def _k2v_core(xr_ref, xi_ref, hsr_ref, hsi_ref, consts, or_ref, oi_ref,
     # forward stage 1 over n1 (zero-aware): (N1, M, N2)
     w1r_c = w1r[:, :n1_in]
     w1i_c = w1i[:, :n1_in]
-    ar = _dotg_left1(w1r_c, xr, prec) - _dotg_left1(w1i_c, xi, prec)
-    ai = _dotg_left1(w1r_c, xi, prec) + _dotg_left1(w1i_c, xr, prec)
+    ar, ai = _cmm(_dotg_left1, w1r_c, w1i_c, xr, xi, prec)
     br = ar * twr - ai * twi
     bi = ar * twi + ai * twr
     # forward stage 2 over n2 (lanes): scrambled spectrum (N1, M, K2)
-    sr = _dotg_right(br, w2r, prec) - _dotg_right(bi, w2i, prec)
-    si = _dotg_right(bi, w2r, prec) + _dotg_right(br, w2i, prec)
+    dotR = lambda w, x, p: _dotg_right(x, w, p)
+    sr, si = _cmm(dotR, w2r, w2i, br, bi, prec)
     # multiply pre-scrambled H (reshape drops a leading unit band dim)
     hr = hsr_ref[...].reshape(hsr_ref.shape[-3:])
     if hsi_ref is None:
@@ -347,15 +399,13 @@ def _k2v_core(xr_ref, xi_ref, hsr_ref, hsi_ref, consts, or_ref, oi_ref,
         pr = sr * hr - si * hi
         pi_ = sr * hi + si * hr
     # inverse stage A over k2 (lanes), conjugated W2
-    cr = _dotg_right(pr, w2r, prec) + _dotg_right(pi_, w2i, prec)
-    ci = _dotg_right(pi_, w2r, prec) - _dotg_right(pr, w2i, prec)
+    cr, ci = _cmm(dotR, w2r, -w2i, pr, pi_, prec)
     dr = cr * twr + ci * twi
     di = ci * twr - cr * twi
     # inverse stage B over k1, conjugated W1, crop-aware (n1 < N1/2)
     w1r_k = w1r[:n1_in]
     w1i_k = w1i[:n1_in]
-    er = _dotg_left0(w1r_k, dr, prec) + _dotg_left0(w1i_k, di, prec)
-    ei = _dotg_left0(w1r_k, di, prec) - _dotg_left0(w1i_k, dr, prec)
+    er, ei = _cmm(_dotg_left0, w1r_k, -w1i_k, dr, di, prec)
     inv = 1.0 / N
     # natural layout: (n1, M, N2) -> (M, n1, N2) -> (M, ny)
     or_ref[...] = (er * inv).transpose(1, 0, 2).reshape(or_ref.shape)
@@ -375,6 +425,76 @@ def _k2vr_kernel(xr_ref, xi_ref, hsr_ref, w1r_, w1i_, w2r_, w2i_,
     _k2v_core(xr_ref, xi_ref, hsr_ref, None,
               (w1r_, w1i_, w2r_, w2i_, twr_, twi_), or_ref, oi_ref,
               N, M, prec)
+
+
+def _dotg_batch(x, W, prec=None):
+    """(B, M, n) x (B, n, K) -> (B, M, K), batching B, contracting n
+    (x's lane dim against W's middle dim — Mosaic-friendly on both
+    sides)."""
+    return jax.lax.dot_general(x, W, (((2,), (1,)), ((0,), (0,))),
+                               precision=prec or _HI,
+                               preferred_element_type=jnp.float32)
+
+
+def _k2t_core(xr_ref, xi_ref, hsr_ref, hsi_ref, consts, or_ref, oi_ref,
+              N, M, prec):
+    """Twiddle-absorbed K2 body: identical math to :func:`_k2v_core`
+    but stage 2 / inverse stage A run as per-n1 batched matmuls
+    against the WTf/WTi constants (twiddles pre-multiplied in), so the
+    kernel has NO elementwise twiddle passes — the VPU work that
+    bounded the v3 K2 moves onto the MXU at the same flop count."""
+    w1r_, w1i_, wtfr_, wtfi_, wtir_, wtii_ = consts
+    w1r, w1i = w1r_[...], w1i_[...]
+    wtfr, wtfi = wtfr_[...], wtfi_[...]
+    wtir, wtii = wtir_[...], wtii_[...]
+    N1 = w1r.shape[0]
+    N2 = wtfr.shape[1]
+    n1_in = N1 // 2  # nonzero lanes n < N/2
+
+    xr = xr_ref[...].reshape(M, n1_in, N2)
+    xi = xi_ref[...].reshape(M, n1_in, N2)
+    # forward stage 1 over n1 (zero-aware): (N1, M, N2)
+    w1r_c = w1r[:, :n1_in]
+    w1i_c = w1i[:, :n1_in]
+    ar, ai = _cmm(_dotg_left1, w1r_c, w1i_c, xr, xi, prec)
+    # forward stage 2 + twiddle in one batched matmul: (N1, M, K2)
+    dotB = lambda w, x, p: _dotg_batch(x, w, p)
+    sr, si = _cmm(dotB, wtfr, wtfi, ar, ai, prec)
+    # multiply pre-scrambled H (reshape drops a leading unit band dim)
+    hr = hsr_ref[...].reshape(hsr_ref.shape[-3:])
+    if hsi_ref is None:
+        pr = sr * hr
+        pi_ = si * hr
+    else:
+        hi = hsi_ref[...].reshape(hsi_ref.shape[-3:])
+        pr = sr * hr - si * hi
+        pi_ = sr * hi + si * hr
+    # inverse stage A + inverse twiddle, batched conj: (N1, M, N2)
+    cr, ci = _cmm(dotB, wtir, wtii, pr, pi_, prec)
+    # inverse stage B over k1, conjugated W1, crop-aware (n1 < N1/2)
+    w1r_k = w1r[:n1_in]
+    w1i_k = w1i[:n1_in]
+    er, ei = _cmm(_dotg_left0, w1r_k, -w1i_k, cr, ci, prec)
+    inv = 1.0 / N
+    # natural layout: (n1, M, N2) -> (M, n1, N2) -> (M, ny)
+    or_ref[...] = (er * inv).transpose(1, 0, 2).reshape(or_ref.shape)
+    oi_ref[...] = (ei * inv).transpose(1, 0, 2).reshape(oi_ref.shape)
+
+
+def _k2t_kernel(xr_ref, xi_ref, hsr_ref, hsi_ref, w1r_, w1i_, wtfr_,
+                wtfi_, wtir_, wtii_, or_ref, oi_ref, *, N, M,
+                prec=None):
+    _k2t_core(xr_ref, xi_ref, hsr_ref, hsi_ref,
+              (w1r_, w1i_, wtfr_, wtfi_, wtir_, wtii_), or_ref,
+              oi_ref, N, M, prec)
+
+
+def _k2tr_kernel(xr_ref, xi_ref, hsr_ref, w1r_, w1i_, wtfr_, wtfi_,
+                 wtir_, wtii_, or_ref, oi_ref, *, N, M, prec=None):
+    """Twiddle-absorbed K2 with a REAL transfer function."""
+    _k2t_core(xr_ref, xi_ref, hsr_ref, None,
+              (w1r_, w1i_, wtfr_, wtfi_, wtir_, wtii_), or_ref,
+              oi_ref, N, M, prec)
 
 
 # ---------------------------------------------------------------------
@@ -404,8 +524,7 @@ def _stage12_dotg(xr, xi, C, n1_in, L, prec):
         ai = _mm(w1i_c, xr, prec)
     else:
         xi = xi.reshape(n1_in, N2 * L)
-        ar = _mm(w1r_c, xr, prec) - _mm(w1i_c, xi, prec)
-        ai = _mm(w1r_c, xi, prec) + _mm(w1i_c, xr, prec)
+        ar, ai = _cmm(_mm, w1r_c, w1i_c, xr, xi, prec)
     N1 = w1r.shape[0]
     ar = ar.reshape(N1, N2, L)
     ai = ai.reshape(N1, N2, L)
@@ -419,12 +538,12 @@ def _stage2_dotg(br, bi, C, k2_keep, L, prec, real_output=False):
     3D dot_general; output rows k = k1 + N1*k2 in natural order."""
     w2r, w2i = C[2][:k2_keep], C[3][:k2_keep]
     N1 = br.shape[0]
-    cr = _dotg_left1(w2r, br, prec) - _dotg_left1(w2i, bi, prec)
-    yr = cr.reshape(k2_keep * N1, L)
-    if real_output:
-        return yr, None
-    ci = _dotg_left1(w2r, bi, prec) + _dotg_left1(w2i, br, prec)
-    return yr, ci.reshape(k2_keep * N1, L)
+    if real_output:  # 2 matmuls beat the 3-mult form here
+        cr = _dotg_left1(w2r, br, prec) - _dotg_left1(w2i, bi, prec)
+        return cr.reshape(k2_keep * N1, L), None
+    cr, ci = _cmm(_dotg_left1, w2r, w2i, br, bi, prec)
+    return (cr.reshape(k2_keep * N1, L),
+            ci.reshape(k2_keep * N1, L))
 
 
 def _k1h_kernel(xr_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref, oi_ref,
@@ -492,7 +611,7 @@ def psf_convolve_pallas_v3(x, Hsr, Hsi, nx, ny, lane_block=128,
     assert NY == 2 * ny
     assert NXH % row_block == 0, (NXH, row_block)
     CX = consts_for(NX)
-    CYl = consts_lane_for(NY)
+    CYt = consts_lane_tw_for(NY)
     kw = dict(interpret=interpret)
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
@@ -518,23 +637,23 @@ def psf_convolve_pallas_v3(x, Hsr, Hsi, nx, ny, lane_block=128,
     )(x, *CX)
 
     if Hsi is None:
-        k2 = partial(_k2vr_kernel, N=NY, M=row_block, prec=prec)
+        k2 = partial(_k2tr_kernel, N=NY, M=row_block, prec=prec)
         h_in = [hspec(row_block)]
         h_args = (Hsr,)
     else:
-        k2 = partial(_k2v_kernel, N=NY, M=row_block, prec=prec)
+        k2 = partial(_k2t_kernel, N=NY, M=row_block, prec=prec)
         h_in = [hspec(row_block)] * 2
         h_args = (Hsr, Hsi)
     wr, wi = pl.pallas_call(
         k2,
         grid=(NXH // row_block,),
         in_specs=[rows_half(row_block)] * 2 + h_in
-        + _const_specs_lane(NY),
+        + _const_specs_lane_tw(NY),
         out_specs=(rows_half(row_block), rows_half(row_block)),
         out_shape=(jax.ShapeDtypeStruct((NXH, ny), jnp.float32),
                    jax.ShapeDtypeStruct((NXH, ny), jnp.float32)),
         **kw,
-    )(zr, zi, *h_args, *CYl)
+    )(zr, zi, *h_args, *CYt)
 
     out = pl.pallas_call(
         partial(_k3h_kernel, N=NX, L=lane_block, prec=prec),
@@ -571,7 +690,7 @@ def psf_convolve_pallas_v3_cube(x, Hsr, Hsi, nx, ny, lane_block=128,
     assert NY == 2 * ny
     assert NXH % row_block == 0, (NXH, row_block)
     CX = consts_for(NX)
-    CYl = consts_lane_for(NY)
+    CYt = consts_lane_tw_for(NY)
     kw = dict(interpret=interpret)
     if not interpret:
         kw["compiler_params"] = pltpu.CompilerParams(
@@ -602,24 +721,24 @@ def psf_convolve_pallas_v3_cube(x, Hsr, Hsi, nx, ny, lane_block=128,
     )(x, *CX)
 
     if Hsi is None:
-        k2 = partial(_k2vr_kernel, N=NY, M=row_block, prec=prec)
+        k2 = partial(_k2tr_kernel, N=NY, M=row_block, prec=prec)
         h_in = [hspec(row_block)]
         h_args = (Hsr,)
     else:
-        k2 = partial(_k2v_kernel, N=NY, M=row_block, prec=prec)
+        k2 = partial(_k2t_kernel, N=NY, M=row_block, prec=prec)
         h_in = [hspec(row_block)] * 2
         h_args = (Hsr, Hsi)
     wr, wi = pl.pallas_call(
         k2,
         grid=(nband, NXH // row_block),
         in_specs=[rows_half(row_block)] * 2 + h_in
-        + _const_specs_lane(NY),
+        + _const_specs_lane_tw(NY),
         out_specs=(rows_half(row_block), rows_half(row_block)),
         out_shape=(jax.ShapeDtypeStruct((nband, NXH, ny), jnp.float32),
                    jax.ShapeDtypeStruct((nband, NXH, ny),
                                         jnp.float32)),
         **kw,
-    )(zr, zi, *h_args, *CYl)
+    )(zr, zi, *h_args, *CYt)
 
     out = pl.pallas_call(
         partial(_k3h_kernel, N=NX, L=lane_block, prec=prec),
