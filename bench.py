@@ -198,6 +198,7 @@ def main():
         for name, fn, args in (("adjoint", adj_chain, (vr, vi)),
                                ("forward", fwd_chain, (img,)),
                                ("hessian", hess_chain, (img,))):
+            sync(fn(*args))  # warm: compile outside the timed trials
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -211,6 +212,38 @@ def main():
         result["gridder_Mvis_per_s_spread"] = {
             k: [round(nvis / t / 1e6, 2) for t in sorted(v)]
             for k, v in gtimes.items()}
+
+        # ---- flagship-scale gridder: 4096^2, w-gridding on, via the
+        # w-plane-BLOCKED plan set (all-planes layout exceeds HBM at
+        # this size). 125k vis keeps the bench bounded; at this grid
+        # the per-matvec cost is grid-FFT-dominated, so Mvis/s rises
+        # towards the 1024^2 figures at production row counts ----
+        from pfb_tpu.ops.pgridder import (_adjoint_wblocked_impl,
+                                          make_hessian_pg_wblocked,
+                                          pgrid_plan_wblocked)
+        nxg4 = 4096
+        cell4 = 1.0 / (2.0 * umax * 2.0)
+        bp = pgrid_plan_wblocked(uvw, freq, nx=nxg4, ny=nxg4,
+                                 cellx=cell4, celly=cell4,
+                                 epsilon=1e-5, plane_block=8)
+        hess4 = make_hessian_pg_wblocked(bp)
+        img4 = _adjoint_wblocked_impl(bp, vr, vi, None, False)
+        sync(img4)           # warm adjoint
+        sync(hess4(img4))    # warm hessian
+        g4 = {}
+        for name, fn, args in (
+                ("adjoint", lambda a, b: _adjoint_wblocked_impl(
+                    bp, a, b, None, False), (vr, vi)),
+                ("hessian", hess4, (img4,))):
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                sync(fn(*args))
+                ts.append(time.perf_counter() - t0)
+            g4[name] = ts
+        result["gridder4096_w_s_per_op"] = {
+            k: round(min(v), 3) for k, v in g4.items()}
+        result["gridder4096_nblocks"] = int(bp["nblocks"])
 
     print(json.dumps(result))
 
