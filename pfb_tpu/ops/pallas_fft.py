@@ -564,8 +564,11 @@ def _k3h_kernel(xr_ref, xi_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref,
                 *, N, L, prec=None):
     """Hermitian-reconstructing real-output inverse K3: consumes the
     NXH = N1*(N2/2+1) kept spectrum rows; the conjugate-mirror rows'
-    contribution is a second stage-1 pass over rows 1..N/2-N1 (same
-    conjugated constants) summed before the shared linear stage 2."""
+    contribution (rows 1..N/2-N1, same conjugated constants) rides in
+    the SAME stage-1 matmul by stitching the mirror rows and their W1
+    column slice onto the main pass — the twiddle is linear and
+    shared, so one pass replaces the former two (one twiddle + one
+    add pass fewer on the VPU)."""
     Cf = (w1r[...], w1i[...], w2r[...], w2i[...], twr[...], twi[...])
     C = (Cf[0], -Cf[1], Cf[2], -Cf[3], Cf[4], -Cf[5])  # inverse
     N1, N2 = C[0].shape[0], C[2].shape[0]
@@ -573,8 +576,6 @@ def _k3h_kernel(xr_ref, xi_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref,
     xr = xr_ref[...].reshape(xr_ref.shape[-2:])
     xi = xi_ref[...].reshape(xi_ref.shape[-2:])
     n1A = N1 // 2 + N1 // N2          # NXH / N2 blocks
-    brA, biA = _stage12_dotg(xr[:n1A * N2], xi[:n1A * N2], C, n1A, L,
-                             prec)
     # mirror term: rows m in [1, N/2 - N1], zero-masked within blocks
     n1B = N1 // 2 - N1 // N2 + 1
     m_max = N // 2 - N1
@@ -582,9 +583,16 @@ def _k3h_kernel(xr_ref, xi_ref, w1r, w1i, w2r, w2i, twr, twi, or_ref,
     keep = (rows >= 1) & (rows <= m_max)
     xrB = jnp.where(keep, xr[:n1B * N2], 0.0)
     xiB = jnp.where(keep, xi[:n1B * N2], 0.0)
-    brB, biB = _stage12_dotg(xrB, xiB, C, n1B, L, prec)
-    br = brA + brB
-    bi = biA + biB
+    n1C = n1A + n1B
+    xrC = jnp.concatenate([xr, xrB], axis=0).reshape(n1C, N2 * L)
+    xiC = jnp.concatenate([xi, xiB], axis=0).reshape(n1C, N2 * L)
+    w1r_c = jnp.concatenate([C[0][:, :n1A], C[0][:, :n1B]], axis=1)
+    w1i_c = jnp.concatenate([C[1][:, :n1A], C[1][:, :n1B]], axis=1)
+    ar, ai = _cmm(_mm, w1r_c, w1i_c, xrC, xiC, prec)
+    ar = ar.reshape(N1, N2, L)
+    ai = ai.reshape(N1, N2, L)
+    br = ar * C[4][:, :, None] - ai * C[5][:, :, None]
+    bi = ar * C[5][:, :, None] + ai * C[4][:, :, None]
     yr, _ = _stage2_dotg(br, bi, C, N2 // 2, L, prec, real_output=True)
     or_ref[...] = (yr * (1.0 / N)).reshape(or_ref.shape)
 

@@ -581,7 +581,9 @@ def dirty2vis_pg(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
 
 def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
                         epsilon=1e-7, sigma=2.0, capacity=128,
-                        x0=0.0, y0=0.0, plane_block=8, dtype=None):
+                        x0=0.0, y0=0.0, plane_block=8, dtype=None,
+                        w_params=None, Rb_to=None, nentries_to=None,
+                        nblocks_to=None):
     """W-plane-BLOCKED plan set: the w geometry is split into blocks
     of ``plane_block`` planes and each block gets a standard
     :func:`pgrid_plan` over the rows whose kernel span intersects it,
@@ -597,15 +599,25 @@ def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
     Returns a dict with stacked per-block plan arrays
     (pos/tid/idx/pm), per-block padded row selections (``sel``,
     sentinel = nrow), per-block w0s, and the template plan ``p0``.
+
+    ``w_params``/``Rb_to``/``nentries_to``/``nblocks_to`` override the
+    derived geometry/shapes so plan sets built for different datasets
+    share one compiled program (see stack_pg_plans_wblocked).
     """
     k, beta = kernel_params(epsilon)
     uvw_np = np.asarray(uvw)
     freq_np = np.asarray(freq)
     nrow, nchan = uvw_np.shape[0], freq_np.shape[0]
-    nw, w0, dw = w_geometry(uvw_np, freq_np, nx, ny, cellx, celly,
-                            x0, y0, sigma, k, True)
+    if w_params is not None:
+        nw, w0, dw = w_params
+    else:
+        nw, w0, dw = w_geometry(uvw_np, freq_np, nx, ny, cellx, celly,
+                                x0, y0, sigma, k, True)
     B = int(plane_block)
     nblocks = max(1, -(-nw // B))
+    if nblocks_to is not None:
+        assert nblocks_to >= nblocks, (nblocks_to, nblocks)
+        nblocks = int(nblocks_to)
 
     # per-row plane-position extrema over channels
     scale = freq_np / LIGHTSPEED
@@ -620,6 +632,9 @@ def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
     Rb = max(max(s.size for s in sels), 1)
     from pfb_tpu.ops.gridder import row_bucket
     Rb = row_bucket(Rb)
+    if Rb_to is not None:
+        assert Rb_to >= Rb, (Rb_to, Rb)
+        Rb = int(Rb_to)
 
     plans = []
     sel_pad = np.full((nblocks, Rb), nrow, np.int64)
@@ -635,6 +650,9 @@ def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
             capacity=capacity, x0=x0, y0=y0,
             w_params=(B, w0s[b], dw), dtype=dtype))
     nent = max(p["nentries"] for p in plans)
+    if nentries_to is not None:
+        assert nentries_to >= nent, (nentries_to, nent)
+        nent = int(nentries_to)
     for b, s in enumerate(sels):
         if plans[b]["nentries"] != nent:
             u = np.zeros((Rb, 3))
@@ -959,6 +977,154 @@ def _hessian_pg_cube_local(x, st_arrays, beam, p0, interpret):
         return acc, None
 
     xs = (bid,) + tuple(flat(a) for a in st_arrays)
+    if beam is not None:
+        xs = xs + (flat(beam),)
+    out, _ = lax.scan(one, jnp.zeros_like(x), xs)
+    return out
+
+
+def stack_pg_plans_wblocked(dds, nband, *, nx, ny, epsilon=1e-7,
+                            plane_block=8, use_beam=True,
+                            mask_image=None, capacity=128):
+    """Stacked (nband, ndata, ...) w-plane-BLOCKED plan sets with one
+    shared static geometry (union w grid, common row bucket, block
+    count, block row bucket and entry count), so the dataset-reduced
+    Hessian runs as a single compiled program with grid memory bounded
+    at O(plane_block x padded grid) — the stacked twin of
+    :func:`pgrid_plan_wblocked` for the distributed exact residual at
+    4096^2+ with w-gridding ON (the all-planes stacked layout exceeds
+    v5e HBM there, BASELINE.md)."""
+    from pfb_tpu.ops.gridder import row_bucket
+
+    by_band = [[] for _ in range(nband)]
+    for ds in dds:
+        by_band[ds["bandid"]].append(ds)
+    ndata = max(len(g) for g in by_band)
+    R = row_bucket(max(ds["UVW"].shape[0] for ds in dds))
+    nchan = max(ds["FREQ"].shape[0] for ds in dds)
+    cell = float(dds[0]["cell_rad"])
+    x0 = float(dds[0].get("x0", 0.0))
+    y0 = float(dds[0].get("y0", 0.0))
+    for ds in dds:
+        assert float(ds["cell_rad"]) == cell, "mixed cell sizes"
+        assert float(ds.get("x0", 0.0)) == x0, "mixed phase centres"
+        assert float(ds.get("y0", 0.0)) == y0, "mixed phase centres"
+
+    k, _beta = kernel_params(epsilon)
+    wp = w_geometry_union(
+        [(ds["UVW"], ds["FREQ"]) for ds in dds], nx, ny, cell, cell,
+        x0, y0, 2.0, k, True)
+
+    def pad_ds(ds):
+        uvw = np.zeros((R, 3))
+        frq = np.ones(nchan)
+        wgt = np.zeros((R, nchan))
+        if ds is not None:
+            nr, nc = ds["UVW"].shape[0], ds["FREQ"].shape[0]
+            uvw[:nr] = ds["UVW"]
+            frq[:nc] = ds["FREQ"]
+            wgt[:nr, :nc] = np.asarray(ds["WEIGHT"]) * \
+                np.asarray(ds["MASK"])
+        return uvw, frq, wgt
+
+    padded = [[pad_ds(g[d] if d < len(g) else None)
+               for d in range(ndata)] for g in by_band]
+
+    def build(u, f, Rb_to=None, nent_to=None):
+        return pgrid_plan_wblocked(
+            u, f, nx=nx, ny=ny, cellx=cell, celly=cell,
+            epsilon=epsilon, plane_block=plane_block,
+            capacity=capacity, x0=x0, y0=y0, w_params=wp,
+            Rb_to=Rb_to, nentries_to=nent_to)
+
+    bps = [[build(u, f) for (u, f, _) in row_] for row_ in padded]
+    Rb = max(bp["Rb"] for row_ in bps for bp in row_)
+    nent = max(bp["p0"]["nentries"] for row_ in bps for bp in row_)
+    nblocks = bps[0][0]["nblocks"]
+    for b in range(nband):
+        for d in range(ndata):
+            bp = bps[b][d]
+            if bp["Rb"] != Rb or bp["p0"]["nentries"] != nent:
+                u, f, _ = padded[b][d]
+                bps[b][d] = build(u, f, Rb_to=Rb, nent_to=nent)
+            assert bps[b][d]["nblocks"] == nblocks
+
+    bp0 = bps[0][0]
+    p0 = bp0["p0"]
+    rdt = p0["rdtype"]
+
+    def stk(key):
+        return jnp.stack([jnp.stack([bps[b][d][key]
+                                     for d in range(ndata)])
+                          for b in range(nband)])
+
+    beam = None
+    has_beam = use_beam and any("BEAM" in ds for ds in dds)
+    if has_beam or mask_image is not None:
+        beam = np.ones((nband, ndata, nx, ny))
+        for b, group in enumerate(by_band):
+            for d in range(ndata):
+                bm = 1.0
+                if d < len(group) and use_beam and "BEAM" in group[d]:
+                    bm = np.asarray(group[d]["BEAM"])
+                if mask_image is not None:
+                    bm = bm * np.asarray(mask_image)
+                beam[b, d] = bm
+        beam = jnp.asarray(beam.astype(rdt))
+
+    wgt = jnp.asarray(np.stack(
+        [np.stack([w for (_, _, w) in row_]) for row_ in padded])
+        .astype(rdt))
+    freq_d = jnp.asarray(np.stack(
+        [np.stack([f for (_, f, _) in row_]) for row_ in padded])
+        .astype(rdt))
+    meta = dict(p0=p0, B=bp0["B"], nblocks=nblocks, nw=bp0["nw"],
+                w0=bp0["w0"], dw=bp0["dw"], nrow=R, nchan=nchan,
+                Rb=Rb)
+    arrs = dict(pos=stk("pos"), tid=stk("tid"), idx=stk("idx"),
+                pm=stk("pm"), uvw_d=stk("uvw_d"), sel=stk("sel"),
+                w0s=stk("w0s"), uvw_full=stk("uvw_full"),
+                freq_d=freq_d, wgt=wgt)
+    return dict(meta=meta, arrs=arrs, beam=beam, ndata=ndata, R=R,
+                nchan=nchan, p0=p0)
+
+
+_WBLK_AKEYS = ("pos", "tid", "idx", "pm", "uvw_d", "sel", "w0s",
+               "uvw_full", "freq_d", "wgt")
+
+
+def _hessian_pg_cube_local_wblocked(x, arrs, beam, meta, interpret):
+    """Dataset-reduced R.H W R over stacked w-blocked plan sets as one
+    lax.scan over the flattened (band, dataset) axis; each step runs
+    the blocked forward + adjoint (their internal block scans bound
+    grid memory to plane_block planes)."""
+    pos = arrs[0]
+    nb, ndata = pos.shape[:2]
+
+    def flat(a):
+        return a.reshape((nb * ndata,) + a.shape[2:])
+
+    bid = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), ndata)
+
+    def one(acc, args):
+        b = args[0]
+        named = dict(zip(_WBLK_AKEYS, args[1:1 + len(_WBLK_AKEYS)]))
+        wgt_d = named.pop("wgt")
+        bm = args[-1] if beam is not None else None
+        bp = dict(meta, **named)
+        x_b = lax.dynamic_index_in_dim(x, b, keepdims=False)
+        xin = x_b * bm if bm is not None else x_b
+        fr, fi = _forward_wblocked_impl(bp, xin, interpret)
+        conv = _adjoint_wblocked_impl(bp, fr, fi, wgt_d, interpret)
+        if bm is not None:
+            conv = conv * bm
+        acc = lax.dynamic_update_index_in_dim(
+            acc, lax.dynamic_index_in_dim(acc, b, keepdims=False)
+            + conv, b, 0)
+        return acc, None
+
+    xs = (bid,) + tuple(flat(arrs[i])
+                        for i in range(len(_WBLK_AKEYS)))
     if beam is not None:
         xs = xs + (flat(beam),)
     out, _ = lax.scan(one, jnp.zeros_like(x), xs)

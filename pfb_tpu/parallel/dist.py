@@ -498,7 +498,8 @@ def make_vis2dirty_rowdist(mesh, uvw, freq, *, nx, ny, cellx, celly,
 def make_hessian_dds_dist(mesh, dds, nband, wsum, nx, ny,
                           sigmainv=0.0, use_beam=True,
                           mask_image=None, backend="dft",
-                          epsilon=1e-7, do_wgridding=True):
+                          epsilon=1e-7, do_wgridding=True,
+                          plane_block=None):
     """Band-sharded exact vis-space Hessian over datasets: the
     distributed twin of ops.gridder.make_hessian_dds (reference
     hessian.py:11-59 reduced per band on its own worker,
@@ -516,12 +517,15 @@ def make_hessian_dds_dist(mesh, dds, nband, wsum, nx, ny,
     FAST exact residual on the mesh (the reference's per-band actors
     run the ducc0 wgridder, hessian.py:230-251); "dft" keeps the exact
     direct transform (the oracle — O(Npix·Nvis), test scale only).
+    ``plane_block`` (pg, w-gridding on): w-plane-BLOCKED plan sets —
+    grid memory O(plane_block x padded grid), required at 4096^2+
+    where the all-planes layout exceeds HBM.
     """
     if backend == "pg":
         return _make_hessian_dds_dist_pg(
             mesh, dds, nband, wsum, nx, ny, sigmainv=sigmainv,
             use_beam=use_beam, mask_image=mask_image, epsilon=epsilon,
-            do_wgridding=do_wgridding)
+            do_wgridding=do_wgridding, plane_block=plane_block)
     from pfb_tpu.ops.gridder import (_hessian_stacked_local, stack_dds)
 
     st = stack_dds(dds, nband, use_beam=use_beam,
@@ -566,36 +570,66 @@ def make_hessian_dds_dist(mesh, dds, nband, wsum, nx, ny,
 def _make_hessian_dds_dist_pg(mesh, dds, nband, wsum, nx, ny,
                               sigmainv=0.0, use_beam=True,
                               mask_image=None, epsilon=1e-7,
-                              do_wgridding=True):
+                              do_wgridding=True, plane_block=None):
     """pg backend of :func:`make_hessian_dds_dist`: shard-local fused
-    Pallas gridder chains over stacked plans."""
-    from pfb_tpu.ops.pgridder import (_hessian_pg_cube_local,
-                                      stack_pg_plans)
-
-    st = stack_pg_plans(dds, nband, nx=nx, ny=ny, epsilon=epsilon,
-                        do_wgridding=do_wgridding, use_beam=use_beam,
-                        mask_image=mask_image)
-    p0 = st["p0"]
-    rdt = p0["rdtype"]
+    Pallas gridder chains over stacked plans (w-plane-blocked when
+    ``plane_block`` is set and w-gridding is on)."""
     interpret = jax.default_backend() != "tpu"
-    has_beam = st["beam"] is not None
     wsum = float(wsum)
     cube = P("band", None, None)
 
-    def local(x, pos, tid, idx, pm, wgt, uvw, frq, *maybe_beam):
-        beam = maybe_beam[0] if has_beam else None
-        conv = _hessian_pg_cube_local(
-            x, (pos, tid, idx, pm, wgt, uvw, frq), beam, p0,
-            interpret)
-        out = conv / wsum
-        if sigmainv:
-            out = out + x * sigmainv**2
-        return out
+    if plane_block and do_wgridding:
+        from pfb_tpu.ops.pgridder import (
+            _WBLK_AKEYS, _hessian_pg_cube_local_wblocked,
+            stack_pg_plans_wblocked)
 
-    keys = ("pos", "tid", "idx", "pm", "wgt", "uvw", "freq")
-    args = [st[k] for k in keys]
-    if has_beam:
-        args.append(st["beam"])
+        st = stack_pg_plans_wblocked(
+            dds, nband, nx=nx, ny=ny, epsilon=epsilon,
+            plane_block=int(plane_block), use_beam=use_beam,
+            mask_image=mask_image)
+        rdt = st["p0"]["rdtype"]
+        has_beam = st["beam"] is not None
+        meta = st["meta"]
+
+        def local(x, *args):
+            arrs = args[:len(_WBLK_AKEYS)]
+            beam = args[len(_WBLK_AKEYS)] if has_beam else None
+            conv = _hessian_pg_cube_local_wblocked(x, arrs, beam,
+                                                   meta, interpret)
+            out = conv / wsum
+            if sigmainv:
+                out = out + x * sigmainv**2
+            return out
+
+        args = [st["arrs"][k] for k in _WBLK_AKEYS]
+        if has_beam:
+            args.append(st["beam"])
+    else:
+        from pfb_tpu.ops.pgridder import (_hessian_pg_cube_local,
+                                          stack_pg_plans)
+
+        st = stack_pg_plans(dds, nband, nx=nx, ny=ny, epsilon=epsilon,
+                            do_wgridding=do_wgridding,
+                            use_beam=use_beam, mask_image=mask_image)
+        p0 = st["p0"]
+        rdt = p0["rdtype"]
+        has_beam = st["beam"] is not None
+
+        def local(x, pos, tid, idx, pm, wgt, uvw, frq, *maybe_beam):
+            beam = maybe_beam[0] if has_beam else None
+            conv = _hessian_pg_cube_local(
+                x, (pos, tid, idx, pm, wgt, uvw, frq), beam, p0,
+                interpret)
+            out = conv / wsum
+            if sigmainv:
+                out = out + x * sigmainv**2
+            return out
+
+        keys = ("pos", "tid", "idx", "pm", "wgt", "uvw", "freq")
+        args = [st[k] for k in keys]
+        if has_beam:
+            args.append(st["beam"])
+
     specs = tuple(P("band", *([None] * (a.ndim - 1))) for a in args)
     fn = shard_map(local, mesh=mesh, in_specs=(cube,) + specs,
                    out_specs=cube, check_vma=False)

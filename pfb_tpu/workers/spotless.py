@@ -283,7 +283,8 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
                    alpha=4.0, hessnorm=None, pm_tol=1e-5, pm_maxit=100,
                    pd_tol=1e-5, pd_maxit=500, positivity=1,
                    epsilon=1e-7, do_wgridding=True, backend="dft",
-                   engine="fft", write=True, verbose=1, **kw):
+                   engine="fft", plane_block=0, write=True, verbose=1,
+                   **kw):
     """Mesh-resident spotless major cycle: the realisation of the
     reference's distributed design intent (pfb/workers/spotless.py:
     429-667, commented out upstream) as ONE SPMD program family.
@@ -425,7 +426,8 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
     hess_exact = make_hessian_dds_dist(mesh, dds, nband, wsum, nx, ny,
                                        use_beam=False, backend=backend,
                                        epsilon=epsilon,
-                                       do_wgridding=do_wgridding)
+                                       do_wgridding=do_wgridding,
+                                       plane_block=plane_block or None)
 
     residual_mfs = np.asarray(jnp.sum(resid_d, axis=0))
     rms = np.std(residual_mfs)

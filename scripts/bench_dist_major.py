@@ -70,12 +70,13 @@ def main():
     model = jax.device_put(jnp.zeros((nband, nx, nx), jnp.float32),
                            bands)
 
-    # synthetic visibility datasets for the exact pg residual.
-    # w-gridding OFF at 4096^2: with it on the all-planes layout needs
-    # (2 nw, 8192^2) grids (~5.4 GB at the k+1 ~ 10 plane minimum) in
-    # three buffer generations — over the 15.75 GB HBM (measured
-    # 17.8 G). The w-blocked scan is the planned fix (TODO.md).
-    do_w = not on_tpu
+    # synthetic visibility datasets for the exact pg residual, with
+    # w-gridding ON everywhere: on the chip the residual runs through
+    # the stacked w-plane-BLOCKED plan sets (plane_block=4 -> grid
+    # memory O(4 x 8192^2) instead of the all-planes layout's
+    # ~5.4 GB x 3 buffer generations that exceeded HBM at 4096^2)
+    do_w = True
+    plane_block = 4 if on_tpu else None
     uvw = rng.normal(scale=1000.0, size=(nrow, 3))
     uvw[:, 2] *= 0.02
     freqs = np.linspace(0.9e9, 1.1e9, nband * nchan)
@@ -91,7 +92,8 @@ def main():
     t0 = time.perf_counter()
     hess_exact = make_hessian_dds_dist(mesh, dds, nband, wsum, nx, nx,
                                        use_beam=False, backend="pg",
-                                       epsilon=1e-5, do_wgridding=do_w)
+                                       epsilon=1e-5, do_wgridding=do_w,
+                                       plane_block=plane_block)
     t_plan = time.perf_counter() - t0
 
     psi = make_psi(nx, nx, ("self", "db1"), 3)

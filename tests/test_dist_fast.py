@@ -200,3 +200,26 @@ def test_spotless_dist_fast_engines_e2e(tmp_path):
     denom = np.abs(m_loc).max()
     assert np.abs(m_dist - m_loc).max() / denom < 1e-3
     assert np.abs(r_dist - r_loc).max() / np.abs(r_loc).max() < 1e-3
+
+
+def test_hessian_dds_dist_pg_wblocked_matches(multids):
+    """Distributed pg exact residual through the stacked w-plane-
+    BLOCKED plan sets (plane_block bounds grid memory — the 4096^2
+    w-on configuration) == the all-planes distributed program."""
+    dds, nband = multids
+    nx = dds[0]["DIRTY"].shape[0]
+    wsum = float(np.sum([d["WSUM"][0] for d in dds]))
+    mesh = make_mesh(nband=nband, nspace=1,
+                     devices=jax.devices()[:nband])
+    x = np.random.default_rng(3).normal(size=(nband, nx, nx))
+    xd = jax.device_put(jnp.asarray(x), band_sharding(mesh))
+
+    ref = np.asarray(make_hessian_dds_dist(
+        mesh, dds, nband, wsum, nx, nx, use_beam=False,
+        backend="pg")(xd))
+    got = np.asarray(make_hessian_dds_dist(
+        mesh, dds, nband, wsum, nx, nx, use_beam=False, backend="pg",
+        plane_block=3)(xd))
+    # blocked plans split planes at block boundaries; identical ES
+    # quadrature, so agreement is to fp accumulation order
+    assert np.abs(got - ref).max() <= 1e-9 * np.abs(ref).max()
