@@ -6,16 +6,23 @@ because every stage round-trips HBM. This module fuses the whole
 convolution into three Pallas kernels, each reading/writing HBM once:
 
   K1: forward four-step FFT along the sublane (row) axis per lane strip
-      — DFT factor matmuls + twiddles entirely in VMEM
+      — DFT factor matmuls entirely in VMEM
   K2: forward FFT along the lane axis, multiply by the PSF transfer
       function, inverse FFT along lanes — one VMEM residency
   K3: inverse FFT along sublanes (+ output crop by the caller)
 
 All transforms are four-step factorisations N = N1*N2 with the stage
 matmuls on the MXU; complex data is carried as separate float32
-real/imag arrays; the inverse stages reuse the forward DFT constants
-conjugated. HBM traffic per band ~4.8 GB vs ~8 GB+ for the unfused
-paths, and none of the passes is transpose-bound.
+real/imag arrays; complex-by-complex stages run as THREE real matmuls
+(Gauss/Karatsuba, see _cmm); the inverse stages use conjugated
+constants. Measured on v5e the kernels are neither HBM- nor
+MXU-flop-bound but VPU/pipeline-bound, so the v3 kernels eliminate
+every elementwise twiddle pass by folding the twiddle factors into
+the stage matrices: K2's into per-n1 batched stage-2 matrices
+(consts_lane_tw_for), K1/K3's into per-n2 batched stage-1 matrices
+(consts_k1t_for / consts_k3t_for, the latter with the Hermitian
+mirror pass and its row mask stitched into the same batch). HBM
+traffic per band ~4.8 GB vs ~8 GB+ for the unfused paths.
 """
 
 from functools import lru_cache, partial
@@ -304,6 +311,141 @@ def _const_specs_lane_tw(N):
     return [full((N1, N1)), full((N1, N1)), full((N1, N2, N2)),
             full((N1, N2, N2)), full((N1, N2, N2)),
             full((N1, N2, N2))]
+
+
+# -- twiddle-absorbed SUBLANE constants (K1/K3): with input rows
+# grouped n = n1*N2 + n2 and output k = k1 + N1*k2, the four-step
+# phase splits as k1*n1/N1 (stage 1) + k1*n2/N (twiddle) + k2*n2/N2
+# (stage 2). The twiddle depends on (k1, n2), so it folds into a
+# per-n2 BATCH of stage-1 matrices; stage 2 then contracts the
+# leading n2 axis with one 2D matmul whose output rows come out in
+# the natural k2-major order — no twiddle pass and no relayouts.
+
+@lru_cache(maxsize=None)
+def _consts_k1t_np(N):
+    """K1 (forward, real input, Hermitian crop): W1tw[n2, k1, n1] =
+    W1[k1, n1] tw[k1, n2] sliced to the nonzero n1 < N1/2, plus the
+    cropped W2[:N2/2+1]."""
+    N1, N2 = _factor(N)
+    n1 = np.arange(N1)
+    n2 = np.arange(N2)
+    W1 = np.exp(-2j * np.pi * np.outer(n1, n1) / N1)
+    tw = np.exp(-2j * np.pi * np.outer(n1, n2) / N)
+    W2 = np.exp(-2j * np.pi * np.outer(n2, n2) / N2)
+    n1_in = N1 // 2
+    W1tw = W1[None, :, :n1_in] * tw.T[:, :, None]   # (N2, N1, n1_in)
+    W2c = W2[:N2 // 2 + 1]
+    f32 = np.float32
+    return (W1tw.real.astype(f32), W1tw.imag.astype(f32),
+            W2c.real.astype(f32), W2c.imag.astype(f32))
+
+
+def consts_k1t_for(N):
+    return tuple(jnp.asarray(a) for a in _consts_k1t_np(N))
+
+
+@lru_cache(maxsize=None)
+def _consts_k3t_np(N):
+    """K3 (inverse, Hermitian reconstruction, real output): conjugated
+    constants with the mirror pass STITCHED into the stage-1 batch
+    (columns n1A..n1C) and the mirror row mask (1 <= r <= N/2 - N1)
+    folded into those columns — the kernel needs no iota/where and no
+    second stage-1 pass."""
+    N1, N2 = _factor(N)
+    n1 = np.arange(N1)
+    n2 = np.arange(N2)
+    W1c = np.exp(+2j * np.pi * np.outer(n1, n1) / N1)   # (j, a)
+    twc = np.exp(+2j * np.pi * np.outer(n1, n2) / N)    # (j, b)
+    W2c = np.exp(+2j * np.pi * np.outer(n2, n2) / N2)   # (m, b)
+    n1A = N1 // 2 + N1 // N2
+    n1B = N1 // 2 - N1 // N2 + 1
+    A = W1c[None, :, :n1A] * twc.T[:, :, None]          # (N2, N1, n1A)
+    aB, bB = np.meshgrid(np.arange(n1B), np.arange(N2), indexing="ij")
+    r = aB * N2 + bB
+    M = ((r >= 1) & (r <= N // 2 - N1)).astype(float)   # (n1B, N2)
+    B = (W1c[None, :, :n1B] * twc.T[:, :, None]
+         * M.T[:, None, :])                             # (N2, N1, n1B)
+    W1tw3 = np.concatenate([A, B], axis=2)              # (N2, N1, n1C)
+    W2k = W2c[:N2 // 2]
+    f32 = np.float32
+    return (W1tw3.real.astype(f32), W1tw3.imag.astype(f32),
+            W2k.real.astype(f32), W2k.imag.astype(f32))
+
+
+def consts_k3t_for(N):
+    return tuple(jnp.asarray(a) for a in _consts_k3t_np(N))
+
+
+def _const_specs_k1t(N):
+    N1, N2 = _factor(N)
+    full = lambda shape: pl.BlockSpec(shape, lambda *_: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    return [full((N2, N1, N1 // 2)), full((N2, N1, N1 // 2)),
+            full((N2 // 2 + 1, N2)), full((N2 // 2 + 1, N2))]
+
+
+def _const_specs_k3t(N):
+    N1, N2 = _factor(N)
+    n1C = N1 + 1
+    full = lambda shape: pl.BlockSpec(shape, lambda *_: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    return [full((N2, N1, n1C)), full((N2, N1, n1C)),
+            full((N2 // 2, N2)), full((N2 // 2, N2))]
+
+
+def _dotg_b1(W, x, prec=None):
+    """(B, K, n) x (B, n, L) -> (B, K, L): leading-dim batch B,
+    contract n (Mosaic's tpu.matmul requires the batch dims at the
+    SAME index in both operands — the mixed-position form compiles in
+    interpret mode but is rejected on the chip)."""
+    return jax.lax.dot_general(W, x, (((2,), (1,)), ((0,), (0,))),
+                               precision=prec or _HI,
+                               preferred_element_type=jnp.float32)
+
+
+def _k1t_kernel(xr_ref, wtr_, wti_, w2r_, w2i_, or_ref, oi_ref, *,
+                N, L, prec=None):
+    """Twiddle-absorbed K1: batched stage-1 (per-n2 matrices, real
+    input) -> (N2, N1, L), then one 2D stage-2 matmul over the leading
+    n2 emitting the Hermitian-cropped spectrum rows k = k1 + N1*k2 in
+    natural order."""
+    wtr, wti = wtr_[...], wti_[...]
+    w2r, w2i = w2r_[...], w2i_[...]
+    N2, N1, n1_in = wtr.shape
+    xr = xr_ref[...].reshape(xr_ref.shape[-2:])
+    # (n1, N2, L) -> (N2, n1, L): leading-dims transpose, lane fixed
+    x3 = xr.reshape(n1_in, N2, L).transpose(1, 0, 2)
+    cr = _dotg_b1(wtr, x3, prec)
+    ci = _dotg_b1(wti, x3, prec)
+    cr = cr.reshape(N2, N1 * L)
+    ci = ci.reshape(N2, N1 * L)
+    yr, yi = _cmm(_mm, w2r, w2i, cr, ci, prec)
+    or_ref[...] = yr.reshape(or_ref.shape)
+    oi_ref[...] = yi.reshape(oi_ref.shape)
+
+
+def _k3t_kernel(xr_ref, xi_ref, wtr_, wti_, w2r_, w2i_, or_ref, *,
+                N, L, prec=None):
+    """Twiddle-absorbed K3: the stitched (main + masked-mirror)
+    batched stage-1 consumes the NXH kept spectrum rows; the
+    real-output stage-2 is one pair of 2D matmuls over the leading n2
+    emitting the cropped image rows in natural order."""
+    wtr, wti = wtr_[...], wti_[...]
+    w2r, w2i = w2r_[...], w2i_[...]
+    N2, N1, n1C = wtr.shape
+    n1B = n1C - (N1 // 2 + N1 // N2)
+    xr = xr_ref[...].reshape(xr_ref.shape[-2:])
+    xi = xi_ref[...].reshape(xi_ref.shape[-2:])
+    L_ = xr.shape[-1]
+    xrC = jnp.concatenate([xr, xr[:n1B * N2]], axis=0).reshape(
+        n1C, N2, L_).transpose(1, 0, 2)
+    xiC = jnp.concatenate([xi, xi[:n1B * N2]], axis=0).reshape(
+        n1C, N2, L_).transpose(1, 0, 2)
+    cr, ci = _cmm(_dotg_b1, wtr, wti, xrC, xiC, prec)
+    cr = cr.reshape(N2, N1 * L_)
+    ci = ci.reshape(N2, N1 * L_)
+    yr = _mm(w2r, cr, prec) - _mm(w2i, ci, prec)
+    or_ref[...] = (yr * (1.0 / N)).reshape(or_ref.shape)
 
 
 def v3_supported(nx, ny):
@@ -618,7 +760,8 @@ def psf_convolve_pallas_v3(x, Hsr, Hsi, nx, ny, lane_block=128,
     assert NXH == N1x * (N2x // 2 + 1), (NXH, N1x, N2x)
     assert NY == 2 * ny
     assert NXH % row_block == 0, (NXH, row_block)
-    CX = consts_for(NX)
+    CK1 = consts_k1t_for(NX)
+    CK3 = consts_k3t_for(NX)
     CYt = consts_lane_tw_for(NY)
     kw = dict(interpret=interpret)
     if not interpret:
@@ -635,14 +778,14 @@ def psf_convolve_pallas_v3(x, Hsr, Hsi, nx, ny, lane_block=128,
                                    memory_space=pltpu.VMEM)
 
     zr, zi = pl.pallas_call(
-        partial(_k1h_kernel, N=NX, L=lane_block, prec=prec),
+        partial(_k1t_kernel, N=NX, L=lane_block, prec=prec),
         grid=(ny // lane_block,),
-        in_specs=[in_strip(lane_block)] + _const_specs(NX),
+        in_specs=[in_strip(lane_block)] + _const_specs_k1t(NX),
         out_specs=(h_strip(lane_block), h_strip(lane_block)),
         out_shape=(jax.ShapeDtypeStruct((NXH, ny), jnp.float32),
                    jax.ShapeDtypeStruct((NXH, ny), jnp.float32)),
         **kw,
-    )(x, *CX)
+    )(x, *CK1)
 
     if Hsi is None:
         k2 = partial(_k2tr_kernel, N=NY, M=row_block, prec=prec)
@@ -664,13 +807,13 @@ def psf_convolve_pallas_v3(x, Hsr, Hsi, nx, ny, lane_block=128,
     )(zr, zi, *h_args, *CYt)
 
     out = pl.pallas_call(
-        partial(_k3h_kernel, N=NX, L=lane_block, prec=prec),
+        partial(_k3t_kernel, N=NX, L=lane_block, prec=prec),
         grid=(ny // lane_block,),
-        in_specs=[h_strip(lane_block)] * 2 + _const_specs(NX),
+        in_specs=[h_strip(lane_block)] * 2 + _const_specs_k3t(NX),
         out_specs=in_strip(lane_block),
         out_shape=jax.ShapeDtypeStruct((nx, ny), jnp.float32),
         **kw,
-    )(wr, wi, *CX)
+    )(wr, wi, *CK3)
     return out
 
 
@@ -697,7 +840,8 @@ def psf_convolve_pallas_v3_cube(x, Hsr, Hsi, nx, ny, lane_block=128,
     assert NXH == N1x * (N2x // 2 + 1), (NXH, N1x, N2x)
     assert NY == 2 * ny
     assert NXH % row_block == 0, (NXH, row_block)
-    CX = consts_for(NX)
+    CK1 = consts_k1t_for(NX)
+    CK3 = consts_k3t_for(NX)
     CYt = consts_lane_tw_for(NY)
     kw = dict(interpret=interpret)
     if not interpret:
@@ -718,15 +862,15 @@ def psf_convolve_pallas_v3_cube(x, Hsr, Hsi, nx, ny, lane_block=128,
                                    memory_space=pltpu.VMEM)
 
     zr, zi = pl.pallas_call(
-        partial(_k1h_kernel, N=NX, L=lane_block, prec=prec),
+        partial(_k1t_kernel, N=NX, L=lane_block, prec=prec),
         grid=(nband, ny // lane_block),
-        in_specs=[in_strip(lane_block)] + _const_specs(NX),
+        in_specs=[in_strip(lane_block)] + _const_specs_k1t(NX),
         out_specs=(h_strip(lane_block), h_strip(lane_block)),
         out_shape=(jax.ShapeDtypeStruct((nband, NXH, ny), jnp.float32),
                    jax.ShapeDtypeStruct((nband, NXH, ny),
                                         jnp.float32)),
         **kw,
-    )(x, *CX)
+    )(x, *CK1)
 
     if Hsi is None:
         k2 = partial(_k2tr_kernel, N=NY, M=row_block, prec=prec)
@@ -749,13 +893,13 @@ def psf_convolve_pallas_v3_cube(x, Hsr, Hsi, nx, ny, lane_block=128,
     )(zr, zi, *h_args, *CYt)
 
     out = pl.pallas_call(
-        partial(_k3h_kernel, N=NX, L=lane_block, prec=prec),
+        partial(_k3t_kernel, N=NX, L=lane_block, prec=prec),
         grid=(nband, ny // lane_block),
-        in_specs=[h_strip(lane_block)] * 2 + _const_specs(NX),
+        in_specs=[h_strip(lane_block)] * 2 + _const_specs_k3t(NX),
         out_specs=in_strip(lane_block),
         out_shape=jax.ShapeDtypeStruct((nband, nx, ny), jnp.float32),
         **kw,
-    )(wr, wi, *CX)
+    )(wr, wi, *CK3)
     return out
 
 
