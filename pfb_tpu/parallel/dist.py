@@ -134,39 +134,47 @@ def hessian_psf_space_dist(mesh, lastsize, sigmainv=0.0,
 
     spec = P("band", "space", None)
     pspec = P("band", None, "space")
-    nyp = lastsize
-    nyw = nyp // 2 + 1
 
     def local(x, psfhat_p):
-        # x: (nbl, nxl, ny) local rows; psfhat_p: (nbl, nxp, nyw_l)
-        # local spectral columns (prep_psfhat_space layout)
-        nxl, ny = x.shape[-2:]
-        nxp, nyw_l = psfhat_p.shape[-2:]
-        ps = lax.axis_size("space")
-        nx = nxl * ps
-        # forward y transform on owned rows
-        xp = jnp.pad(x, [(0, 0), (0, 0), (0, nyp - ny)])
-        xf = jnp.fft.rfft(xp, axis=-1)                # (nbl, nxl, nyw)
-        xf = jnp.pad(xf, [(0, 0), (0, 0), (0, nyw_l * ps - nyw)])
-        # transpose: gather all rows, keep 1/ps of the columns
-        xf = lax.all_to_all(xf, "space", split_axis=2, concat_axis=1,
-                            tiled=True)               # (nbl, nx, nyw_l)
-        # x transform is now local; pad rows to the PSF size
-        xf = jnp.pad(xf, [(0, 0), (0, nxp - nx), (0, 0)])
-        xf = jnp.fft.fft(xf, axis=-2)
-        xf = xf * psfhat_p
-        xf = jnp.fft.ifft(xf, axis=-2)[:, :nx]
-        # transpose back: keep own rows, gather all columns
-        xf = lax.all_to_all(xf, "space", split_axis=1, concat_axis=2,
-                            tiled=True)               # (nbl, nxl, nyw_l*ps)
-        out = jnp.fft.irfft(xf[..., :nyw], n=nyp, axis=-1)[..., :ny]
-        if sigmainv:
-            out = out + x * sigmainv
-        return out.real.astype(x.dtype)
+        return _space_fft_conv_local(x, psfhat_p, lastsize,
+                                     sigmainv=sigmainv)
 
     fn = shard_map(local, mesh=mesh, in_specs=(spec, pspec),
                    out_specs=spec)
     return jax.jit(fn)
+
+
+def _space_fft_conv_local(x, psfhat_p, lastsize, sigmainv=0.0):
+    """Shard-local body of the distributed-rFFT2 PSF convolve (see
+    :func:`hessian_psf_space_dist`). Runs inside a shard_map over
+    ('band', 'space'); x: (nbl, nxl, ny) locally-owned image rows,
+    psfhat_p: (nbl, nxp, nyw_l) locally-owned spectral columns from
+    :func:`prep_psfhat_space`."""
+    nyp = lastsize
+    nyw = nyp // 2 + 1
+    nxl, ny = x.shape[-2:]
+    nxp, nyw_l = psfhat_p.shape[-2:]
+    ps = lax.axis_size("space")
+    nx = nxl * ps
+    # forward y transform on owned rows
+    xp = jnp.pad(x, [(0, 0), (0, 0), (0, nyp - ny)])
+    xf = jnp.fft.rfft(xp, axis=-1)                # (nbl, nxl, nyw)
+    xf = jnp.pad(xf, [(0, 0), (0, 0), (0, nyw_l * ps - nyw)])
+    # transpose: gather all rows, keep 1/ps of the columns
+    xf = lax.all_to_all(xf, "space", split_axis=2, concat_axis=1,
+                        tiled=True)               # (nbl, nx, nyw_l)
+    # x transform is now local; pad rows to the PSF size
+    xf = jnp.pad(xf, [(0, 0), (0, nxp - nx), (0, 0)])
+    xf = jnp.fft.fft(xf, axis=-2)
+    xf = xf * psfhat_p
+    xf = jnp.fft.ifft(xf, axis=-2)[:, :nx]
+    # transpose back: keep own rows, gather all columns
+    xf = lax.all_to_all(xf, "space", split_axis=1, concat_axis=2,
+                        tiled=True)               # (nbl, nxl, nyw_l*ps)
+    out = jnp.fft.irfft(xf[..., :nyw], n=nyp, axis=-1)[..., :ny]
+    if sigmainv:
+        out = out + x * sigmainv
+    return out.real.astype(x.dtype)
 
 
 def prep_psfhat_space(psfhat, nspace):
@@ -371,6 +379,158 @@ def primal_dual_dist(mesh, psi, lastsize=None, nu=None, tol=1e-5,
         xf, vf, wf, k = jfn(x, v, data, hargs, l1weight, lam, L,
                             rms_comps, jnp.asarray(do_reweight))
         return xf, vf, wf, k[0]
+
+    return run
+
+
+def _psi_dot_space_local(xl, psi, qy):
+    """Space-sharded SARA analysis, shard-local body: gather the full
+    band-local image rows over 'space', run the (compact, VPU-cheap)
+    wavelet transform, and keep only THIS shard's slice of packed
+    coefficient rows. The dual cube — nbasis x the image, the object
+    that actually exceeds HBM at scale — stays sharded; only the image
+    (the small operand) travels. xl: (nbl, nxl, ny) ->
+    (nbl, nbasis, qy, Nxmax) with qy = ceil(Nymax / nspace)."""
+    from pfb_tpu.ops.psi import psi_dot
+
+    x_full = lax.all_gather(xl, "space", axis=1, tiled=True)
+    a = psi_dot(x_full, psi)          # (nbl, nbasis, Nymax, Nxmax)
+    ps = lax.axis_size("space")
+    a = jnp.pad(a, [(0, 0), (0, 0), (0, qy * ps - psi.Nymax), (0, 0)])
+    r = lax.axis_index("space")
+    return lax.dynamic_slice_in_dim(a, r * qy, qy, axis=2)
+
+
+def _psi_hdot_space_local(al, psi, qy):
+    """Space-sharded SARA synthesis, shard-local body: zero-pad the
+    local packed-coefficient row slice back to the full layout,
+    reconstruct, and psum_scatter the (linear) reconstruction so each
+    shard receives exactly its image rows, summed over all coefficient
+    shards. Exact because idwt2d is linear in the packed array (the
+    overwritten approx quadrants are ignored identically for every
+    slice). al: (nbl, nbasis, qy, Nxmax) -> (nbl, nxl, ny)."""
+    from pfb_tpu.ops.psi import psi_hdot
+
+    nbl, nbasis = al.shape[:2]
+    ps = lax.axis_size("space")
+    r = lax.axis_index("space")
+    full = jnp.zeros((nbl, nbasis, qy * ps, al.shape[-1]), al.dtype)
+    full = lax.dynamic_update_slice_in_dim(full, al, r * qy, axis=2)
+    img = psi_hdot(full[:, :, :psi.Nymax, :], psi)   # (nbl, nx, ny)
+    return lax.psum_scatter(img, "space", scatter_dimension=1,
+                            tiled=True)
+
+
+def primal_dual_space_dist(mesh, psi, lastsize, nu=None, tol=1e-5,
+                           maxit=500, positivity=1, gamma=1.0,
+                           rmsfactor=1.0, alpha=4.0, maxreweight=50):
+    """Band- AND space-sharded primal-dual backward step: the image
+    cube is sharded P('band','space',None), the dual/coefficient cube
+    P('band',None,'space',None) over its packed rows, so per-device
+    memory is O(nbasis*cube / (nband_shards*nspace)) — the PD analogue
+    of :func:`hessian_psf_space_dist` (SURVEY.md section 5,
+    "long-context analogue"; the reference has no spatial sharding at
+    all, its dual cubes live whole on each band actor,
+    pfb/opt/primal_dual.py:183-306).
+
+    Per iteration each device communicates: one all_gather of its
+    band-local image rows (analysis), one psum_scatter of the
+    reconstruction (synthesis), two all_to_alls inside the distributed
+    rFFT2 gradient, and the scalar/MFS psums — all O(image-plane), the
+    coefficient cube never travels. The wavelet convolutions are
+    replicated across the nspace shards of a band row (they are a
+    small fraction of the PSF-Hessian matvec FLOPs).
+
+    Engine is the distributed-FFT convolve; call
+    :func:`prep_psfhat_space` on PSFHAT first. Returns a function
+        f(x, v, data, psfhat_p, l1weight, lam, L, rms_comps,
+          do_reweight) -> (x, v, l1weight, niters)
+    accepting UNPADDED v/l1weight/rms_comps (padding of the packed row
+    axis to the space multiple is handled here).
+    """
+    from pfb_tpu.opt.primal_dual import apply_positivity
+
+    if nu is None:
+        nu = psi.nbasis
+    ps = mesh.shape["space"]
+    qy = -(-psi.Nymax // ps)
+    nyq = qy * ps
+
+    cube = P("band", "space", None)
+    coeff = P("band", None, "space", None)
+    wspec = P(None, "space", None)
+    pspec = P("band", None, "space")
+
+    def local(x, v, data, psfhat_p, l1weight, lam, L, rms_comps,
+              do_reweight):
+        sigma = L / (2.0 * gamma) / nu
+        tau = 0.9 / (L / (2.0 * gamma) + sigma * nu**2)
+
+        def grad(xl):
+            return _space_fft_conv_local(xl, psfhat_p, lastsize) - data
+
+        def gnorm_sq(a):
+            return lax.psum(jnp.sum(a * a), ("band", "space"))
+
+        def reweight(xl):
+            # MFS band sum over 'band' shards; each space shard only
+            # needs ITS coefficient rows (elementwise formula)
+            a = _psi_dot_space_local(xl, psi, qy)
+            mfs = lax.psum(jnp.sum(a, axis=0), "band")
+            mcomps = jnp.abs(mfs)
+            return (1 + rmsfactor) / \
+                (1 + mcomps**alpha / rms_comps**alpha)
+
+        def cond(state):
+            xp, vp, w, nrw, eps, done, k = state
+            return (~done) & (k < maxit)
+
+        def body(state):
+            xp, vp, w, nrw, eps, done, k = state
+            vnew = _dual_update_dist(
+                vp, _psi_dot_space_local(xp, psi, qy), lam, sigma, w)
+            xout = _psi_hdot_space_local(2.0 * vnew - vp, psi, qy) \
+                + grad(xp)
+            xnew = apply_positivity(xp - tau * xout, positivity)
+            num = gnorm_sq(xnew - xp)
+            den = 1e-12 + gnorm_sq(xnew)
+            eps = jnp.sqrt(num / den)
+            converged = eps < tol
+            do_rw = converged & do_reweight & (nrw < maxreweight)
+            w = lax.cond(do_rw, lambda: reweight(xnew), lambda: w)
+            nrw = nrw + do_rw.astype(nrw.dtype)
+            done = converged & ~do_rw
+            return xnew, vnew, w, nrw, eps, done, k + 1
+
+        dt = jnp.result_type(x.dtype, jnp.float32)
+        state0 = (x, v, l1weight, jnp.asarray(0, jnp.int32),
+                  jnp.asarray(1.0, dt), jnp.asarray(False),
+                  jnp.asarray(0, jnp.int32))
+        xf, vf, wf, nrw, eps, done, k = lax.while_loop(cond, body,
+                                                       state0)
+        return xf, vf, wf, k[None]
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(cube, coeff, cube, pspec, wspec, P(),
+                             P(), wspec, P()),
+                   out_specs=(cube, coeff, wspec, P(None)))
+    jfn = jax.jit(fn)
+
+    def padq(a, value=0.0):
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 2)
+                       + [(0, nyq - psi.Nymax), (0, 0)],
+                       constant_values=value)
+
+    def run(x, v, data, psfhat_p, l1weight, lam, L, rms_comps=None,
+            do_reweight=False):
+        if rms_comps is None:
+            rms_comps = jnp.ones_like(l1weight)
+        # rms_comps pads with ones: 0**alpha/0**alpha in the reweight
+        # formula would be nan (harmless but unsightly) on padded rows
+        xf, vf, wf, k = jfn(x, padq(v), data, psfhat_p, padq(l1weight),
+                            lam, L, padq(rms_comps, 1.0),
+                            jnp.asarray(do_reweight))
+        return (xf, vf[:, :, :psi.Nymax], wf[:, :psi.Nymax], k[0])
 
     return run
 

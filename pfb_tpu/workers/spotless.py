@@ -283,8 +283,8 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
                    alpha=4.0, hessnorm=None, pm_tol=1e-5, pm_maxit=100,
                    pd_tol=1e-5, pd_maxit=500, positivity=1,
                    epsilon=1e-7, do_wgridding=True, backend="dft",
-                   engine="fft", plane_block=0, write=True, verbose=1,
-                   **kw):
+                   engine="fft", plane_block=0, space_shards=0,
+                   write=True, verbose=1, **kw):
     """Mesh-resident spotless major cycle: the realisation of the
     reference's distributed design intent (pfb/workers/spotless.py:
     429-667, commented out upstream) as ONE SPMD program family.
@@ -303,13 +303,24 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
     operator design (spotless.py:429-667 + hessian.py:129-158) on the
     mesh; backend="pg" evaluates the exact vis-space residual through
     shard-local fused Pallas gridders instead of the DFT oracle.
+
+    space_shards > 1 additionally shards the primal-dual backward step
+    over a ('band', 'space') mesh: the DUAL cube — nbasis x the image
+    cube, the object that actually exceeds one device's HBM at scale —
+    lives P('band', None, 'space', None) and the PD gradient runs the
+    distributed-rFFT2 convolve (engine is forced to 'fft'; see
+    parallel.dist.primal_dual_space_dist). The band-local steps
+    (power method, data step, exact residual) replicate across the
+    space axis of each band row.
     """
     import jax
     import jax.numpy as jnp
     from pfb_tpu.parallel.dist import (coeff_rms_dist, hessian_psf_dist,
                                        make_hessian_dds_dist,
                                        power_method_dist,
-                                       primal_dual_dist)
+                                       prep_psfhat_space,
+                                       primal_dual_dist,
+                                       primal_dual_space_dist)
     from pfb_tpu.parallel.mesh import (band_sharding, coeff_sharding,
                                        make_mesh, replicated)
 
@@ -330,10 +341,19 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
     ny_psf = dds[0]["PSF"].shape[-1]
 
     if mesh is None:
-        mesh = make_mesh(nspace=1)
+        mesh = make_mesh(nspace=int(space_shards) or 1)
     nb_mesh = mesh.shape["band"]
+    nspace = mesh.shape["space"]
     assert nband % nb_mesh == 0, \
         f"nband {nband} not divisible by mesh band axis {nb_mesh}"
+    if nspace > 1:
+        assert nx % nspace == 0, \
+            f"nx {nx} not divisible by mesh space axis {nspace}"
+        if engine != "fft":
+            log.info("spotless-dist: space sharding forces "
+                     "engine='fft' (the PD gradient runs the "
+                     "distributed-rFFT2 convolve)")
+            engine = "fft"
 
     dirty, model, residual, psf, psfhat, beam, wsums, dual = dds2cubes(
         dds, nband, apparent=False)
@@ -419,10 +439,24 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
         l1weight = np.ones((nbasis, psi.Nymax, psi.Nxmax), dirty.dtype)
     l1w_d = jax.device_put(jnp.asarray(l1weight), repl)
 
-    pd = primal_dual_dist(mesh, psi, nu=nbasis, tol=pd_tol,
-                          maxit=pd_maxit, positivity=positivity,
-                          gamma=gamma, rmsfactor=rmsfactor, alpha=alpha,
-                          **ekw)
+    if nspace > 1:
+        # PD backward step over ('band','space'): sharded dual cube +
+        # distributed-rFFT2 gradient; hargs becomes the space-prepped
+        # PSFHAT (engine was forced to 'fft' above)
+        pd = primal_dual_space_dist(mesh, psi, ny_psf, nu=nbasis,
+                                    tol=pd_tol, maxit=pd_maxit,
+                                    positivity=positivity, gamma=gamma,
+                                    rmsfactor=rmsfactor, alpha=alpha)
+        pd_h = jax.device_put(
+            prep_psfhat_space(jnp.asarray(psfhat), nspace),
+            jax.NamedSharding(mesh, jax.sharding.PartitionSpec(
+                "band", None, "space")))
+    else:
+        pd = primal_dual_dist(mesh, psi, nu=nbasis, tol=pd_tol,
+                              maxit=pd_maxit, positivity=positivity,
+                              gamma=gamma, rmsfactor=rmsfactor,
+                              alpha=alpha, **ekw)
+        pd_h = hargs
     hess_exact = make_hessian_dds_dist(mesh, dds, nband, wsum, nx, ny,
                                        use_beam=False, backend=backend,
                                        epsilon=epsilon,
@@ -451,7 +485,7 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
                                 dirty.dtype)), repl) if do_rw else None
 
         model_d, dual_d, l1w_d, pd_iters = pd(
-            model_d, dual_d, data, hargs, l1w_d,
+            model_d, dual_d, data, pd_h, l1w_d,
             jnp.asarray(rf * rms, dirty.dtype),
             jnp.asarray(hessnorm, dirty.dtype),
             rms_comps=rms_comps_d, do_reweight=do_rw)

@@ -91,3 +91,27 @@ def test_spotless_dist_resume_l1weight(pipeline4, tmp_path):
                    **kw)
     dds3 = dstore.read_store(out + "_I_main.dds")
     assert dds3[0]["niters"] == 2
+
+
+def test_spotless_dist_space_shards_matches_local(pipeline4, tmp_path):
+    """space_shards>1 (band+space mesh: sharded dual cube, space-dist
+    PD gradient) reproduces the single-device worker through major
+    iterations including an l1-reweight."""
+    from pfb_tpu.parallel.mesh import make_mesh
+    p = pipeline4
+    hessnorm = _hessnorm(p["dds"])
+    kw = dict(niter=2, rmsfactor=0.3, gamma=1.0, bases="self,db1",
+              nlevels=2, l1reweight_from=2, pd_tol=1e-6, pd_maxit=300,
+              hessnorm=hessnorm, verbose=0)
+
+    m_loc, r_loc = _spotless(ddsi=[dict(ds) for ds in p["dds"]],
+                             output_filename=str(tmp_path / "loc"),
+                             **kw)
+
+    mesh = make_mesh(nband=2, nspace=4)
+    m_sp, r_sp = _spotless_dist(
+        mesh=mesh, ddsi=[dict(ds) for ds in p["dds"]],
+        output_filename=str(tmp_path / "sp"), **kw)
+
+    assert_allclose(m_sp, m_loc, rtol=1e-7, atol=1e-9)
+    assert_allclose(r_sp, r_loc, rtol=1e-7, atol=1e-9)
