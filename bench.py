@@ -252,7 +252,8 @@ def main():
                 k: round(min(v), 3) for k, v in g4.items()}
             result["gridder4096_nblocks"] = int(bp["nblocks"])
         except Exception as e:  # pragma: no cover - device-dependent
-            result["gridder4096_error"] = f"{type(e).__name__}"
+            result["gridder4096_error"] = \
+                f"{type(e).__name__}: {str(e)[:120]}"
 
     print(json.dumps(result))
 

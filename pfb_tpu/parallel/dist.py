@@ -305,7 +305,6 @@ def primal_dual_dist(mesh, psi, lastsize=None, nu=None, tol=1e-5,
     both phases of the major cycle.
     """
     from pfb_tpu.ops.psi import psi_dot, psi_hdot
-    from pfb_tpu.opt.primal_dual import apply_positivity
 
     hess, hspecs = _hessian_engine(engine, lastsize=lastsize, nx=nx,
                                    ny=ny, row_block=row_block, nh=nh,
@@ -344,7 +343,7 @@ def primal_dual_dist(mesh, psi, lastsize=None, nu=None, tol=1e-5,
             vnew = _dual_update_dist(vp, psi_dot(xp, psi), lam, sigma,
                                      w)
             xout = psi_hdot(2.0 * vnew - vp, psi) + grad(xp)
-            xnew = apply_positivity(xp - tau * xout, positivity)
+            xnew = _apply_positivity_dist(xp - tau * xout, positivity)
             num = gnorm_sq(xnew - xp)
             den = 1e-12 + gnorm_sq(xnew)
             eps = jnp.sqrt(num / den)
@@ -381,6 +380,21 @@ def primal_dual_dist(mesh, psi, lastsize=None, nu=None, tol=1e-5,
         return xf, vf, wf, k[0]
 
     return run
+
+
+def _apply_positivity_dist(x, positivity):
+    """Distributed twin of opt.primal_dual.apply_positivity: mode 2
+    ("zero every pixel column where ANY band is <= 0", reference
+    primal_dual.py:57-61) needs the any-band mask reduced across the
+    'band' mesh axis — a shard-local jnp.any only sees local bands and
+    silently diverges from the single-device solver at >1 band shard."""
+    if positivity == 1:
+        return jnp.maximum(x, 0.0)
+    if positivity == 2:
+        msk = jnp.any(x <= 0.0, axis=0, keepdims=True)
+        msk = lax.psum(msk.astype(jnp.int32), "band") > 0
+        return jnp.where(msk, 0.0, x)
+    return x
 
 
 def _psi_dot_space_local(xl, psi, qy):
@@ -423,7 +437,8 @@ def _psi_hdot_space_local(al, psi, qy):
 
 def primal_dual_space_dist(mesh, psi, lastsize, nu=None, tol=1e-5,
                            maxit=500, positivity=1, gamma=1.0,
-                           rmsfactor=1.0, alpha=4.0, maxreweight=50):
+                           rmsfactor=1.0, alpha=4.0, maxreweight=50,
+                           psi_method="auto"):
     """Band- AND space-sharded primal-dual backward step: the image
     cube is sharded P('band','space',None), the dual/coefficient cube
     P('band',None,'space',None) over its packed rows, so per-device
@@ -433,13 +448,16 @@ def primal_dual_space_dist(mesh, psi, lastsize, nu=None, tol=1e-5,
     all, its dual cubes live whole on each band actor,
     pfb/opt/primal_dual.py:183-306).
 
-    Per iteration each device communicates: one all_gather of its
-    band-local image rows (analysis), one psum_scatter of the
-    reconstruction (synthesis), two all_to_alls inside the distributed
-    rFFT2 gradient, and the scalar/MFS psums — all O(image-plane), the
-    coefficient cube never travels. The wavelet convolutions are
-    replicated across the nspace shards of a band row (they are a
-    small fraction of the PSF-Hessian matvec FLOPs).
+    psi_method selects the space-sharded dictionary:
+    - "halo" (parallel/dwt_halo.py): filter-length halo exchange +
+      packed-aligned all_to_all transposes; wavelet compute AND comms
+      scale ~1/nspace.
+    - "gather": all_gather the band-local image rows and replicate the
+      transform per shard (the round-3 design; O(image) comms,
+      replicated compute).
+    - "auto" (default): halo where its shape preconditions hold
+      (nx divisible by nspace*2^nlevel, per-shard chunks >= F-2),
+      else gather.
 
     Engine is the distributed-FFT convolve; call
     :func:`prep_psfhat_space` on PSFHAT first. Returns a function
@@ -448,13 +466,41 @@ def primal_dual_space_dist(mesh, psi, lastsize, nu=None, tol=1e-5,
     accepting UNPADDED v/l1weight/rms_comps (padding of the packed row
     axis to the space multiple is handled here).
     """
-    from pfb_tpu.opt.primal_dual import apply_positivity
-
     if nu is None:
         nu = psi.nbasis
     ps = mesh.shape["space"]
+    if psi.nx % ps != 0:
+        raise ValueError(
+            f"image rows nx={psi.nx} not divisible by the mesh space "
+            f"axis {ps} (required by the all_to_all/psum_scatter "
+            f"transposes); pick a space axis that divides nx")
     qy = -(-psi.Nymax // ps)
     nyq = qy * ps
+
+    halo_plan = None
+    if psi_method in ("auto", "halo"):
+        from pfb_tpu.parallel.dwt_halo import make_halo_plan
+        try:
+            halo_plan = make_halo_plan(psi, ps, qy)
+        except ValueError:
+            if psi_method == "halo":
+                raise
+
+    if halo_plan is not None:
+        from pfb_tpu.parallel.dwt_halo import (halo_psi_dot_local,
+                                               halo_psi_hdot_local)
+
+        def psi_dot_l(xl):
+            return halo_psi_dot_local(xl, halo_plan)
+
+        def psi_hdot_l(al):
+            return halo_psi_hdot_local(al, halo_plan)
+    else:
+        def psi_dot_l(xl):
+            return _psi_dot_space_local(xl, psi, qy)
+
+        def psi_hdot_l(al):
+            return _psi_hdot_space_local(al, psi, qy)
 
     cube = P("band", "space", None)
     coeff = P("band", None, "space", None)
@@ -475,7 +521,7 @@ def primal_dual_space_dist(mesh, psi, lastsize, nu=None, tol=1e-5,
         def reweight(xl):
             # MFS band sum over 'band' shards; each space shard only
             # needs ITS coefficient rows (elementwise formula)
-            a = _psi_dot_space_local(xl, psi, qy)
+            a = psi_dot_l(xl)
             mfs = lax.psum(jnp.sum(a, axis=0), "band")
             mcomps = jnp.abs(mfs)
             return (1 + rmsfactor) / \
@@ -488,10 +534,9 @@ def primal_dual_space_dist(mesh, psi, lastsize, nu=None, tol=1e-5,
         def body(state):
             xp, vp, w, nrw, eps, done, k = state
             vnew = _dual_update_dist(
-                vp, _psi_dot_space_local(xp, psi, qy), lam, sigma, w)
-            xout = _psi_hdot_space_local(2.0 * vnew - vp, psi, qy) \
-                + grad(xp)
-            xnew = apply_positivity(xp - tau * xout, positivity)
+                vp, psi_dot_l(xp), lam, sigma, w)
+            xout = psi_hdot_l(2.0 * vnew - vp) + grad(xp)
+            xnew = _apply_positivity_dist(xp - tau * xout, positivity)
             num = gnorm_sq(xnew - xp)
             den = 1e-12 + gnorm_sq(xnew)
             eps = jnp.sqrt(num / den)

@@ -342,6 +342,10 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
 
     if mesh is None:
         mesh = make_mesh(nspace=int(space_shards) or 1)
+    elif space_shards and mesh.shape["space"] != int(space_shards):
+        raise ValueError(
+            f"explicit mesh has space axis {mesh.shape['space']} but "
+            f"space_shards={space_shards} was also given — drop one")
     nb_mesh = mesh.shape["band"]
     nspace = mesh.shape["space"]
     assert nband % nb_mesh == 0, \

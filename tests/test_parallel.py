@@ -99,13 +99,19 @@ def test_pcg_dist_matches_local(mesh8):
     assert_allclose(x_dist, x_local, rtol=1e-8, atol=1e-10)
 
 
-def test_primal_dual_dist_matches_local(mesh8):
+@pytest.mark.parametrize("positivity", [1, 2])
+def test_primal_dual_dist_matches_local(mesh8, positivity):
+    """positivity=2 is the ADVICE r3 regression: its any-band mask must
+    be reduced over the 'band' MESH axis (each shard only sees local
+    bands), so band-varying amplitudes would silently diverge from the
+    single-device solver without the psum."""
     nband, nx, ny = 8, 32, 32
     psf, psfhat, lastsize = _psf_setup(nband, nx, ny)
     rng = np.random.default_rng(3)
     model = np.zeros((nband, nx, ny))
-    model[:, 10, 12] = 1.5
-    model[:, 20, 8] = 2.0
+    amp = 1.0 + 0.25 * np.arange(nband)
+    model[:, 10, 12] = 1.5 * amp
+    model[:, 20, 8] = 2.0 * amp[::-1]
 
     psi = make_psi(nx, ny, ("self", "db1"), 2)
     nbasis = psi.nbasis
@@ -127,13 +133,13 @@ def test_primal_dual_dist_matches_local(mesh8):
     x_local, v_local, _, _ = primal_dual(x0, v0, lam, psiH_fn, psi_fn,
                                          L, w, grad, nu=nbasis,
                                          tol=1e-7, maxit=300,
-                                         positivity=1)
+                                         positivity=positivity)
 
     sh = band_sharding(mesh8)
     csh = jax.sharding.NamedSharding(
         mesh8, jax.sharding.PartitionSpec("band", None, None, None))
     pd = primal_dual_dist(mesh8, psi, lastsize, nu=nbasis, tol=1e-7,
-                          maxit=300, positivity=1)
+                          maxit=300, positivity=positivity)
     x_dist, v_dist, _, _ = pd(
         jax.device_put(x0, sh), jax.device_put(v0, csh),
         jax.device_put(data, sh),
@@ -281,11 +287,13 @@ def test_fluxmop_space_shards_matches_local(tmp_path):
                     atol=1e-10 * np.abs(r_ref).max())
 
 
-def test_primal_dual_space_dist_matches_local():
-    """Band+space-sharded primal-dual (sharded dual cube, gathered-
-    image analysis, scatter-summed synthesis, distributed-rFFT2
-    gradient) agrees with the single-program solver to f64 — including
-    through a reweight-on-converge restart."""
+@pytest.mark.parametrize("psi_method", ["halo", "gather"])
+def test_primal_dual_space_dist_matches_local(psi_method):
+    """Band+space-sharded primal-dual agrees with the single-program
+    solver to f64 — including through a reweight-on-converge restart —
+    for BOTH space-sharded dictionaries: the halo-exchange Psi
+    (parallel/dwt_halo.py, compute/comms ~1/nspace) and the gather
+    fallback."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from pfb_tpu.parallel.dist import (prep_psfhat_space,
@@ -321,7 +329,8 @@ def test_primal_dual_space_dist_matches_local():
     php = prep_psfhat_space(jnp.asarray(psfhat), 4)
     cube_sh = NamedSharding(mesh, P("band", "space", None))
     pd = primal_dual_space_dist(mesh, psi, lastsize, nu=nbasis,
-                                tol=1e-7, maxit=300, positivity=1)
+                                tol=1e-7, maxit=300, positivity=1,
+                                psi_method=psi_method)
 
     for do_rw in (False, True):
         x_local, v_local, w_local, _ = primal_dual(
