@@ -182,6 +182,20 @@ def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
             uvw_np, freq_np, Nx, Ny, cellx, celly, txs, tys, ntx,
             nty, w0, dw, nw, C, k)
 
+    # drop all-padding entries (one per EMPTY uv tile): the kernel's
+    # cost is per grid STEP (~2 us fixed, round-4 profiling), so empty
+    # tiles are excluded from the entry stream entirely; their
+    # never-written output blocks are zeroed by the tile-validity mask
+    # in _spread_fold. At 4096^2 w-blocked plans 85% of entries were
+    # empty-tile padding.
+    live = pmask.any(axis=1)
+    if not live.any():
+        live[0] = True  # keep one entry so shapes stay non-empty
+    if not live.all():
+        pos, utid = pos[live], utid[live]
+        idx, pmask = idx[live], pmask[live]
+        nentries = utid.size
+
     if nentries_to is not None:
         if nentries_to < nentries:
             raise ValueError(
@@ -212,8 +226,8 @@ def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
         freq_d=jnp.asarray(freq_np.astype(dtype)))
 
 
-def _grid_kernel(tid_ref, pk_ref, vis_ref, out_ref, *, k, beta, nw,
-                 Thx, Thy, C, prec):
+def _grid_kernel(tid_ref, pflag_ref, pk_ref, vis_ref, out_ref, *, k,
+                 beta, nw, Thx, Thy, C, prec):
     e = pl.program_id(0)
     ep = jnp.maximum(e - 1, 0)
     first = jnp.logical_or(e == 0, tid_ref[e] != tid_ref[ep])
@@ -222,43 +236,57 @@ def _grid_kernel(tid_ref, pk_ref, vis_ref, out_ref, *, k, beta, nw,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    dt = out_ref.dtype
-    kh = k / 2.0
-    u = pk_ref[0, 0, :]
-    v = pk_ref[0, 1, :]
-    wf = pk_ref[0, 2, :]
-    # Mosaic iota is integer-only; cast to the compute dtype after
-    xs = lax.broadcasted_iota(jnp.int32, (Thx, C), 0).astype(dt)
-    CUT = _es((xs - u[None, :]) / kh, beta, k)          # (Thx, C)
-    ys = lax.broadcasted_iota(jnp.int32, (C, Thy), 1).astype(dt)
-    CV = _es((ys - v[:, None]) / kh, beta, k)           # (C, Thy)
-    ps = lax.broadcasted_iota(jnp.int32, (nw, C), 0).astype(dt)
-    CW = _es((ps - wf[None, :]) / kh, beta, k) if nw > 1 else \
-        jnp.ones((nw, C), dt)                           # (nw, C)
+    # padding entries (all-masked: one per EMPTY uv tile so its block
+    # is written, plus shard-alignment no-ops) skip the whole VPU/MXU
+    # body — at 4096^2 most tiles are empty and padding dominates the
+    # entry stream (round-4 profiling: the kernel is per-entry
+    # VPU-bound, so skipped entries are ~free)
+    @pl.when(pflag_ref[e] != 0)
+    def _():
+        dt = out_ref.dtype
+        kh = k / 2.0
+        u = pk_ref[0, 0, :]
+        v = pk_ref[0, 1, :]
+        wf = pk_ref[0, 2, :]
+        # Mosaic iota is integer-only; cast to the compute dtype after
+        xs = lax.broadcasted_iota(jnp.int32, (Thx, C), 0).astype(dt)
+        CUT = _es((xs - u[None, :]) / kh, beta, k)      # (Thx, C)
+        ys = lax.broadcasted_iota(jnp.int32, (C, Thy), 1).astype(dt)
+        CV = _es((ys - v[:, None]) / kh, beta, k)       # (C, Thy)
+        ps = lax.broadcasted_iota(jnp.int32, (nw, C), 0).astype(dt)
+        CW = _es((ps - wf[None, :]) / kh, beta, k) if nw > 1 else \
+            jnp.ones((nw, C), dt)                       # (nw, C)
 
-    for comp in (0, 1):
-        val = vis_ref[0, comp, :]
-        s = CW * val[None, :]                           # (nw, C)
-        lhs = CUT[None, :, :] * s[:, None, :]           # (nw, Thx, C)
-        res = lax.dot_general(
-            lhs.reshape(nw * Thx, C), CV,
-            (((1,), (0,)), ((), ())), precision=prec,
-            preferred_element_type=dt)
-        out_ref[comp, :, 0] += res.reshape(nw, Thx, Thy)
+        for comp in (0, 1):
+            val = vis_ref[0, comp, :]
+            s = CW * val[None, :]                       # (nw, C)
+            lhs = CUT[None, :, :] * s[:, None, :]       # (nw, Thx, C)
+            res = lax.dot_general(
+                lhs.reshape(nw * Thx, C), CV,
+                (((1,), (0,)), ((), ())), precision=prec,
+                preferred_element_type=dt)
+            out_ref[comp, :, 0] += res.reshape(nw, Thx, Thy)
 
 
 def _grid_pallas(tid, pos, vispack, beta, k, nw, ntiles, Thx, Thy, C,
-                 interpret=False, precision=lax.Precision.HIGHEST):
+                 interpret=False, precision=lax.Precision.HIGHEST,
+                 pflag=None):
     dt = vispack.dtype
+    if pflag is None:
+        # entry has any live visibility (cheap one-off on device)
+        pflag = (jnp.sum(vispack[:, 0, :] != 0, axis=-1)
+                 + jnp.sum(vispack[:, 1, :] != 0, axis=-1) > 0
+                 ).astype(jnp.int32)
     kern = partial(_grid_kernel, k=k, beta=beta, nw=nw, Thx=Thx,
                    Thy=Thy, C=C, prec=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(pos.shape[0],),
-        in_specs=[pl.BlockSpec((1, 8, C), lambda e, tid: (e, 0, 0)),
-                  pl.BlockSpec((1, 2, C), lambda e, tid: (e, 0, 0))],
+        in_specs=[pl.BlockSpec((1, 8, C), lambda e, *_: (e, 0, 0)),
+                  pl.BlockSpec((1, 2, C), lambda e, *_: (e, 0, 0))],
         out_specs=pl.BlockSpec((2, nw, 1, Thx, Thy),
-                               lambda e, tid: (0, 0, tid[e], 0, 0)),
+                               lambda e, tid, pf: (0, 0, tid[e], 0,
+                                                   0)),
     )
     kw = dict(interpret=interpret)
     if not interpret:
@@ -267,7 +295,118 @@ def _grid_pallas(tid, pos, vispack, beta, k, nw, ntiles, Thx, Thy, C,
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, nw, ntiles, Thx, Thy), dt),
-        **kw)(tid, pos, vispack)
+        **kw)(tid, pflag, pos, vispack)
+
+
+def _droll(a, shift, axis):
+    """Dynamic rotate inside a kernel (Mosaic DynamicRotate when
+    available, jnp.roll in interpret mode)."""
+    try:
+        return pltpu.roll(a, shift, axis)
+    except Exception:
+        return jnp.roll(a, shift, axis=axis)
+
+
+def _fold_kernel(ltid_ref, lflag_ref, ax8_ref, ay128_ref, ox_ref,
+                 oy_ref, y_ref, bin_ref, bout_ref, win_ref, sem_ref,
+                 *, Thx, Thy, EX, EY, nw2):
+    del bin_ref  # aliased with bout_ref; all access goes through out
+    """DMA read-modify-write fold: accumulate one live tile's halo'd
+    (nw2, Thx, Thy) block into the extended grid at its true offset.
+    Window starts are aligned down to (8, 128) tiles (alignment passed
+    as prefetched tile indices so Mosaic can prove the HBM slice is
+    legal); the sub-tile offset is applied by rolling the block inside
+    the (nw2, EX, EY) staging window. Steps run synchronously
+    (wait-read, add, wait-write) — neighbouring tiles' windows overlap
+    by the halo, so a later read must see the earlier write."""
+    e = pl.program_id(0)
+
+    @pl.when(lflag_ref[e] != 0)
+    def _():
+        ax = ax8_ref[e] * 8
+        ay = ay128_ref[e] * 128
+        rd = pltpu.make_async_copy(
+            bout_ref.at[:, pl.ds(ax, EX), pl.ds(ay, EY)], win_ref,
+            sem_ref.at[0])
+        rd.start()
+        rd.wait()
+        blk = y_ref[...].reshape(nw2, Thx, Thy)
+        st = jnp.pad(blk, ((0, 0), (0, EX - Thx), (0, EY - Thy)))
+        st = _droll(st, ox_ref[e], 1)
+        st = _droll(st, oy_ref[e], 2)
+        win_ref[...] = win_ref[...] + st
+        wr = pltpu.make_async_copy(
+            win_ref, bout_ref.at[:, pl.ds(ax, EX), pl.ds(ay, EY)],
+            sem_ref.at[1])
+        wr.start()
+        wr.wait()
+
+
+def _fold_pallas(Yc, ltid, lflag, *, ntx, nty, txs, tys, k, Nx, Ny,
+                 nw, interpret=False):
+    """Compact-Y fold: (2nw, NE, Thx, Thy) live-tile blocks -> the
+    (2nw, Nx, Ny) periodic grids. Replaces the XLA reshape/pad/add
+    fold (_fold_tiles), which materialised the DENSE (2nw, ntiles,
+    Thx, Thy) buffer — 4 GB and ~120 ms per w-block at 4096^2 (round-4
+    lab) versus ~10 ms of actual data movement."""
+    nw2, NE, Thx, Thy = Yc.shape
+    EX = -(-(Thx + 8) // 8) * 8
+    EY = -(-(Thy + 128) // 128) * 128
+    # extended buffer bounds (window starts aligned down)
+    MxE = ((ntx - 1) * txs // 8) * 8 + EX
+    MyE = ((nty - 1) * tys // 128) * 128 + EY
+
+    xs = (ltid // nty) * txs
+    ys = (ltid % nty) * tys
+    ax8 = jnp.where(lflag > 0, xs // 8, 0).astype(jnp.int32)
+    ay128 = jnp.where(lflag > 0, ys // 128, 0).astype(jnp.int32)
+    ox = jnp.where(lflag > 0, xs - ax8 * 8, 0).astype(jnp.int32)
+    oy = jnp.where(lflag > 0, ys - ay128 * 128, 0).astype(jnp.int32)
+
+    buf0 = jnp.zeros((nw2, MxE, MyE), Yc.dtype)
+    kern = partial(_fold_kernel, Thx=Thx, Thy=Thy, EX=EX, EY=EY,
+                   nw2=nw2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(NE,),
+        in_specs=[pl.BlockSpec((nw2, 1, Thx, Thy),
+                               lambda e, *_: (0, e, 0, 0)),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((nw2, EX, EY), Yc.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    kw = dict(interpret=interpret)
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    ext = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nw2, MxE, MyE), Yc.dtype),
+        input_output_aliases={7: 0},
+        **kw)(ltid, lflag, ax8, ay128, ox, oy, Yc, buf0)
+
+    # wrap the extended margins back mod (Nx, Ny) (static loop: tiny
+    # grids can wrap more than once), then shift by the half-kernel
+    # offset (extended coord e -> global e - k//2)
+    def wrap(g, N, axis):
+        while g.shape[axis] > N:
+            take = min(g.shape[axis] - N, N)
+            head = lax.slice_in_dim(g, 0, N, axis=axis)
+            tail = lax.slice_in_dim(g, N, N + take, axis=axis)
+            pads = [(0, 0)] * g.ndim
+            pads[axis] = (0, N - take)
+            head = head + jnp.pad(tail, pads)
+            if g.shape[axis] > 2 * N:
+                rest = lax.slice_in_dim(g, 2 * N, None, axis=axis)
+                g = jnp.concatenate([head, rest], axis=axis)
+            else:
+                g = head
+        return g
+
+    g = wrap(wrap(ext, Nx, 1), Ny, 2)
+    h = k // 2
+    return jnp.roll(g, (-h, -h), axis=(-2, -1))
 
 
 def _shift_phases(uvw, freq, x0, y0):
@@ -280,12 +419,20 @@ def _shift_phases(uvw, freq, x0, y0):
 
 def _spread_fold(vr, vi, wflat, tid, pos, idx, pm, uvw, freq, *, beta,
                  k, nw, ntx, nty, txs, tys, C, x0, y0, Nx, Ny,
-                 interpret, precision=lax.Precision.HIGHEST):
+                 interpret, precision=lax.Precision.HIGHEST,
+                 fold="dma"):
     """Weight+shift the vis components, gather-pack per tile entry,
     Pallas spread and tile fold -> the (2nw, Nx, Ny) extended grids
     (real planes then imag planes). The row-local half of the adjoint:
     summing these grids over row shards is exact, which is what
-    vis2dirty_rowdist psums."""
+    vis2dirty_rowdist psums.
+
+    fold="dma" (default): the spread writes a COMPACT Y (one block per
+    live tile, indexed by a device-derived compact tile id) and the
+    Pallas DMA fold (_fold_pallas) accumulates blocks straight into
+    the extended grid — the dense (2nw, ntiles, Thx, Thy) buffer of
+    the "xla" fold cost 4 GB and ~120 ms per w-block at 4096^2.
+    fold="xla" keeps the dense-Y reshape/pad/add fold."""
     Thx, Thy = txs + k, tys + k
     if x0 or y0:
         cs, sn = _shift_phases(uvw, freq, x0, y0)
@@ -296,8 +443,35 @@ def _spread_fold(vr, vi, wflat, tid, pos, idx, pm, uvw, freq, *, beta,
     vr, vi = vr.reshape(-1), vi.reshape(-1)
     vispack = jnp.stack([vr[idx] * pm, vi[idx] * pm], axis=1)
 
+    # live entries / tiles, derived on device from tid/pm so every
+    # caller (sharded / stacked / no-op-padded plans) stays correct
+    # with no plan-format change
+    lv = (jnp.sum(pm, axis=1) > 0).astype(jnp.int32)
+    tid = tid.astype(jnp.int32)
+
+    if fold == "dma":
+        NE = tid.shape[0]
+        tval = jnp.zeros((ntx * nty,), jnp.int32).at[tid].max(lv)
+        cum = jnp.cumsum(tval) - tval
+        ctid = cum[tid].astype(jnp.int32)
+        Yc = _grid_pallas(ctid, pos, vispack, beta, k, nw, NE, Thx,
+                          Thy, C, interpret=interpret,
+                          precision=precision, pflag=lv)
+        Yc = Yc.reshape(2 * nw, NE, Thx, Thy)
+        ltid = jnp.zeros((NE,), jnp.int32).at[ctid].set(tid)
+        lflag = jnp.zeros((NE,), jnp.int32).at[ctid].max(lv)
+        return _fold_pallas(Yc, ltid, lflag, ntx=ntx, nty=nty,
+                            txs=txs, tys=tys, k=k, Nx=Nx, Ny=Ny,
+                            nw=nw, interpret=interpret)
+
     Y = _grid_pallas(tid, pos, vispack, beta, k, nw, ntx * nty, Thx,
-                     Thy, C, interpret=interpret, precision=precision)
+                     Thy, C, interpret=interpret, precision=precision,
+                     pflag=lv)
+    # tiles with no live entry were never written — their blocks are
+    # uninitialised memory; jnp.where (NOT multiply: NaN*0=NaN) zeroes
+    # them.
+    tval = jnp.zeros((ntx * nty,), jnp.int32).at[tid].max(lv) > 0
+    Y = jnp.where(tval[None, :, None, None], Y, 0.0)
     return _fold_tiles(Y.reshape(2 * nw, ntx, nty, Thx, Thy), ntx,
                        nty, txs, tys, k, Nx, Ny)
 
@@ -385,20 +559,27 @@ def vis2dirty_pg(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     return _adjoint_from_plan(p, vr, vi, w, interpret)
 
 
-def _degrid_kernel(tid_ref, stx_ref, sty_ref, pk_ref, gr_ref, gi_ref,
-                   out_ref, win_ref, sem_ref, *, k, beta, nw, ThxA,
-                   ThyA, C, prec):
+def _degrid_kernel(tid_ref, pflag_ref, stx_ref, sty_ref, pk_ref,
+                   gr_ref, gi_ref, out_ref, win_ref, sem_ref, *, k,
+                   beta, nw, ThxA, ThyA, C, prec):
     """Gather twin of _grid_kernel: the tile's halo'd (nw, ThxA, ThyA)
     window for both components is DMA'd HBM->VMEM only when the
     scalar-prefetched tile id changes (window starts are (8, 128)-tile
     aligned so the HBM slice is legal); each entry then runs ONE MXU
     matmul per component, D = [win (nw*ThxA, ThyA)] @ [CVT (ThyA, C)],
-    finished by a VPU contraction against CW (x) CUT."""
+    finished by a VPU contraction against CW (x) CUT.
+
+    Padding entries (empty-tile writers / shard no-ops, pm all zero)
+    skip both the DMA and the compute and just zero their output
+    block; safe because a padding entry never precedes a LIVE entry of
+    the same tile (empty-tile entries are singletons; shard no-ops
+    reuse the last tile id and come after its live entries)."""
     e = pl.program_id(0)
     ep = jnp.maximum(e - 1, 0)
     changed = jnp.logical_or(e == 0, tid_ref[e] != tid_ref[ep])
+    live = pflag_ref[e] != 0
 
-    @pl.when(changed)
+    @pl.when(jnp.logical_and(changed, live))
     def _():
         # starts arrive as (8, 128)-tile indices: the explicit
         # multiply lets Mosaic prove the HBM slice is tile-aligned
@@ -415,37 +596,49 @@ def _degrid_kernel(tid_ref, stx_ref, sty_ref, pk_ref, gr_ref, gi_ref,
         cr.wait()
         ci.wait()
 
-    dt = out_ref.dtype
-    kh = k / 2.0
-    u = pk_ref[0, 3, :]
-    v = pk_ref[0, 4, :]
-    wf = pk_ref[0, 2, :]
-    xs = lax.broadcasted_iota(jnp.int32, (ThxA, C), 0).astype(dt)
-    CUT = _es((xs - u[None, :]) / kh, beta, k)          # (ThxA, C)
-    ys = lax.broadcasted_iota(jnp.int32, (ThyA, C), 0).astype(dt)
-    CVT = _es((ys - v[None, :]) / kh, beta, k)          # (ThyA, C)
-    ps = lax.broadcasted_iota(jnp.int32, (nw, C), 0).astype(dt)
-    CW = _es((ps - wf[None, :]) / kh, beta, k) if nw > 1 else \
-        jnp.ones((nw, C), dt)                           # (nw, C)
-    # A[(p, x), c] = CW[p, c] * CUT[x, c]
-    A = (CW[:, None, :] * CUT[None, :, :]).reshape(nw * ThxA, C)
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-    for comp in (0, 1):
-        B = win_ref[comp].reshape(nw * ThxA, ThyA)
-        D = lax.dot_general(B, CVT, (((1,), (0,)), ((), ())),
-                            precision=prec,
-                            preferred_element_type=dt)  # (nw*ThxA, C)
-        out_ref[0, comp, :] = jnp.sum(A * D, axis=0)
+    @pl.when(live)
+    def _():
+        dt = out_ref.dtype
+        kh = k / 2.0
+        u = pk_ref[0, 3, :]
+        v = pk_ref[0, 4, :]
+        wf = pk_ref[0, 2, :]
+        xs = lax.broadcasted_iota(jnp.int32, (ThxA, C), 0).astype(dt)
+        CUT = _es((xs - u[None, :]) / kh, beta, k)      # (ThxA, C)
+        ys = lax.broadcasted_iota(jnp.int32, (ThyA, C), 0).astype(dt)
+        CVT = _es((ys - v[None, :]) / kh, beta, k)      # (ThyA, C)
+        ps = lax.broadcasted_iota(jnp.int32, (nw, C), 0).astype(dt)
+        CW = _es((ps - wf[None, :]) / kh, beta, k) if nw > 1 else \
+            jnp.ones((nw, C), dt)                       # (nw, C)
+        # A[(p, x), c] = CW[p, c] * CUT[x, c]
+        A = (CW[:, None, :] * CUT[None, :, :]).reshape(nw * ThxA, C)
+
+        for comp in (0, 1):
+            B = win_ref[comp].reshape(nw * ThxA, ThyA)
+            D = lax.dot_general(B, CVT, (((1,), (0,)), ((), ())),
+                                precision=prec,
+                                preferred_element_type=dt)
+            out_ref[0, comp, :] = jnp.sum(A * D, axis=0)
 
 
 def _degrid_pallas(tid, stx, sty, pos, gr_pad, gi_pad, beta, k, nw,
                    ThxA, ThyA, C, interpret=False,
-                   precision=lax.Precision.HIGHEST):
+                   precision=lax.Precision.HIGHEST, pflag=None,
+                   pm=None):
     dt = gr_pad.dtype
+    if pflag is None:
+        if pm is None:
+            pflag = jnp.ones((pos.shape[0],), jnp.int32)
+        else:
+            pflag = (jnp.sum(pm, axis=1) > 0).astype(jnp.int32)
     kern = partial(_degrid_kernel, k=k, beta=beta, nw=nw, ThxA=ThxA,
                    ThyA=ThyA, C=C, prec=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(pos.shape[0],),
         in_specs=[
             pl.BlockSpec((1, 8, C), lambda e, *_: (e, 0, 0)),
@@ -465,7 +658,7 @@ def _degrid_pallas(tid, stx, sty, pos, gr_pad, gi_pad, beta, k, nw,
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((pos.shape[0], 2, C), dt),
-        **kw)(tid, stx, sty, pos, gr_pad, gi_pad)
+        **kw)(tid, pflag, stx, sty, pos, gr_pad, gi_pad)
 
 
 @partial(jax.jit, static_argnames=(
@@ -504,7 +697,8 @@ def _pg_forward(image, pos, idx, pm, uvw, freq, tid=None, *, beta, k,
         # (8, 128)-tile indices of the aligned window starts
         out = _degrid_pallas(tid, sx // 8, sy // 128, pos, ger, gei,
                              beta, k, nw, ThxA, ThyA, C,
-                             interpret=interpret, precision=precision)
+                             interpret=interpret, precision=precision,
+                             pm=pm)
         accr, acci = out[:, 0, :], out[:, 1, :]
     else:
         def one(args):
@@ -750,7 +944,7 @@ def _forward_wblocked_impl(bp, image, interpret):
         sy = pos[:, 6, 0].astype(jnp.int32)
         out = _degrid_pallas(tid, sx // 8, sy // 128, pos, ger, gei,
                              p0["beta"], k, B, ThxA, ThyA, C,
-                             interpret=interpret)
+                             interpret=interpret, pm=pm)
         accr, acci = out[:, 0, :], out[:, 1, :]
         nvis_b = bp["Rb"] * nchan
         fr = jnp.zeros((nvis_b,), rdt).at[idx.reshape(-1)].add(
