@@ -321,19 +321,48 @@ def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
         grp = jnp.pad(gr, ((0, npad), (0, 0), (0, 0)))
         gip = jnp.pad(gi, ((0, npad), (0, 0), (0, 0)))
         wp = w0 + dw * jnp.arange(nc * wc, dtype=rdtype)
-
-        def accum(carry, args):
-            grb, gib, wpb = args
-            ir, ii = plane_images(grb, gib)
-            ph = (2.0 * jnp.pi) * wpb[:, None, None] * nm1[None]
-            contrib = ir * jnp.cos(ph) - ii * jnp.sin(ph)
-            return carry + jnp.sum(contrib, axis=0), None
-
         img0 = jnp.zeros((nx, ny), rdtype)
-        img, _ = lax.scan(
-            accum, img0,
-            (grp.reshape(nc, wc, Nx, Ny), gip.reshape(nc, wc, Nx, Ny),
-             wp.reshape(nc, wc)))
+
+        if rdtype == jnp.float32:
+            # f32 chip path: the per-plane w-screen cos/sin over the
+            # image (nw transcendental passes) is replaced by a phasor
+            # ROTATION recurrence — two cos/sin images total (w0 and
+            # dw), then 4 mul + 2 add per plane on the VPU. Rotation
+            # drift is ~nw*2^-24 ~ 2e-6 relative at nw~30, below the
+            # f32 gridder accuracy floor (eps>=1e-5 on chip); the
+            # f64/CPU parity path below keeps exact per-plane phases.
+            tpi = jnp.asarray(2.0 * jnp.pi, rdtype)
+            c0 = jnp.cos(tpi * w0 * nm1)
+            s0 = jnp.sin(tpi * w0 * nm1)
+            cd = jnp.cos(tpi * dw * nm1)
+            sd = jnp.sin(tpi * dw * nm1)
+
+            def accum(carry, args):
+                img_a, c, s = carry
+                grb, gib = args
+                ir, ii = plane_images(grb, gib)
+                tot = jnp.zeros_like(img_a)
+                for j in range(wc):
+                    tot = tot + ir[j] * c - ii[j] * s
+                    c, s = c * cd - s * sd, s * cd + c * sd
+                return (img_a + tot, c, s), None
+
+            (img, _, _), _ = lax.scan(
+                accum, (img0, c0, s0),
+                (grp.reshape(nc, wc, Nx, Ny),
+                 gip.reshape(nc, wc, Nx, Ny)))
+        else:
+            def accum(carry, args):
+                grb, gib, wpb = args
+                ir, ii = plane_images(grb, gib)
+                ph = (2.0 * jnp.pi) * wpb[:, None, None] * nm1[None]
+                contrib = ir * jnp.cos(ph) - ii * jnp.sin(ph)
+                return carry + jnp.sum(contrib, axis=0), None
+
+            img, _ = lax.scan(
+                accum, img0,
+                (grp.reshape(nc, wc, Nx, Ny),
+                 gip.reshape(nc, wc, Nx, Ny), wp.reshape(nc, wc)))
         cw = _es_kernel_ft(nm1 * dw, beta, k).astype(rdtype)
         img = img / cw
     else:
@@ -419,13 +448,34 @@ def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
 
         # batches of wchunk planes: phase the image onto each plane and
         # run one batched MXU FFT per chunk
-        def one(carry, wpb):
-            ph = (-2.0 * jnp.pi) * wpb[:, None, None] * nm1[None]
-            gr, gi = plane_grids(img[None] * jnp.cos(ph),
-                                 img[None] * jnp.sin(ph))
-            return carry, (gr, gi)
+        if rdtype == jnp.float32:
+            # phasor-rotation recurrence (see _grid_to_image): phase
+            # here is e^{-2 pi i w_p (n-1)} = (c_p, -s_p)
+            tpi = jnp.asarray(2.0 * jnp.pi, rdtype)
+            c0 = jnp.cos(tpi * w0 * nm1)
+            s0 = jnp.sin(tpi * w0 * nm1)
+            cd = jnp.cos(tpi * dw * nm1)
+            sd = jnp.sin(tpi * dw * nm1)
 
-        _, (gr, gi) = lax.scan(one, 0, wp.reshape(nc, wc))
+            def one(carry, _):
+                c, s = carry
+                prs, pis = [], []
+                for _j in range(wc):
+                    prs.append(img * c)
+                    pis.append(img * (-s))
+                    c, s = c * cd - s * sd, s * cd + c * sd
+                gr, gi = plane_grids(jnp.stack(prs), jnp.stack(pis))
+                return (c, s), (gr, gi)
+
+            _, (gr, gi) = lax.scan(one, (c0, s0), None, length=nc)
+        else:
+            def one(carry, wpb):
+                ph = (-2.0 * jnp.pi) * wpb[:, None, None] * nm1[None]
+                gr, gi = plane_grids(img[None] * jnp.cos(ph),
+                                     img[None] * jnp.sin(ph))
+                return carry, (gr, gi)
+
+            _, (gr, gi) = lax.scan(one, 0, wp.reshape(nc, wc))
         gr = gr.reshape(nc * wc, Nx, Ny)[:nw]
         gi = gi.reshape(nc * wc, Nx, Ny)[:nw]
     else:

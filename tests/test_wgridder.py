@@ -128,3 +128,40 @@ def test_accuracy_scales_with_epsilon(obs, eps, tol):
                                      epsilon=eps))
     err = np.abs(got - ref).max() / np.abs(ref).max()
     assert err < tol, f"eps={eps}: err={err:.2e}"
+
+
+def test_f32_phase_recurrence_matches_f64(obs):
+    """The f32 chip path replaces per-w-plane cos/sin with a phasor
+    rotation recurrence (round-4); its drift must stay below the f32
+    gridder accuracy floor: compare the f32 adjoint against the f64
+    exact-phase path at eps=1e-5."""
+    nx, cell = image_size_for(obs, fov_deg=0.2)
+    nx = min(nx, 64)
+    rng = np.random.default_rng(4)
+    vis = _vis(obs, rng)
+    uvw = jnp.asarray(obs.uvw)
+    freq = jnp.asarray(obs.freq)
+
+    ref = np.asarray(vis2dirty_wgrid(uvw, freq, vis, nx=nx, ny=nx,
+                                     cellx=cell, celly=cell,
+                                     epsilon=1e-5, do_wgridding=True))
+    got = np.asarray(vis2dirty_wgrid(
+        jnp.asarray(obs.uvw, jnp.float32),
+        jnp.asarray(obs.freq, jnp.float32),
+        jnp.asarray(np.asarray(vis), jnp.complex64), nx=nx, ny=nx,
+        cellx=cell, celly=cell, epsilon=1e-5, do_wgridding=True))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-5
+
+    # forward twin (image_to_grid recurrence)
+    img = np.asarray(ref, np.float64)
+    vref = np.asarray(dirty2vis_wgrid(uvw, freq, jnp.asarray(img),
+                                      cell, cell, epsilon=1e-5,
+                                      do_wgridding=True))
+    vgot = np.asarray(dirty2vis_wgrid(
+        jnp.asarray(obs.uvw, jnp.float32),
+        jnp.asarray(obs.freq, jnp.float32),
+        jnp.asarray(img, jnp.float32), cell, cell, epsilon=1e-5,
+        do_wgridding=True))
+    vscale = np.abs(vref).max()
+    assert np.abs(vgot - vref).max() / vscale < 1e-5
