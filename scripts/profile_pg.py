@@ -36,13 +36,17 @@ NREP = 8
 
 
 def chain(fn, *args):
-    """fn(*args, s) -> array; scan NREP times with scalar carry."""
-    def step(s, _):
-        out = fn(*args, s)
-        return out.reshape(-1)[0] * 0.0, None
+    """fn(*args, s) -> array; scan NREP times with scalar carry.
+    args are jit ARGUMENTS (a closure would bake GB-scale operands as
+    HLO constants -> remote-compile HTTP 413)."""
+    @jax.jit
+    def run(*a):
+        def step(s, _):
+            out = fn(*a, s)
+            return out.reshape(-1)[0] * 0.0, None
+        return lax.scan(step, jnp.float32(0.0), None, length=NREP)[0]
 
-    return jax.jit(lambda: lax.scan(step, jnp.float32(0.0),
-                                    None, length=NREP)[0])
+    return lambda: run(*args)
 
 
 def timeit(jfn, label):
@@ -117,14 +121,14 @@ def main():
                           interpret=False)
     nw = p["nw"]
 
-    def g2i(s):
+    def g2i(folded, s):
         return _grid_to_image(folded[:nw] + s, folded[nw:], p["nx"],
                               p["ny"], p["cellx"], p["celly"], p["k"],
                               p["beta"], p["Nx"], p["Ny"], nw > 1, nw,
                               float(p["w0"]), float(p["dw"]), False,
                               p["x0"], p["y0"])
 
-    timeit(chain(g2i), "1024 grid_to_image")
+    timeit(chain(g2i, folded), "1024 grid_to_image")
 
     # ---------- 4096^2, w-blocked ----------
     bp = pgrid_plan_wblocked(uvw, freq, nx=4096, ny=4096, cellx=cell,
@@ -136,8 +140,16 @@ def main():
     print("  rows/block:", [int((sel[b] < bp["nrow"]).sum())
                             for b in range(bp["nblocks"])], flush=True)
 
-    timeit(chain(lambda s: _adjoint_wblocked_impl(
-        bp, vr + s, vi, None, False)), "4096 w-on adjoint (full)")
+    akeys = ("pos", "tid", "idx", "pm", "uvw_d", "sel", "w0s",
+             "uvw_full", "freq_d")
+    arrs = {k: bp[k] for k in akeys}
+
+    def adj4(arrs, vr_, vi_, s):
+        bp2 = dict(bp)
+        bp2.update(arrs)
+        return _adjoint_wblocked_impl(bp2, vr_ + s, vi_, None, False)
+
+    timeit(chain(adj4, arrs, vr, vi), "4096 w-on adjoint (full)")
 
     p0 = bp["p0"]
     B = bp["B"]
@@ -145,22 +157,23 @@ def main():
     vrp = jnp.concatenate([vr, z])
     vip = jnp.concatenate([vi, z])
 
-    def sf4(s):
+    def sf4(arrs, vrp_, vip_, s):
         b = 2  # a middle block
-        selb = bp["sel"][b]
+        selb = arrs["sel"][b]
         return _spread_fold(
-            vrp[selb] + s, vip[selb], None, bp["tid"][b], bp["pos"][b],
-            bp["idx"][b], bp["pm"][b], bp["uvw_d"][b], bp["freq_d"],
+            vrp_[selb] + s, vip_[selb], None, arrs["tid"][b],
+            arrs["pos"][b], arrs["idx"][b], arrs["pm"][b],
+            arrs["uvw_d"][b], arrs["freq_d"],
             beta=p0["beta"], k=p0["k"], nw=B, ntx=p0["ntx"],
             nty=p0["nty"], txs=p0["txs"], tys=p0["tys"], C=p0["C"],
             x0=p0["x0"], y0=p0["y0"], Nx=p0["Nx"], Ny=p0["Ny"],
             interpret=False)
 
-    timeit(chain(sf4), "4096 one-block spread+fold")
+    timeit(chain(sf4, arrs, vrp, vip), "4096 one-block spread+fold")
 
-    folded4 = sf4(jnp.float32(0.0))
+    folded4 = jax.jit(sf4)(arrs, vrp, vip, jnp.float32(0.0))
 
-    def g2i4(s):
+    def g2i4(folded4, s):
         return _grid_to_image(folded4[:B] + s, folded4[B:], p0["nx"],
                               p0["ny"], p0["cellx"], p0["celly"],
                               p0["k"], p0["beta"], p0["Nx"], p0["Ny"],
@@ -168,7 +181,7 @@ def main():
                               float(bp["dw"]), False, p0["x0"],
                               p0["y0"])
 
-    timeit(chain(g2i4), "4096 one-block grid_to_image (B=4)")
+    timeit(chain(g2i4, folded4), "4096 one-block grid_to_image (B=4)")
 
 
 if __name__ == "__main__":
