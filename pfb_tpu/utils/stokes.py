@@ -103,7 +103,7 @@ def weight_data(data, weight, flag, jones, tbin_map, ant1, ant2,
                 product="I", pol="linear", mode="diag"):
     """Vectorised Jones-corrected Stokes visibilities + weights.
 
-    data:   (nrow, nchan, ncorr) complex, ncorr in {2, 4}
+    data:   (nrow, nchan, ncorr) complex, ncorr in {1, 2, 4}
     weight: (nrow, nchan, ncorr) real
     flag:   (nrow, nchan) bool/int (True = flagged)
     jones:  (ntime, nant, nchan, ndir, 2) complex for diag mode
@@ -114,10 +114,28 @@ def weight_data(data, weight, flag, jones, tbin_map, ant1, ant2,
     _weight_data (pfb/utils/weighting.py:298-350).
     """
     ncorr = data.shape[-1]
-    vfn, wfn = stokes_funcs(product, pol, mode)
 
     gp = jones[tbin_map, ant1, :, 0, :]  # (nrow, nchan, 2) diag
     gq = jones[tbin_map, ant2, :, 0, :]
+
+    if ncorr == 1:
+        # single-corr product (reference pfb/utils/correlations.py:
+        # 220-234): scalar gains, measurement v = gp * C * conj(gq).
+        # ML estimate C = v / (gp conj(gq)), weight = W |gp|^2 |gq|^2
+        # — the reference's vis_func/wgt_func pair with the corrected
+        # (weight-normalised) convention the other branches use.
+        if product != "I":
+            raise ValueError("single-corr data holds only product I")
+        g_p, g_q = gp[..., 0], gq[..., 0]
+        w0 = weight[..., 0]
+        a2 = jnp.real(g_p * jnp.conj(g_p) * g_q * jnp.conj(g_q))
+        wgt = w0 * a2
+        vis = data[..., 0] * jnp.conj(g_p) * g_q / jnp.where(
+            a2 > 0, a2, 1.0)
+        ok = (flag == 0) & (a2 > 0)
+        return jnp.where(ok, vis, 0.0), jnp.where(ok, wgt, 0.0)
+
+    vfn, wfn = stokes_funcs(product, pol, mode)
 
     if ncorr == 4:
         w = [weight[..., 0], weight[..., 1], weight[..., 2],

@@ -105,3 +105,29 @@ def test_stokes_products_QUV():
                                jnp.asarray(o), product=prod)
         assert_allclose(np.asarray(vis), truth, atol=1e-12,
                         err_msg=prod)
+
+
+def test_single_corr_correction_exact():
+    """ncorr==1 path (reference pfb/utils/correlations.py:220-234):
+    scalar-gain corrupted single-corr data recovers the model and the
+    weight is W |gp|^2 |gq|^2."""
+    rng, I, weight, flag, ant1, ant2, tbin, nant, ntime = _setup(3)
+    nrow, nchan = I.shape
+    jones = (1 + 0.1 * rng.standard_normal((ntime, nant, nchan, 1, 2))) \
+        * np.exp(1j * 0.2 * rng.standard_normal(
+            (ntime, nant, nchan, 1, 2)))
+    gp = jones[tbin, ant1, :, 0, 0]
+    gq = jones[tbin, ant2, :, 0, 0]
+    data = (gp * np.conj(gq) * I)[..., None]
+    w0 = rng.random((nrow, nchan, 1)) + 0.5
+    flag[3, :] = 1
+    vis, wgt = weight_data(jnp.asarray(data), jnp.asarray(w0),
+                           jnp.asarray(flag), jnp.asarray(jones),
+                           jnp.asarray(tbin), jnp.asarray(ant1),
+                           jnp.asarray(ant2))
+    vis, wgt = np.asarray(vis), np.asarray(wgt)
+    keep = flag == 0
+    assert_allclose(vis[keep], I[keep], atol=1e-12)
+    wexp = w0[..., 0] * np.abs(gp) ** 2 * np.abs(gq) ** 2
+    assert_allclose(wgt[keep], wexp[keep], atol=1e-12)
+    assert (vis[~keep] == 0).all() and (wgt[~keep] == 0).all()
