@@ -211,7 +211,8 @@ def _centre_shift(uvw, freq, x0, y0, sign):
 def vis2dirty_wgrid(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
                     cellx, celly, x0=0.0, y0=0.0, epsilon=1e-7,
                     do_wgridding=True, sigma=2.0, row_chunk=2048,
-                    divide_by_n=False, double_accum=False):
+                    divide_by_n=False, double_accum=False,
+                    fft_engine="auto"):
     """R.H: visibilities -> dirty image via w-stacked ES gridding."""
     import jax
 
@@ -255,7 +256,7 @@ def vis2dirty_wgrid(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
         gi = gi.astype(rdtype_out)
     return _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny,
                           do_wgridding and nw > 1, nw, w0, dw,
-                          divide_by_n, x0, y0)
+                          divide_by_n, x0, y0, fft_engine=fft_engine)
 
 
 def _ifft2_stack(gr, gi):
@@ -284,12 +285,33 @@ def _fft2_stack(xr, xi):
     return full.real, full.imag
 
 
+def _resolve_cfft(fft_engine, rdtype, nx, ny, Nx, Ny):
+    """Pick the w-plane FFT engine: the pruned c2c Pallas pipeline
+    (ops/pallas_cfft.py — pad/roll/crop absorbed into the stage
+    constants) on f32 sigma=2 layouts, else the mm/jnp stack. Returns
+    None (legacy path) or the pallas interpret flag."""
+    import jax
+
+    from pfb_tpu.ops.pallas_cfft import cfft_supported
+    ok = (rdtype == jnp.float32 and Nx == 2 * nx and Ny == 2 * ny
+          and nx % 128 == 0 and ny % 128 == 0 and cfft_supported(Nx)
+          and cfft_supported(Ny))
+    if fft_engine == "mm" or not ok:
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    if fft_engine == "cfft":
+        return not on_tpu
+    return False if on_tpu else None  # auto
+
+
 @partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny", "nw",
                                    "do_w", "divide_by_n", "x0", "y0",
-                                   "wchunk"))
+                                   "wchunk", "fft_engine"))
 def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
-                   nw, w0, dw, divide_by_n, x0=0.0, y0=0.0, wchunk=4):
+                   nw, w0, dw, divide_by_n, x0=0.0, y0=0.0, wchunk=4,
+                   fft_engine="auto"):
     rdtype = gr.dtype
+    cfft_interp = _resolve_cfft(fft_engine, rdtype, nx, ny, Nx, Ny)
 
     # l, m and grid corrections
     li = (jnp.arange(nx) - nx // 2)
@@ -323,7 +345,31 @@ def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
         wp = w0 + dw * jnp.arange(nc * wc, dtype=rdtype)
         img0 = jnp.zeros((nx, ny), rdtype)
 
-        if rdtype == jnp.float32:
+        if rdtype == jnp.float32 and cfft_interp is not None:
+            # pruned c2c Pallas pipeline: ALL planes in one batched
+            # dispatch, crop/roll absorbed into the stage constants
+            # (ops/pallas_cfft.py), then the phasor-rotation screen
+            # recurrence over the (nw, nx, ny) stack
+            from pfb_tpu.ops.pallas_cfft import fft2_c2c_pruned
+            ir, ii = fft2_c2c_pruned(gr, gi, Nx=Nx, Ny=Ny,
+                                     inverse=True, pruned_out=True,
+                                     interpret=cfft_interp)
+            tpi = jnp.asarray(2.0 * jnp.pi, rdtype)
+            c0 = jnp.cos(tpi * w0 * nm1)
+            s0 = jnp.sin(tpi * w0 * nm1)
+            cd = jnp.cos(tpi * dw * nm1)
+            sd = jnp.sin(tpi * dw * nm1)
+
+            def accum_c(carry, args):
+                img_a, c, s = carry
+                irp, iip = args
+                img_a = img_a + irp * c - iip * s
+                return (img_a, c * cd - s * sd,
+                        s * cd + c * sd), None
+
+            (img, _, _), _ = lax.scan(accum_c, (img0, c0, s0),
+                                      (ir, ii))
+        elif rdtype == jnp.float32:
             # f32 chip path: the per-plane w-screen cos/sin over the
             # image (nw transcendental passes) is replaced by a phasor
             # ROTATION recurrence — two cos/sin images total (w0 and
@@ -365,6 +411,12 @@ def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
                  gip.reshape(nc, wc, Nx, Ny), wp.reshape(nc, wc)))
         cw = _es_kernel_ft(nm1 * dw, beta, k).astype(rdtype)
         img = img / cw
+    elif cfft_interp is not None:
+        from pfb_tpu.ops.pallas_cfft import fft2_c2c_pruned
+        ir, _ = fft2_c2c_pruned(gr[:1], gi[:1], Nx=Nx, Ny=Ny,
+                                inverse=True, pruned_out=True,
+                                interpret=cfft_interp)
+        img = ir[0]
     else:
         img, _ = plane_images(gr[0], gi[0])
 
@@ -376,7 +428,8 @@ def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
 
 def dirty2vis_wgrid(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
                     epsilon=1e-7, do_wgridding=True, sigma=2.0,
-                    row_chunk=2048, divide_by_n=False, **kw):
+                    row_chunk=2048, divide_by_n=False,
+                    fft_engine="auto", **kw):
     """R: image -> visibilities (adjoint chain of vis2dirty_wgrid with
     the conjugate kernel: e^{-2 pi i(...)})."""
     nx, ny = image.shape
@@ -396,7 +449,7 @@ def dirty2vis_wgrid(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
 
     grids = _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny,
                            do_wgridding and nw > 1, nw, w0, dw,
-                           divide_by_n, x0, y0)
+                           divide_by_n, x0, y0, fft_engine=fft_engine)
     vis = _interp(grids, uvw, freq, cellx, celly, k, beta, Nx, Ny,
                   row_chunk, do_wgridding and nw > 1, nw, w0, dw)
     if x0 or y0:
@@ -406,14 +459,15 @@ def dirty2vis_wgrid(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
 
 @partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny", "nw",
                                    "do_w", "divide_by_n", "x0", "y0",
-                                   "split", "wchunk"))
+                                   "split", "wchunk", "fft_engine"))
 def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
                    nw, w0, dw, divide_by_n, x0=0.0, y0=0.0,
-                   split=False, wchunk=4):
+                   split=False, wchunk=4, fft_engine="auto"):
     """split=True returns (real, imag) grids as two real arrays (the
     native representation — complex is only assembled on request for
     the wgrid backend's _interp)."""
     rdtype = image.dtype
+    cfft_interp = _resolve_cfft(fft_engine, rdtype, nx, ny, Nx, Ny)
 
     li = (jnp.arange(nx) - nx // 2)
     mi = (jnp.arange(ny) - ny // 2)
@@ -448,7 +502,27 @@ def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
 
         # batches of wchunk planes: phase the image onto each plane and
         # run one batched MXU FFT per chunk
-        if rdtype == jnp.float32:
+        if rdtype == jnp.float32 and cfft_interp is not None:
+            # build all nw phasored planes by rotation recurrence,
+            # then ONE input-pruned batched c2c Pallas FFT (the
+            # embed+roll is absorbed into the stage constants)
+            from pfb_tpu.ops.pallas_cfft import fft2_c2c_pruned
+            tpi = jnp.asarray(2.0 * jnp.pi, rdtype)
+            c0 = jnp.cos(tpi * w0 * nm1)
+            s0 = jnp.sin(tpi * w0 * nm1)
+            cd = jnp.cos(tpi * dw * nm1)
+            sd = jnp.sin(tpi * dw * nm1)
+
+            def one_c(carry, _):
+                c, s = carry
+                return (c * cd - s * sd, s * cd + c * sd), \
+                    (img * c, img * (-s))
+
+            _, (prs, pis) = lax.scan(one_c, (c0, s0), None, length=nw)
+            gr, gi = fft2_c2c_pruned(prs, pis, Nx=Nx, Ny=Ny,
+                                     inverse=False, pruned_in=True,
+                                     interpret=cfft_interp)
+        elif rdtype == jnp.float32:
             # phasor-rotation recurrence (see _grid_to_image): phase
             # here is e^{-2 pi i w_p (n-1)} = (c_p, -s_p)
             tpi = jnp.asarray(2.0 * jnp.pi, rdtype)
@@ -476,8 +550,15 @@ def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
                 return carry, (gr, gi)
 
             _, (gr, gi) = lax.scan(one, 0, wp.reshape(nc, wc))
-        gr = gr.reshape(nc * wc, Nx, Ny)[:nw]
-        gi = gi.reshape(nc * wc, Nx, Ny)[:nw]
+        if gr.ndim == 4:  # chunked scans emit (nc, wc, Nx, Ny)
+            gr = gr.reshape(nc * wc, Nx, Ny)[:nw]
+            gi = gi.reshape(nc * wc, Nx, Ny)[:nw]
+    elif cfft_interp is not None:
+        from pfb_tpu.ops.pallas_cfft import fft2_c2c_pruned
+        gr, gi = fft2_c2c_pruned(img[None], jnp.zeros_like(img)[None],
+                                 Nx=Nx, Ny=Ny, inverse=False,
+                                 pruned_in=True,
+                                 interpret=cfft_interp)
     else:
         gr, gi = plane_grids(img[None], jnp.zeros_like(img)[None])
 

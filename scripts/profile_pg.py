@@ -172,13 +172,14 @@ def main():
     timeit(chain(sf4, arrs, vrp, vip), "4096 one-block spread+fold")
 
     folded4 = jax.jit(sf4)(arrs, vrp, vip, jnp.float32(0.0))
+    w0b2 = float(np.asarray(bp["w0s"])[2])
+    dwb = float(np.asarray(bp["dw"]))
 
     def g2i4(folded4, s):
         return _grid_to_image(folded4[:B] + s, folded4[B:], p0["nx"],
                               p0["ny"], p0["cellx"], p0["celly"],
                               p0["k"], p0["beta"], p0["Nx"], p0["Ny"],
-                              True, B, float(bp["w0s"][2]),
-                              float(bp["dw"]), False, p0["x0"],
+                              True, B, w0b2, dwb, False, p0["x0"],
                               p0["y0"])
 
     timeit(chain(g2i4, folded4), "4096 one-block grid_to_image (B=4)")
