@@ -450,7 +450,11 @@ def _spread_fold(vr, vi, wflat, tid, pos, idx, pm, uvw, freq, *, beta,
     tid = tid.astype(jnp.int32)
 
     if fold == "dma":
-        NE = tid.shape[0]
+        # live tiles <= min(nentries, ntiles): at dense coverage
+        # (1024^2: most tiles live, several entries each) nentries
+        # overshoots the tile count and the per-entry bound would
+        # allocate a compact Y LARGER than the dense one
+        NE = min(tid.shape[0], ntx * nty)
         tval = jnp.zeros((ntx * nty,), jnp.int32).at[tid].max(lv)
         cum = jnp.cumsum(tval) - tval
         ctid = cum[tid].astype(jnp.int32)
