@@ -226,7 +226,7 @@ def main():
             del solve, x0
         try:
             from pfb_tpu.ops.pgridder import (
-                _adjoint_wblocked_impl, make_hessian_pg_wblocked,
+                make_adjoint_pg_wblocked, make_hessian_pg_wblocked,
                 pgrid_plan_wblocked)
             nxg4 = 4096
             nrow4 = 1_000_000
@@ -243,13 +243,13 @@ def main():
             vi4 = jnp.asarray(rng.normal(
                 size=(nrow4, nchan)).astype(np.float32))
             hess4 = make_hessian_pg_wblocked(bp)
-            img4 = _adjoint_wblocked_impl(bp, vr4, vi4, None, False)
+            adj4 = make_adjoint_pg_wblocked(bp)
+            img4 = adj4(vr4, vi4)
             sync(img4)           # warm adjoint
             sync(hess4(img4))    # warm hessian
             g4 = {}
             for name, fn, args in (
-                    ("adjoint", lambda a, b: _adjoint_wblocked_impl(
-                        bp, a, b, None, False), (vr4, vi4)),
+                    ("adjoint", adj4, (vr4, vi4)),
                     ("hessian", hess4, (img4,))):
                 ts = []
                 for _ in range(2):

@@ -226,11 +226,16 @@ def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
         freq_d=jnp.asarray(freq_np.astype(dtype)))
 
 
-def _grid_kernel(tid_ref, pflag_ref, pk_ref, vis_ref, out_ref, *, k,
+def _grid_kernel(tp_ref, pk_ref, vis_ref, out_ref, *, k,
                  beta, nw, Thx, Thy, C, prec):
+    # tp packs (tile id << 1) | live: ONE scalar-prefetch array —
+    # separate tid/pflag arrays at production entry counts overflow
+    # the 1 MB SMEM (6 x 61948 i32 = 1.43 MB measured at 4096^2/1M
+    # rows)
     e = pl.program_id(0)
     ep = jnp.maximum(e - 1, 0)
-    first = jnp.logical_or(e == 0, tid_ref[e] != tid_ref[ep])
+    first = jnp.logical_or(e == 0,
+                           (tp_ref[e] >> 1) != (tp_ref[ep] >> 1))
 
     @pl.when(first)
     def _():
@@ -241,7 +246,7 @@ def _grid_kernel(tid_ref, pflag_ref, pk_ref, vis_ref, out_ref, *, k,
     # body — at 4096^2 most tiles are empty and padding dominates the
     # entry stream (round-4 profiling: the kernel is per-entry
     # VPU-bound, so skipped entries are ~free)
-    @pl.when(pflag_ref[e] != 0)
+    @pl.when((tp_ref[e] & 1) != 0)
     def _():
         dt = out_ref.dtype
         kh = k / 2.0
@@ -257,15 +262,23 @@ def _grid_kernel(tid_ref, pflag_ref, pk_ref, vis_ref, out_ref, *, k,
         CW = _es((ps - wf[None, :]) / kh, beta, k) if nw > 1 else \
             jnp.ones((nw, C), dt)                       # (nw, C)
 
-        for comp in (0, 1):
-            val = vis_ref[0, comp, :]
-            s = CW * val[None, :]                       # (nw, C)
-            lhs = CUT[None, :, :] * s[:, None, :]       # (nw, Thx, C)
-            res = lax.dot_general(
-                lhs.reshape(nw * Thx, C), CV,
-                (((1,), (0,)), ((), ())), precision=prec,
-                preferred_element_type=dt)
-            out_ref[comp, :, 0] += res.reshape(nw, Thx, Thy)
+        # one matmul for BOTH components: out[p,x,y] factors as
+        # (CW CUT)[px, c] @ (val CV)[c, y]; the components share the
+        # A-matrix and stack along the OUTPUT lanes. Per-entry cost is
+        # dominated by MXU issue latency at M~144 (round-4 lab: ES
+        # eval ~1.5%, per-step fixed ~0.3 us, HIGHEST-vs-DEFAULT delta
+        # ~0.25 us/entry/2-passes) — fusing halves the issue count.
+        A = (CW[:, None, :] * CUT[None, :, :]).reshape(nw * Thx, C)
+        vr = vis_ref[0, 0, :]
+        vi = vis_ref[0, 1, :]
+        CVv = jnp.concatenate([CV * vr[:, None], CV * vi[:, None]],
+                              axis=1)                   # (C, 2*Thy)
+        res = lax.dot_general(A, CVv, (((1,), (0,)), ((), ())),
+                              precision=prec,
+                              preferred_element_type=dt)
+        res = res.reshape(nw, Thx, 2 * Thy)
+        out_ref[0, :, 0] += res[..., :Thy]
+        out_ref[1, :, 0] += res[..., Thy:]
 
 
 def _grid_pallas(tid, pos, vispack, beta, k, nw, ntiles, Thx, Thy, C,
@@ -277,16 +290,17 @@ def _grid_pallas(tid, pos, vispack, beta, k, nw, ntiles, Thx, Thy, C,
         pflag = (jnp.sum(vispack[:, 0, :] != 0, axis=-1)
                  + jnp.sum(vispack[:, 1, :] != 0, axis=-1) > 0
                  ).astype(jnp.int32)
+    tp = tid.astype(jnp.int32) * 2 + pflag.astype(jnp.int32)
     kern = partial(_grid_kernel, k=k, beta=beta, nw=nw, Thx=Thx,
                    Thy=Thy, C=C, prec=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(pos.shape[0],),
         in_specs=[pl.BlockSpec((1, 8, C), lambda e, *_: (e, 0, 0)),
                   pl.BlockSpec((1, 2, C), lambda e, *_: (e, 0, 0))],
         out_specs=pl.BlockSpec((2, nw, 1, Thx, Thy),
-                               lambda e, tid, pf: (0, 0, tid[e], 0,
-                                                   0)),
+                               lambda e, tp_: (0, 0, tp_[e] // 2, 0,
+                                               0)),
     )
     kw = dict(interpret=interpret)
     if not interpret:
@@ -295,7 +309,7 @@ def _grid_pallas(tid, pos, vispack, beta, k, nw, ntiles, Thx, Thy, C,
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, nw, ntiles, Thx, Thy), dt),
-        **kw)(tid, pflag, pos, vispack)
+        **kw)(tp, pos, vispack)
 
 
 def _droll(a, shift, axis):
@@ -307,24 +321,26 @@ def _droll(a, shift, axis):
         return jnp.roll(a, shift, axis=axis)
 
 
-def _fold_kernel(ltid_ref, lflag_ref, ax8_ref, ay128_ref, ox_ref,
-                 oy_ref, y_ref, bin_ref, bout_ref, win_ref, sem_ref,
-                 *, Thx, Thy, EX, EY, nw2):
+def _fold_kernel(xs_ref, ys_ref, y_ref, bin_ref, bout_ref, win_ref,
+                 sem_ref, *, Thx, Thy, EX, EY, nw2):
     del bin_ref  # aliased with bout_ref; all access goes through out
     """DMA read-modify-write fold: accumulate one live tile's halo'd
     (nw2, Thx, Thy) block into the extended grid at its true offset.
-    Window starts are aligned down to (8, 128) tiles (alignment passed
-    as prefetched tile indices so Mosaic can prove the HBM slice is
-    legal); the sub-tile offset is applied by rolling the block inside
-    the (nw2, EX, EY) staging window. Steps run synchronously
-    (wait-read, add, wait-write) — neighbouring tiles' windows overlap
-    by the halo, so a later read must see the earlier write."""
+    Scalar prefetch is TWO packed arrays (xs with the live flag in the
+    sign, ys) — six separate NE-length arrays overflowed the 1 MB SMEM
+    at production entry counts (1.43 MB measured at 4096^2/1M rows).
+    Window starts are re-derived in-kernel with syntactic /8*8 so
+    Mosaic can prove the HBM slice is tile-aligned; the sub-tile
+    offset is applied by rolling the block inside the (nw2, EX, EY)
+    staging window. Steps run synchronously (wait-read, add,
+    wait-write) — neighbouring tiles' windows overlap by the halo, so
+    a later read must see the earlier write."""
     e = pl.program_id(0)
 
-    @pl.when(lflag_ref[e] != 0)
+    @pl.when(xs_ref[e] >= 0)
     def _():
-        ax = ax8_ref[e] * 8
-        ay = ay128_ref[e] * 128
+        ax = (xs_ref[e] // 8) * 8
+        ay = (ys_ref[e] // 128) * 128
         rd = pltpu.make_async_copy(
             bout_ref.at[:, pl.ds(ax, EX), pl.ds(ay, EY)], win_ref,
             sem_ref.at[0])
@@ -332,8 +348,8 @@ def _fold_kernel(ltid_ref, lflag_ref, ax8_ref, ay128_ref, ox_ref,
         rd.wait()
         blk = y_ref[...].reshape(nw2, Thx, Thy)
         st = jnp.pad(blk, ((0, 0), (0, EX - Thx), (0, EY - Thy)))
-        st = _droll(st, ox_ref[e], 1)
-        st = _droll(st, oy_ref[e], 2)
+        st = _droll(st, xs_ref[e] - ax, 1)
+        st = _droll(st, ys_ref[e] - ay, 2)
         win_ref[...] = win_ref[...] + st
         wr = pltpu.make_async_copy(
             win_ref, bout_ref.at[:, pl.ds(ax, EX), pl.ds(ay, EY)],
@@ -356,18 +372,15 @@ def _fold_pallas(Yc, ltid, lflag, *, ntx, nty, txs, tys, k, Nx, Ny,
     MxE = ((ntx - 1) * txs // 8) * 8 + EX
     MyE = ((nty - 1) * tys // 128) * 128 + EY
 
-    xs = (ltid // nty) * txs
-    ys = (ltid % nty) * tys
-    ax8 = jnp.where(lflag > 0, xs // 8, 0).astype(jnp.int32)
-    ay128 = jnp.where(lflag > 0, ys // 128, 0).astype(jnp.int32)
-    ox = jnp.where(lflag > 0, xs - ax8 * 8, 0).astype(jnp.int32)
-    oy = jnp.where(lflag > 0, ys - ay128 * 128, 0).astype(jnp.int32)
+    xs = jnp.where(lflag > 0, (ltid // nty) * txs,
+                   -1).astype(jnp.int32)   # sign carries the flag
+    ys = jnp.where(lflag > 0, (ltid % nty) * tys, 0).astype(jnp.int32)
 
     buf0 = jnp.zeros((nw2, MxE, MyE), Yc.dtype)
     kern = partial(_fold_kernel, Thx=Thx, Thy=Thy, EX=EX, EY=EY,
                    nw2=nw2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=2,
         grid=(NE,),
         in_specs=[pl.BlockSpec((nw2, 1, Thx, Thy),
                                lambda e, *_: (0, e, 0, 0)),
@@ -383,8 +396,8 @@ def _fold_pallas(Yc, ltid, lflag, *, ntx, nty, txs, tys, k, Nx, Ny,
     ext = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nw2, MxE, MyE), Yc.dtype),
-        input_output_aliases={7: 0},
-        **kw)(ltid, lflag, ax8, ay128, ox, oy, Yc, buf0)
+        input_output_aliases={3: 0},
+        **kw)(xs, ys, Yc, buf0)
 
     # wrap the extended margins back mod (Nx, Ny) (static loop: tiny
     # grids can wrap more than once), then shift by the half-kernel
@@ -563,7 +576,7 @@ def vis2dirty_pg(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     return _adjoint_from_plan(p, vr, vi, w, interpret)
 
 
-def _degrid_kernel(tid_ref, pflag_ref, stx_ref, sty_ref, pk_ref,
+def _degrid_kernel(tp_ref, sxy_ref, pk_ref,
                    gr_ref, gi_ref, out_ref, win_ref, sem_ref, *, k,
                    beta, nw, ThxA, ThyA, C, prec):
     """Gather twin of _grid_kernel: the tile's halo'd (nw, ThxA, ThyA)
@@ -578,17 +591,22 @@ def _degrid_kernel(tid_ref, pflag_ref, stx_ref, sty_ref, pk_ref,
     block; safe because a padding entry never precedes a LIVE entry of
     the same tile (empty-tile entries are singletons; shard no-ops
     reuse the last tile id and come after its live entries)."""
+    # scalar prefetch: tp = (tid << 1) | live, sxy = (stx << 9) | sty
+    # with stx/sty the (8, 128)-tile indices of the window start —
+    # packed so the prefetch fits SMEM at production entry counts
+    # (4 separate NE-length i32 arrays exceed the 1 MB SMEM)
     e = pl.program_id(0)
     ep = jnp.maximum(e - 1, 0)
-    changed = jnp.logical_or(e == 0, tid_ref[e] != tid_ref[ep])
-    live = pflag_ref[e] != 0
+    changed = jnp.logical_or(e == 0,
+                             (tp_ref[e] >> 1) != (tp_ref[ep] >> 1))
+    live = (tp_ref[e] & 1) != 0
 
     @pl.when(jnp.logical_and(changed, live))
     def _():
-        # starts arrive as (8, 128)-tile indices: the explicit
-        # multiply lets Mosaic prove the HBM slice is tile-aligned
-        sx = stx_ref[e] * 8
-        sy = sty_ref[e] * 128
+        # the explicit *8 / *128 lets Mosaic prove the HBM slice is
+        # tile-aligned
+        sx = (sxy_ref[e] >> 9) * 8
+        sy = (sxy_ref[e] & 511) * 128
         cr = pltpu.make_async_copy(
             gr_ref.at[:, pl.ds(sx, ThxA), pl.ds(sy, ThyA)],
             win_ref.at[0], sem_ref.at[0])
@@ -621,12 +639,16 @@ def _degrid_kernel(tid_ref, pflag_ref, stx_ref, sty_ref, pk_ref,
         # A[(p, x), c] = CW[p, c] * CUT[x, c]
         A = (CW[:, None, :] * CUT[None, :, :]).reshape(nw * ThxA, C)
 
-        for comp in (0, 1):
-            B = win_ref[comp].reshape(nw * ThxA, ThyA)
-            D = lax.dot_general(B, CVT, (((1,), (0,)), ((), ())),
-                                precision=prec,
-                                preferred_element_type=dt)
-            out_ref[0, comp, :] = jnp.sum(A * D, axis=0)
+        # both components in ONE matmul (stacked along M): per-entry
+        # cost is MXU-issue-latency bound, so one issue of 2M rows
+        # beats two of M (round-4 lab)
+        Bb = win_ref[...].reshape(2 * nw * ThxA, ThyA)
+        D = lax.dot_general(Bb, CVT, (((1,), (0,)), ((), ())),
+                            precision=prec,
+                            preferred_element_type=dt)
+        D = D.reshape(2, nw * ThxA, C)
+        out_ref[0, 0, :] = jnp.sum(A * D[0], axis=0)
+        out_ref[0, 1, :] = jnp.sum(A * D[1], axis=0)
 
 
 def _degrid_pallas(tid, stx, sty, pos, gr_pad, gi_pad, beta, k, nw,
@@ -639,10 +661,12 @@ def _degrid_pallas(tid, stx, sty, pos, gr_pad, gi_pad, beta, k, nw,
             pflag = jnp.ones((pos.shape[0],), jnp.int32)
         else:
             pflag = (jnp.sum(pm, axis=1) > 0).astype(jnp.int32)
+    tp = tid.astype(jnp.int32) * 2 + pflag.astype(jnp.int32)
+    sxy = stx.astype(jnp.int32) * 512 + sty.astype(jnp.int32)
     kern = partial(_degrid_kernel, k=k, beta=beta, nw=nw, ThxA=ThxA,
                    ThyA=ThyA, C=C, prec=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(pos.shape[0],),
         in_specs=[
             pl.BlockSpec((1, 8, C), lambda e, *_: (e, 0, 0)),
@@ -662,7 +686,7 @@ def _degrid_pallas(tid, stx, sty, pos, gr_pad, gi_pad, beta, k, nw,
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((pos.shape[0], 2, C), dt),
-        **kw)(tid, pflag, stx, sty, pos, gr_pad, gi_pad)
+        **kw)(tp, sxy, pos, gr_pad, gi_pad)
 
 
 @partial(jax.jit, static_argnames=(
@@ -973,6 +997,37 @@ def _forward_wblocked_impl(bp, image, interpret):
                                p0["y0"])
         fr, fi = fr * cs + fi * sn, fi * cs - fr * sn
     return fr, fi
+
+
+def make_adjoint_pg_wblocked(bp, wgt=None, mask=None):
+    """Jitted adjoint through the w-blocked plan set, with the stacked
+    plan arrays as jit ARGUMENTS. Calling _adjoint_wblocked_impl
+    eagerly re-traces the whole block scan every call (~20 s of host
+    tracing at 1M-row plans) — use this wrapper anywhere the adjoint
+    runs more than once."""
+    p0 = bp["p0"]
+    rdt = p0["rdtype"]
+    w = None
+    if wgt is not None:
+        w = jnp.asarray(np.asarray(wgt).astype(rdt))
+    if mask is not None:
+        m = jnp.asarray(np.asarray(mask).astype(rdt))
+        w = m if w is None else w * m
+    interpret = jax.default_backend() != "tpu"
+    akeys = ("pos", "tid", "idx", "pm", "uvw_d", "sel", "w0s",
+             "uvw_full", "freq_d")
+    arrs = {k: bp[k] for k in akeys}
+    meta = {k: v for k, v in bp.items() if k not in akeys}
+
+    @jax.jit
+    def adj_j(vr, vi, w, arrs):
+        bpx = dict(meta, **arrs)
+        return _adjoint_wblocked_impl(bpx, vr, vi, w, interpret)
+
+    def adjoint(vr, vi):
+        return adj_j(vr.astype(rdt), vi.astype(rdt), w, arrs)
+
+    return adjoint
 
 
 def make_hessian_pg_wblocked(bp, wgt=None, mask=None):
