@@ -138,6 +138,37 @@ def _pg_plan_numpy(uvw_np, freq_np, Nx, Ny, cellx, celly, txs, tys,
     return pos, utid, idx, pmask, nentries
 
 
+def _auto_tiles(uvw_np, freq_np, Nx, Ny, cellx, celly, k, C):
+    """Pick (tile_u, tile_v) from a small ladder by a measured cost
+    model: the spread kernel is bound by the serial per-entry
+    dependency chain (round-4 lab), cost ~ entries x (3.2 us + 1e-4 us
+    per halo'd-tile element). Sparse coverage (4096^2+: ~1 entry per
+    live tile) prefers bigger tiles (-18% measured at (25,121));
+    dense coverage is vis-bound and keeps the default. Entry counts
+    are exact via per-tile bincounts — O(nvis), no sort."""
+    from pfb_tpu.ops.mmgridder import _tile_geometry
+    scale = freq_np / LIGHTSPEED
+    ug = np.mod(np.round((uvw_np[:, 0:1] * scale[None, :]) * cellx
+                         * Nx).ravel().astype(np.int64), Nx)
+    vg = np.mod(np.round((uvw_np[:, 1:2] * scale[None, :]) * celly
+                         * Ny).ravel().astype(np.int64), Ny)
+    txs0, tys0 = _tile_geometry(Nx, Ny, k, None, None)
+    best = None
+    for dtx, dty in ((0, 0), (16, 0), (16, 128), (48, 128)):
+        txs, tys = txs0 + dtx, tys0 + dty
+        if txs > Nx or tys > Ny:
+            continue
+        nty = -(-Ny // tys)
+        tid = (ug // txs) * nty + vg // tys
+        cnt = np.bincount(tid)
+        cnt = cnt[cnt > 0]
+        entries = int(np.ceil(cnt / C).sum())
+        cost = entries * (3.2 + 1e-4 * ((txs + k) * (tys + k)))
+        if best is None or cost < best[0]:
+            best = (cost, txs, tys)
+    return best[1], best[2]
+
+
 def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
                do_wgridding=True, sigma=2.0, capacity=128, tile_u=None,
                tile_v=None, dtype=None, x0=0.0, y0=0.0, w_params=None,
@@ -160,6 +191,10 @@ def pgrid_plan(uvw, freq, *, nx, ny, cellx, celly, epsilon=1e-7,
     else:
         nw, w0, dw = w_geometry(uvw_np, freq_np, nx, ny, cellx, celly,
                                 x0, y0, sigma, k, do_wgridding)
+    if tile_u is None and tile_v is None and \
+            uvw_np.shape[0] * freq_np.shape[0] >= (1 << 18):
+        tile_u, tile_v = _auto_tiles(uvw_np, freq_np, Nx, Ny, cellx,
+                                     celly, k, capacity)
     txs, tys = _tile_geometry(Nx, Ny, k, tile_u, tile_v)
     ntx = -(-Nx // txs)
     nty = -(-Ny // tys)
@@ -805,7 +840,7 @@ def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
                         epsilon=1e-7, sigma=2.0, capacity=128,
                         x0=0.0, y0=0.0, plane_block=8, dtype=None,
                         w_params=None, Rb_to=None, nentries_to=None,
-                        nblocks_to=None):
+                        nblocks_to=None, tile_u=None, tile_v=None):
     """W-plane-BLOCKED plan set: the w geometry is split into blocks
     of ``plane_block`` planes and each block gets a standard
     :func:`pgrid_plan` over the rows whose kernel span intersects it,
@@ -835,6 +870,14 @@ def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
     else:
         nw, w0, dw = w_geometry(uvw_np, freq_np, nx, ny, cellx, celly,
                                 x0, y0, sigma, k, True)
+    # tile geometry must be UNIFORM across blocks (and across stacked
+    # datasets — stack_pg_plans_wblocked passes it down): select once
+    # from the full row set, not per padded block
+    if tile_u is None and tile_v is None and \
+            nrow * nchan >= (1 << 18):
+        Nx_, Ny_ = _grid_setup(nx, ny, cellx, celly, sigma)
+        tile_u, tile_v = _auto_tiles(uvw_np, freq_np, Nx_, Ny_,
+                                     cellx, celly, k, capacity)
     B = int(plane_block)
     nblocks = max(1, -(-nw // B))
     if nblocks_to is not None:
@@ -869,8 +912,8 @@ def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
         plans.append(pgrid_plan(
             u, freq_np, nx=nx, ny=ny, cellx=cellx, celly=celly,
             epsilon=epsilon, do_wgridding=True, sigma=sigma,
-            capacity=capacity, x0=x0, y0=y0,
-            w_params=(B, w0s[b], dw), dtype=dtype))
+            capacity=capacity, x0=x0, y0=y0, tile_u=tile_u,
+            tile_v=tile_v, w_params=(B, w0s[b], dw), dtype=dtype))
     nent = max(p["nentries"] for p in plans)
     if nentries_to is not None:
         assert nentries_to >= nent, (nentries_to, nent)
@@ -916,6 +959,13 @@ def _adjoint_wblocked_impl(bp, vr, vi, wflat, interpret):
     vip = jnp.concatenate([vi.astype(rdt), z])
     wp = None if wflat is None else jnp.concatenate(
         [wflat.astype(rdt), z])
+    # grid-correction/screen constants hoisted OUT of the block scan
+    # (w0-independent; the cw quadrature alone cost ~20 ms per scan
+    # step at 4096^2 — round-4 g2i lab)
+    from pfb_tpu.ops.wgridder import gi_consts
+    gic = gi_consts(p0["nx"], p0["ny"], p0["cellx"], p0["celly"],
+                    p0["k"], p0["beta"], p0["Nx"], p0["Ny"], True, dw,
+                    p0["x0"], p0["y0"], rdtype=rdt)
 
     def step(acc, args):
         pos, tid, idx, pm, uvw_b, sel, w0b = args
@@ -932,7 +982,7 @@ def _adjoint_wblocked_impl(bp, vr, vi, wflat, interpret):
                              p0["ny"], p0["cellx"], p0["celly"],
                              p0["k"], p0["beta"], p0["Nx"], p0["Ny"],
                              True, B, w0b, dw, False, p0["x0"],
-                             p0["y0"])
+                             p0["y0"], consts=gic)
         return acc + img, None
 
     xs = (bp["pos"], bp["tid"], bp["idx"], bp["pm"], bp["uvw_d"],
@@ -959,13 +1009,18 @@ def _forward_wblocked_impl(bp, image, interpret):
     ThxA = -(-(Thx + 7) // 8) * 8
     ThyA = -(-(Thy + 127) // 128) * 128
     image = image.astype(rdt)
+    from pfb_tpu.ops.wgridder import gi_consts
+    gic = gi_consts(p0["nx"], p0["ny"], p0["cellx"], p0["celly"], k,
+                    p0["beta"], Nx, Ny, True, dw, p0["x0"], p0["y0"],
+                    rdtype=rdt)
 
     def step(acc, args):
         pos, tid, idx, pm, sel, w0b = args
         gr, gi = _image_to_grid(image, p0["nx"], p0["ny"],
                                 p0["cellx"], p0["celly"], k,
                                 p0["beta"], Nx, Ny, True, B, w0b, dw,
-                                False, p0["x0"], p0["y0"], split=True)
+                                False, p0["x0"], p0["y0"], split=True,
+                                consts=gic)
         ger = jnp.pad(gr, ((0, 0), (0, ThxA), (0, ThyA)), mode="wrap")
         gei = jnp.pad(gi, ((0, 0), (0, ThxA), (0, ThyA)), mode="wrap")
         sx = pos[:, 5, 0].astype(jnp.int32)
@@ -1133,9 +1188,19 @@ def stack_pg_plans(dds, nband, *, nx, ny, epsilon=1e-7,
 
     padded = [[pad_ds(g[d] if d < len(g) else None)
                for d in range(ndata)] for g in by_band]
+    # uniform tile geometry across datasets/bands (see
+    # stack_pg_plans_wblocked)
+    all_uvw = np.concatenate([np.asarray(ds["UVW"]) for ds in dds])
+    if all_uvw.shape[0] * nchan >= (1 << 18):
+        Nx_, Ny_ = _grid_setup(nx, ny, cell, cell, 2.0)
+        tu, tv = _auto_tiles(all_uvw, np.asarray(dds[0]["FREQ"]),
+                             Nx_, Ny_, cell, cell, k, capacity)
+    else:
+        tu = tv = None
     plans = [[pgrid_plan(u, f, nx=nx, ny=ny, cellx=cell, celly=cell,
                          epsilon=epsilon, do_wgridding=do_wgridding,
-                         capacity=capacity, x0=x0, y0=y0, w_params=wp)
+                         capacity=capacity, x0=x0, y0=y0, w_params=wp,
+                         tile_u=tu, tile_v=tv)
               for (u, f, _) in row_]
              for row_ in padded]
     nent = max(p["nentries"] for row_ in plans for p in row_)
@@ -1147,7 +1212,7 @@ def stack_pg_plans(dds, nband, *, nx, ny, epsilon=1e-7,
                     u, f, nx=nx, ny=ny, cellx=cell, celly=cell,
                     epsilon=epsilon, do_wgridding=do_wgridding,
                     capacity=capacity, x0=x0, y0=y0, w_params=wp,
-                    nentries_to=nent)
+                    tile_u=tu, tile_v=tv, nentries_to=nent)
     p0 = plans[0][0]
     rdt = p0["rdtype"]
 
@@ -1283,12 +1348,23 @@ def stack_pg_plans_wblocked(dds, nband, *, nx, ny, epsilon=1e-7,
     padded = [[pad_ds(g[d] if d < len(g) else None)
                for d in range(ndata)] for g in by_band]
 
+    # uniform tile geometry across datasets/bands: select once from
+    # the pooled rows (per-dataset auto-selection would desync the
+    # stacked plan shapes and p0's kernel geometry)
+    all_uvw = np.concatenate([np.asarray(ds["UVW"]) for ds in dds])
+    if all_uvw.shape[0] * nchan >= (1 << 18):
+        Nx_, Ny_ = _grid_setup(nx, ny, cell, cell, 2.0)
+        tu, tv = _auto_tiles(all_uvw, np.asarray(dds[0]["FREQ"]),
+                             Nx_, Ny_, cell, cell, k, capacity)
+    else:
+        tu = tv = None
+
     def build(u, f, Rb_to=None, nent_to=None):
         return pgrid_plan_wblocked(
             u, f, nx=nx, ny=ny, cellx=cell, celly=cell,
             epsilon=epsilon, plane_block=plane_block,
             capacity=capacity, x0=x0, y0=y0, w_params=wp,
-            Rb_to=Rb_to, nentries_to=nent_to)
+            Rb_to=Rb_to, nentries_to=nent_to, tile_u=tu, tile_v=tv)
 
     bps = [[build(u, f) for (u, f, _) in row_] for row_ in padded]
     Rb = max(bp["Rb"] for row_ in bps for bp in row_)

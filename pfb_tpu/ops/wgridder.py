@@ -304,25 +304,53 @@ def _resolve_cfft(fft_engine, rdtype, nx, ny, Nx, Ny):
     return False if on_tpu else None  # auto
 
 
+@partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny",
+                                   "do_w", "x0", "y0", "rdtype"))
+def gi_consts(nx, ny, cellx, celly, k, beta, Nx, Ny, do_w, dw,
+              x0=0.0, y0=0.0, rdtype=jnp.float32):
+    """Plan-invariant grid-correction / w-screen constants shared by
+    :func:`_grid_to_image` and :func:`_image_to_grid`. These depend on
+    the plan geometry only (NOT on the per-block w0), and the cw
+    kernel-FT quadrature alone costs ~20 ms per call at 4096^2
+    (64-point Gauss-Legendre over the full image) — precompute once
+    per plan and hoist out of w-block scans (round-4 g2i lab:
+    grid_to_image 60.1 ms of which only ~27 ms was the FFT)."""
+    li = (jnp.arange(nx) - nx // 2)
+    mi = (jnp.arange(ny) - ny // 2)
+    cx = _es_kernel_ft(li / Nx, beta, k).astype(rdtype)
+    cy = _es_kernel_ft(mi / Ny, beta, k).astype(rdtype)
+    ll = li * cellx + x0
+    mm = mi * celly + y0
+    llg, mmg = jnp.meshgrid(ll, mm, indexing="ij")
+    nm1 = nterm(llg, mmg).astype(rdtype)
+    out = dict(cx=cx, cy=cy, nm1=nm1)
+    if do_w:
+        # f32: 24-point quadrature (|theta| <= ~0.3 by the w-plane
+        # sampling -> error ~1e-10, far below the f32 eps floor; the
+        # 64-point default costs ~20 ms at 4096^2)
+        nq = 24 if rdtype == jnp.float32 else 64
+        out["cw"] = _es_kernel_ft(nm1 * dw, beta, k,
+                                  nquad=nq).astype(rdtype)
+        if rdtype == jnp.float32:
+            tpi = jnp.asarray(2.0 * jnp.pi, rdtype)
+            out["cd"] = jnp.cos(tpi * dw * nm1)
+            out["sd"] = jnp.sin(tpi * dw * nm1)
+    return out
+
+
 @partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny", "nw",
                                    "do_w", "divide_by_n", "x0", "y0",
                                    "wchunk", "fft_engine"))
 def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
                    nw, w0, dw, divide_by_n, x0=0.0, y0=0.0, wchunk=4,
-                   fft_engine="auto"):
+                   fft_engine="auto", consts=None):
     rdtype = gr.dtype
     cfft_interp = _resolve_cfft(fft_engine, rdtype, nx, ny, Nx, Ny)
 
-    # l, m and grid corrections
-    li = (jnp.arange(nx) - nx // 2)
-    mi = (jnp.arange(ny) - ny // 2)
-    cx = _es_kernel_ft(li / Nx, beta, k).astype(rdtype)
-    cy = _es_kernel_ft(mi / Ny, beta, k).astype(rdtype)
-
-    ll = li * cellx + x0
-    mm = mi * celly + y0
-    llg, mmg = jnp.meshgrid(ll, mm, indexing="ij")
-    nm1 = nterm(llg, mmg).astype(rdtype)
+    if consts is None:
+        consts = gi_consts(nx, ny, cellx, celly, k, beta, Nx, Ny,
+                           do_w, dw, x0, y0, rdtype=rdtype)
+    cx, cy, nm1 = consts["cx"], consts["cy"], consts["nm1"]
 
     def plane_images(grp, gip):
         # inverse DFT of a plane batch: sum_p G(p) e^{+2 pi i p s / N}
@@ -357,18 +385,27 @@ def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
             tpi = jnp.asarray(2.0 * jnp.pi, rdtype)
             c0 = jnp.cos(tpi * w0 * nm1)
             s0 = jnp.sin(tpi * w0 * nm1)
-            cd = jnp.cos(tpi * dw * nm1)
-            sd = jnp.sin(tpi * dw * nm1)
+            cd, sd = consts["cd"], consts["sd"]
 
-            def accum_c(carry, args):
-                img_a, c, s = carry
-                irp, iip = args
-                img_a = img_a + irp * c - iip * s
-                return (img_a, c * cd - s * sd,
-                        s * cd + c * sd), None
+            if nw <= 8:
+                # unrolled: XLA fuses the whole accumulation into ~one
+                # pass over the plane stack (a lax.scan carry of the
+                # full image forced a round trip per plane: 7.6 ms at
+                # 8192^2 B=4, round-4 g2i lab)
+                img, c, sn = img0, c0, s0
+                for p_ in range(nw):
+                    img = img + ir[p_] * c - ii[p_] * sn
+                    c, sn = c * cd - sn * sd, sn * cd + c * sd
+            else:
+                def accum_c(carry, args):
+                    img_a, c, sn = carry
+                    irp, iip = args
+                    img_a = img_a + irp * c - iip * sn
+                    return (img_a, c * cd - sn * sd,
+                            sn * cd + c * sd), None
 
-            (img, _, _), _ = lax.scan(accum_c, (img0, c0, s0),
-                                      (ir, ii))
+                (img, _, _), _ = lax.scan(accum_c, (img0, c0, s0),
+                                          (ir, ii))
         elif rdtype == jnp.float32:
             # f32 chip path: the per-plane w-screen cos/sin over the
             # image (nw transcendental passes) is replaced by a phasor
@@ -380,8 +417,7 @@ def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
             tpi = jnp.asarray(2.0 * jnp.pi, rdtype)
             c0 = jnp.cos(tpi * w0 * nm1)
             s0 = jnp.sin(tpi * w0 * nm1)
-            cd = jnp.cos(tpi * dw * nm1)
-            sd = jnp.sin(tpi * dw * nm1)
+            cd, sd = consts["cd"], consts["sd"]
 
             def accum(carry, args):
                 img_a, c, s = carry
@@ -409,8 +445,7 @@ def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
                 accum, img0,
                 (grp.reshape(nc, wc, Nx, Ny),
                  gip.reshape(nc, wc, Nx, Ny), wp.reshape(nc, wc)))
-        cw = _es_kernel_ft(nm1 * dw, beta, k).astype(rdtype)
-        img = img / cw
+        img = img / consts["cw"]
     elif cfft_interp is not None:
         from pfb_tpu.ops.pallas_cfft import fft2_c2c_pruned
         ir, _ = fft2_c2c_pruned(gr[:1], gi[:1], Nx=Nx, Ny=Ny,
@@ -462,21 +497,18 @@ def dirty2vis_wgrid(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
                                    "split", "wchunk", "fft_engine"))
 def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
                    nw, w0, dw, divide_by_n, x0=0.0, y0=0.0,
-                   split=False, wchunk=4, fft_engine="auto"):
+                   split=False, wchunk=4, fft_engine="auto",
+                   consts=None):
     """split=True returns (real, imag) grids as two real arrays (the
     native representation — complex is only assembled on request for
     the wgrid backend's _interp)."""
     rdtype = image.dtype
     cfft_interp = _resolve_cfft(fft_engine, rdtype, nx, ny, Nx, Ny)
 
-    li = (jnp.arange(nx) - nx // 2)
-    mi = (jnp.arange(ny) - ny // 2)
-    cx = _es_kernel_ft(li / Nx, beta, k).astype(rdtype)
-    cy = _es_kernel_ft(mi / Ny, beta, k).astype(rdtype)
-    ll = li * cellx + x0
-    mm = mi * celly + y0
-    llg, mmg = jnp.meshgrid(ll, mm, indexing="ij")
-    nm1 = nterm(llg, mmg).astype(rdtype)
+    if consts is None:
+        consts = gi_consts(nx, ny, cellx, celly, k, beta, Nx, Ny,
+                           do_w, dw, x0, y0, rdtype=rdtype)
+    cx, cy, nm1 = consts["cx"], consts["cy"], consts["nm1"]
 
     img = image / (cx[:, None] * cy[None, :])
     if divide_by_n:
@@ -494,8 +526,7 @@ def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
         return _fft2_stack(fr, fi)
 
     if do_w:
-        cw = _es_kernel_ft(nm1 * dw, beta, k).astype(rdtype)
-        img = img / cw
+        img = img / consts["cw"]
         wc = min(wchunk, nw)
         nc = -(-nw // wc)
         wp = w0 + dw * jnp.arange(nc * wc, dtype=rdtype)
@@ -510,8 +541,7 @@ def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
             tpi = jnp.asarray(2.0 * jnp.pi, rdtype)
             c0 = jnp.cos(tpi * w0 * nm1)
             s0 = jnp.sin(tpi * w0 * nm1)
-            cd = jnp.cos(tpi * dw * nm1)
-            sd = jnp.sin(tpi * dw * nm1)
+            cd, sd = consts["cd"], consts["sd"]
 
             def one_c(carry, _):
                 c, s = carry
@@ -528,8 +558,7 @@ def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
             tpi = jnp.asarray(2.0 * jnp.pi, rdtype)
             c0 = jnp.cos(tpi * w0 * nm1)
             s0 = jnp.sin(tpi * w0 * nm1)
-            cd = jnp.cos(tpi * dw * nm1)
-            sd = jnp.sin(tpi * dw * nm1)
+            cd, sd = consts["cd"], consts["sd"]
 
             def one(carry, _):
                 c, s = carry

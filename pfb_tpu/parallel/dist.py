@@ -644,17 +644,29 @@ def make_vis2dirty_rowdist(mesh, uvw, freq, *, nx, ny, cellx, celly,
             u = np.pad(u, ((0, rows_per - u.shape[0]), (0, 0)))
         return u
 
+    # uniform tile geometry across row shards (the auto selection
+    # must see the same data on every shard)
+    from pfb_tpu.ops.pgridder import _auto_tiles
+    from pfb_tpu.ops.wgridder import _grid_setup
+    if uvw.shape[0] * freq.shape[0] >= (1 << 18):
+        Nx_, Ny_ = _grid_setup(nx, ny, cellx, celly, 2.0)
+        tu, tv = _auto_tiles(np.asarray(uvw), np.asarray(freq), Nx_,
+                             Ny_, cellx, celly, k, capacity)
+    else:
+        tu = tv = None
     plans = [pgrid_plan(block(s), freq, nx=nx, ny=ny, cellx=cellx,
                         celly=celly, epsilon=epsilon,
                         do_wgridding=do_wgridding, capacity=capacity,
-                        x0=x0, y0=y0, w_params=wp)
+                        x0=x0, y0=y0, w_params=wp, tile_u=tu,
+                        tile_v=tv)
              for s in range(nsh)]
     nent = max(p["nentries"] for p in plans)
     plans = [p if p["nentries"] == nent else
              pgrid_plan(block(s), freq, nx=nx, ny=ny, cellx=cellx,
                         celly=celly, epsilon=epsilon,
                         do_wgridding=do_wgridding, capacity=capacity,
-                        x0=x0, y0=y0, w_params=wp, nentries_to=nent)
+                        x0=x0, y0=y0, w_params=wp, tile_u=tu,
+                        tile_v=tv, nentries_to=nent)
              for s, p in enumerate(plans)]
     p0 = plans[0]
 
