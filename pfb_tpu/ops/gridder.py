@@ -119,15 +119,24 @@ def image_data_products(uvw, freq, vis, wgt, mask, counts,
 
     residual_vis = None
     if model is not None:
-        model_vis = d2v(uvw, freq, jnp.asarray(model), cellx, celly,
-                        x0=x0, y0=y0)
-        residual_vis = (vis - model_vis) * mask
+        # split (real, imag) throughout: no complex array is ever
+        # created OUTSIDE a jit (eager complex-producing programs are
+        # unimplemented on some TPU runtimes — measured on the axon
+        # relay; same reason ops/dft.py splits)
+        mr, mi = d2v(uvw, freq, jnp.asarray(model), cellx, celly,
+                     x0=x0, y0=y0, split=True)
+        vis_np = np.asarray(vis)
+        rr = (jnp.asarray(np.ascontiguousarray(vis_np.real)) - mr) \
+            * mask
+        ri = (jnp.asarray(np.ascontiguousarray(vis_np.imag)) - mi) \
+            * mask
+        residual_vis = (rr, ri)
 
     if l2reweight_dof:
         if residual_vis is None:
             raise ValueError(
                 "Requested l2 reweight but no model passed in.")
-        ressq = (residual_vis * residual_vis.conj()).real
+        ressq = residual_vis[0] ** 2 + residual_vis[1] ** 2
         wcount = mask.sum()
         ovar = ressq.sum() / wcount
         wgt = (l2reweight_dof + 1) / (l2reweight_dof + ressq / ovar) / ovar
@@ -161,7 +170,8 @@ def image_data_products(uvw, freq, vis, wgt, mask, counts,
             # a unit delta at (x0, y0) (reference gridder.py:659-687)
             delta = jnp.zeros((128, 128), jnp.finfo(vis.dtype).dtype)
             delta = delta.at[64, 64].set(1.0)
-            psf_vis = d2v(uvw, freq, delta, cellx, celly, x0=x0, y0=y0)
+            psf_vis = d2v(uvw, freq, delta, cellx, celly, x0=x0,
+                          y0=y0, split=True)
         psf = v2d(uvw, freq, psf_vis, wgt=wgt, mask=mask, nx=nx_psf,
                   ny=ny_psf, cellx=cellx, celly=celly, x0=x0, y0=y0)
         out["PSF"] = psf
@@ -183,8 +193,9 @@ def hessian_slice(x, uvw, freq, wgt, mask, cellx, celly, x0=0.0, y0=0.0,
     d2v, v2d = get_backend(backend, epsilon, do_wgridding)
     uvw, wgt, mask = pad_rows(row_bucket(uvw.shape[0]), uvw, wgt, mask)
     xin = x * beam if beam is not None else x
-    mvis = d2v(uvw, freq, xin, cellx, celly, x0=x0, y0=y0)
-    conv = v2d(uvw, freq, mvis * mask, wgt=wgt, mask=mask,
+    mr, mi = d2v(uvw, freq, xin, cellx, celly, x0=x0, y0=y0,
+                 split=True)
+    conv = v2d(uvw, freq, (mr * mask, mi * mask), wgt=wgt, mask=mask,
                nx=x.shape[0], ny=x.shape[1], cellx=cellx, celly=celly,
                x0=x0, y0=y0)
     if beam is not None:

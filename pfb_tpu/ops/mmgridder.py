@@ -454,6 +454,8 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
         np.asarray(wgt, np.float64)
     if mask is not None:
         w = w * np.asarray(mask)
+    if isinstance(vis, (tuple, list)):
+        vis = np.asarray(vis[0]) + 1j * np.asarray(vis[1])
     visw = np.asarray(vis) * w
     if p["x0"] or p["y0"]:
         visw = visw * _centre_shift_np(p["uvw"], p["freq"], p["x0"],
@@ -498,7 +500,8 @@ def vis2dirty_mm(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
 
 def dirty2vis_mm(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
                  do_wgridding=True, sigma=2.0, tile=None, capacity=None,
-                 divide_by_n=False, plan=None, x0=0.0, y0=0.0, **kw):
+                 divide_by_n=False, plan=None, x0=0.0, y0=0.0,
+                 split=False, **kw):
     """R via the matmul degridder (gather twin of vis2dirty_mm).
     Pass plan=mm_plan(...) to amortise binning across calls."""
     nx, ny = image.shape
@@ -531,4 +534,7 @@ def dirty2vis_mm(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
     if p["x0"] or p["y0"]:
         out = out * _centre_shift_np(p["uvw"], p["freq"], p["x0"],
                                      p["y0"], -1.0)
+    if split:
+        return (np.ascontiguousarray(out.real),
+                np.ascontiguousarray(out.imag))
     return out

@@ -605,9 +605,13 @@ def vis2dirty_pg(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
     if mask is not None:
         m = jnp.asarray(np.asarray(mask).astype(rdtype))
         w = m if w is None else w * m
-    vis = np.asarray(vis)
-    vr = jnp.asarray(vis.real.astype(rdtype))
-    vi = jnp.asarray(vis.imag.astype(rdtype))
+    if isinstance(vis, (tuple, list)):
+        vr = jnp.asarray(vis[0], rdtype)
+        vi = jnp.asarray(vis[1], rdtype)
+    else:
+        vis = np.asarray(vis)
+        vr = jnp.asarray(vis.real.astype(rdtype))
+        vi = jnp.asarray(vis.imag.astype(rdtype))
     return _adjoint_from_plan(p, vr, vi, w, interpret)
 
 
@@ -925,8 +929,8 @@ def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
             plans[b] = pgrid_plan(
                 u, freq_np, nx=nx, ny=ny, cellx=cellx, celly=celly,
                 epsilon=epsilon, do_wgridding=True, sigma=sigma,
-                capacity=capacity, x0=x0, y0=y0,
-                w_params=(B, w0s[b], dw), dtype=dtype,
+                capacity=capacity, x0=x0, y0=y0, tile_u=tile_u,
+                tile_v=tile_v, w_params=(B, w0s[b], dw), dtype=dtype,
                 nentries_to=nent)
     p0 = plans[0]
 

@@ -213,8 +213,14 @@ def vis2dirty_wgrid(uvw, freq, vis, wgt=None, mask=None, *, nx, ny,
                     do_wgridding=True, sigma=2.0, row_chunk=2048,
                     divide_by_n=False, double_accum=False,
                     fft_engine="auto"):
-    """R.H: visibilities -> dirty image via w-stacked ES gridding."""
+    """R.H: visibilities -> dirty image via w-stacked ES gridding.
+    ``vis`` may be a (real, imag) pair (assembled eagerly — this is
+    the CPU-parity engine; on-accelerator paths use the pg/dft
+    backends which stay split throughout)."""
     import jax
+
+    if isinstance(vis, (tuple, list)):
+        vis = jnp.asarray(vis[0]) + 1j * jnp.asarray(vis[1])
 
     k, beta = kernel_params(epsilon)
     Nx, Ny = _grid_setup(nx, ny, cellx, celly, sigma)
@@ -489,6 +495,8 @@ def dirty2vis_wgrid(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
                   row_chunk, do_wgridding and nw > 1, nw, w0, dw)
     if x0 or y0:
         vis = vis * _centre_shift(uvw, freq, x0, y0, -1.0)
+    if kw.get("split"):
+        return vis.real, vis.imag
     return vis
 
 

@@ -70,9 +70,12 @@ def _degrid(ms=None, mds=None, output_filename=None, product="I",
                 mds["cell_rad_x"], mds["cell_rad_y"],
                 mds.get("center_x", 0.0), mds.get("center_y", 0.0),
                 nx, ny, cell_rad, cell_rad, x0, y0)
-            vis[np.ix_(rows, range(csel.start, csel.stop))] = to_host(
-                d2v(jnp.asarray(uvw[rows]), jnp.asarray(freq[csel]),
-                    jnp.asarray(image), cell_rad, cell_rad, x0=x0, y0=y0))
+            mvr, mvi = d2v(jnp.asarray(uvw[rows]),
+                           jnp.asarray(freq[csel]),
+                           jnp.asarray(image), cell_rad, cell_rad,
+                           x0=x0, y0=y0, split=True)
+            vis[np.ix_(rows, range(csel.start, csel.stop))] = \
+                np.asarray(mvr) + 1j * np.asarray(mvi)
 
     model_vis = np.zeros(data_shape, dtype=np.complex128)
     model_vis[..., 0] = vis

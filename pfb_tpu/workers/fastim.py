@@ -193,8 +193,12 @@ def _fastim(ms=None, output_filename=None, product="I", suffix="fds",
                     cell_rad, x0, y0)
                 mvis_parts.append(d2v(uvw_j, jnp.asarray(fsub),
                                       jnp.asarray(image), cell_rad,
-                                      cell_rad, x0=x0, y0=y0))
-            vis = vis - jnp.concatenate(mvis_parts, axis=1)
+                                      cell_rad, x0=x0, y0=y0,
+                                      split=True))
+            from jax import lax as _lax
+            vis = vis - _lax.complex(
+                jnp.concatenate([p[0] for p in mvis_parts], axis=1),
+                jnp.concatenate([p[1] for p in mvis_parts], axis=1))
 
         if l2reweight_dof:
             # Student-t reweighting from the residual visibilities

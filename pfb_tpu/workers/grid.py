@@ -316,11 +316,12 @@ def _rowdist_products(mesh, uvw, freq, vis, wgt_eff, mask, nx, ny,
         uvw_p, = pad_rows(row_bucket(nrow), jnp.asarray(uvw))
 
     if do_residual:
-        mvis = np.asarray(d2v(uvw_p, jnp.asarray(freq),
-                              jnp.asarray(model), cell_rad, cell_rad,
-                              x0=x0, y0=y0))[:nrow]
-        rv = visa - mvis
-        out["RESIDUAL"] = v2d_img(rv.real, rv.imag, we)
+        # split (real, imag): complex never crosses host<->device
+        mvr, mvi = d2v(uvw_p, jnp.asarray(freq), jnp.asarray(model),
+                       cell_rad, cell_rad, x0=x0, y0=y0, split=True)
+        rvr = visa.real - np.asarray(mvr)[:nrow]
+        rvi = visa.imag - np.asarray(mvi)[:nrow]
+        out["RESIDUAL"] = v2d_img(rvr, rvi, we)
 
     if do_psf:
         v2d_psf, _ = make_vis2dirty_rowdist(mesh, uvw, freq, nx=nx_psf,
@@ -328,10 +329,11 @@ def _rowdist_products(mesh, uvw, freq, vis, wgt_eff, mask, nx, ny,
         if x0 or y0:
             delta = jnp.zeros((128, 128), we.dtype)
             delta = delta.at[64, 64].set(1.0)
-            pv = np.asarray(d2v(uvw_p, jnp.asarray(freq), delta,
-                                cell_rad, cell_rad, x0=x0,
-                                y0=y0))[:nrow]
-            psf = v2d_psf(pv.real, pv.imag, we)
+            pvr, pvi = d2v(uvw_p, jnp.asarray(freq), delta,
+                           cell_rad, cell_rad, x0=x0, y0=y0,
+                           split=True)
+            psf = v2d_psf(np.asarray(pvr)[:nrow],
+                          np.asarray(pvi)[:nrow], we)
         else:
             ones = np.ones(visa.shape, we.dtype)
             psf = v2d_psf(ones, np.zeros_like(ones), we)

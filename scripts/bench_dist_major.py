@@ -51,17 +51,26 @@ def main():
     nxp = 2 * nx
     psf = np.zeros((nband, nxp, nxp), np.float32)
     psf[:, nx, nx] = 1.0 / nband
+    # EVEN sidelobes: a real PSF is Hermitian-symmetric, so the
+    # transfer function is real -> real_transfer path, half the H
+    # memory/traffic (the complex-H variant pushed the w-ON major
+    # cycle over HBM at 4096^2x8)
     psf[:, nx + 32, nx] = 0.03 / nband
+    psf[:, nx - 32, nx] = 0.03 / nband
     psf[:, nx, nx + 32] = 0.03 / nband
+    psf[:, nx, nx - 32] = 0.03 / nband
 
     bands = band_sharding(mesh)
     hsh = jax.NamedSharding(mesh, jax.sharding.PartitionSpec("band"))
     hr, hi, row_block = prep_pallas_hessian(
-        jnp.asarray(psf), nx, nx, real_transfer=False)
-    hargs = (jax.device_put(hr, hsh), jax.device_put(hi, hsh))
+        jnp.asarray(psf), nx, nx, real_transfer="auto")
+    if hi is None:  # even PSF -> real transfer, half the H memory
+        hargs = (jax.device_put(hr, hsh),)
+    else:
+        hargs = (jax.device_put(hr, hsh), jax.device_put(hi, hsh))
     del hr, hi, psf
     ekw = dict(engine="pallas", nx=nx, ny=nx, row_block=row_block,
-               nh=2)
+               nh=len(hargs))
 
     rng = np.random.default_rng(0)
     dirty = jax.device_put(jnp.asarray(

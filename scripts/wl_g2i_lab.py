@@ -110,6 +110,23 @@ def case(nw, Nx, label):
                               False, 0.0, 0.0)
 
     timeit(chain(g2i, gr, gi), f"{label} _grid_to_image full")
+
+    # lane-block sweep on pass 1 (per-step pipelining granularity)
+    for L in (256, 512):
+        if Nx % L:
+            continue
+
+        def p1L(gr, gi, s, L=L):
+            yr, yi = fftx_c2c(gr + s, gi, N=Nx, inverse=True,
+                              out_rolled=True, lane_block=L)
+            return yr[:, 0] + yi[:, 0]
+
+        try:
+            timeit(chain(p1L, gr, gi),
+                   f"{label} fftx pass1 L={L}")
+        except Exception as e:
+            print(f"{label} fftx pass1 L={L}: "
+                  f"{type(e).__name__}: {str(e)[:90]}", flush=True)
     del gr, gi, half_r, half_i, ir, ii
 
 
