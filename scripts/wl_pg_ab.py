@@ -280,6 +280,29 @@ def main():
 
     timeit(chain(sf2), "1024 spread_fold DMA C=256")
 
+    # ---------------- E_skel: all-padding skeleton ----------------
+    # pflag=0 everywhere -> the kernel skips every body and only
+    # zero-writes blocks on tile change: isolates per-step pipeline
+    # overhead from the compute chain, at both scales.
+    def skel(tid, pos, vp, nw_, ntiles_, thx, thy, cc, label):
+        z = jnp.zeros((pos.shape[0],), jnp.int32)
+
+        def f(s):
+            Y = pg._grid_pallas(tid, pos + s, vp, p0["beta"],
+                                p0["k"], nw_, ntiles_, thx, thy,
+                                cc, pflag=z)
+            return Y[:, :, 0]
+        return timeit(chain(f), label)
+
+    vp1 = jnp.zeros((p1["pos"].shape[0], 2, p1["C"]), jnp.float32)
+    skel(p1["tid"], p1["pos"], vp1, p1["nw"],
+         p1["ntx"] * p1["nty"], p1["txs"] + p1["k"],
+         p1["tys"] + p1["k"], p1["C"],
+         f"1024 spread SKELETON ({p1['pos'].shape[0]} entries)")
+    vpb = jnp.zeros((b2["pos"].shape[0], 2, p0["C"]), jnp.float32)
+    skel(b2["tid"], b2["pos"], vpb, B, ntiles, Thx, Thy, p0["C"],
+         f"4096 block2 spread SKELETON ({b2['pos'].shape[0]} entries)")
+
 
 if __name__ == "__main__":
     main()
