@@ -67,13 +67,15 @@ def main():
 
     repo = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "..")
-    tmp = tempfile.mkdtemp()
+    tmp = os.environ.get("SPOT_TMP") or tempfile.mkdtemp()
+    os.makedirs(tmp, exist_ok=True)
     ms = os.path.join(tmp, "t.npz")
     meta = os.path.join(tmp, "meta.npz")
     out = os.path.join(tmp, "o")
-    subprocess.run([sys.executable, "-c", CPU_SNIPPET.format(
-        repo=repo, ms=ms, meta=meta, out=out, opts=SPOT_OPTS)],
-        check=True)
+    if not os.path.exists(meta):  # SPOT_TMP caches the CPU/f64 half
+        subprocess.run([sys.executable, "-c", CPU_SNIPPET.format(
+            repo=repo, ms=ms, meta=meta, out=out, opts=SPOT_OPTS)],
+            check=True)
     m = np.load(meta)
     rec_cpu, resid_cpu = m["rec"], m["resid"]
     model, Ix, Iy = m["model"], m["Ix"], m["Iy"]
