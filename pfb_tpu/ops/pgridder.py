@@ -937,10 +937,16 @@ def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
     def stk(key):
         return jnp.stack([p[key] for p in plans])
 
+    # per-block live flag: blocks with no selected rows (narrow w
+    # distributions leave most plane blocks empty for most datasets)
+    # are lax.cond-skipped by the blocked impls — the FFTs are the
+    # per-block floor, ~130 ms at 8192^2 B=4 regardless of row count
+    blive = np.array([s.size > 0 for s in sels], np.bool_)
     return dict(p0=p0, B=B, nblocks=nblocks, nw=nw, w0=w0, dw=dw,
                 nrow=nrow, nchan=nchan, Rb=Rb,
                 sel=jnp.asarray(sel_pad.astype(np.int32)),
                 w0s=jnp.asarray(w0s.astype(p0["rdtype"])),
+                blive=jnp.asarray(blive),
                 pos=stk("pos"), tid=stk("tid"), idx=stk("idx"),
                 pm=stk("pm"), uvw_d=stk("uvw_d"),
                 uvw_full=jnp.asarray(uvw_np.astype(p0["rdtype"])),
@@ -971,7 +977,7 @@ def _adjoint_wblocked_impl(bp, vr, vi, wflat, interpret):
                     p0["k"], p0["beta"], p0["Nx"], p0["Ny"], True, dw,
                     p0["x0"], p0["y0"], rdtype=rdt)
 
-    def step(acc, args):
+    def live_step(args):
         pos, tid, idx, pm, uvw_b, sel, w0b = args
         vrb = vrp[sel]
         vib = vip[sel]
@@ -982,15 +988,25 @@ def _adjoint_wblocked_impl(bp, vr, vi, wflat, interpret):
             nty=p0["nty"], txs=p0["txs"], tys=p0["tys"], C=p0["C"],
             x0=p0["x0"], y0=p0["y0"], Nx=p0["Nx"], Ny=p0["Ny"],
             interpret=interpret)
-        img = _grid_to_image(folded[:B], folded[B:], p0["nx"],
-                             p0["ny"], p0["cellx"], p0["celly"],
-                             p0["k"], p0["beta"], p0["Nx"], p0["Ny"],
-                             True, B, w0b, dw, False, p0["x0"],
-                             p0["y0"], consts=gic)
+        return _grid_to_image(folded[:B], folded[B:], p0["nx"],
+                              p0["ny"], p0["cellx"], p0["celly"],
+                              p0["k"], p0["beta"], p0["Nx"], p0["Ny"],
+                              True, B, w0b, dw, False, p0["x0"],
+                              p0["y0"], consts=gic)
+
+    def step(acc, args):
+        lb = args[-1]
+        # empty plane blocks contribute nothing — skip their FFTs
+        img = lax.cond(
+            lb, live_step,
+            lambda a: jnp.zeros((p0["nx"], p0["ny"]), rdt), args[:-1])
         return acc + img, None
 
+    blv = bp.get("blive")
+    if blv is None:
+        blv = jnp.ones((bp["nblocks"],), bool)
     xs = (bp["pos"], bp["tid"], bp["idx"], bp["pm"], bp["uvw_d"],
-          bp["sel"], bp["w0s"])
+          bp["sel"], bp["w0s"], blv)
     img0 = jnp.zeros((p0["nx"], p0["ny"]), rdt)
     img, _ = lax.scan(step, img0, xs)
     return img
@@ -1018,7 +1034,7 @@ def _forward_wblocked_impl(bp, image, interpret):
                     p0["beta"], Nx, Ny, True, dw, p0["x0"], p0["y0"],
                     rdtype=rdt)
 
-    def step(acc, args):
+    def live_step(args):
         pos, tid, idx, pm, sel, w0b = args
         gr, gi = _image_to_grid(image, p0["nx"], p0["ny"],
                                 p0["cellx"], p0["celly"], k,
@@ -1038,6 +1054,19 @@ def _forward_wblocked_impl(bp, image, interpret):
             (accr * pm).reshape(-1)).reshape(bp["Rb"], nchan)
         fi = jnp.zeros((nvis_b,), rdt).at[idx.reshape(-1)].add(
             (acci * pm).reshape(-1)).reshape(bp["Rb"], nchan)
+        return fr, fi
+
+    def step(acc, args):
+        lb = args[-1]
+        args = args[:-1]
+        sel = args[4]
+        # empty plane blocks skip the whole FFT+degrid body (the FFTs
+        # are a ~130 ms floor at 8192^2 B=4 regardless of row count;
+        # narrow w distributions leave most blocks empty)
+        fr, fi = lax.cond(
+            lb, live_step,
+            lambda a: (jnp.zeros((bp["Rb"], nchan), rdt),
+                       jnp.zeros((bp["Rb"], nchan), rdt)), args)
         ar, ai = acc
         ar = ar.at[sel].add(fr)
         ai = ai.at[sel].add(fi)
@@ -1045,8 +1074,11 @@ def _forward_wblocked_impl(bp, image, interpret):
 
     acc0 = (jnp.zeros((nrow + 1, nchan), rdt),
             jnp.zeros((nrow + 1, nchan), rdt))
+    blv = bp.get("blive")
+    if blv is None:
+        blv = jnp.ones((bp["nblocks"],), bool)
     xs = (bp["pos"], bp["tid"], bp["idx"], bp["pm"], bp["sel"],
-          bp["w0s"])
+          bp["w0s"], blv)
     (fr, fi), _ = lax.scan(step, acc0, xs)
     fr, fi = fr[:nrow], fi[:nrow]
     if p0["x0"] or p0["y0"]:
@@ -1074,7 +1106,7 @@ def make_adjoint_pg_wblocked(bp, wgt=None, mask=None):
         w = m if w is None else w * m
     interpret = jax.default_backend() != "tpu"
     akeys = ("pos", "tid", "idx", "pm", "uvw_d", "sel", "w0s",
-             "uvw_full", "freq_d")
+             "uvw_full", "freq_d", "blive")
     arrs = {k: bp[k] for k in akeys}
     meta = {k: v for k, v in bp.items() if k not in akeys}
 
@@ -1106,7 +1138,7 @@ def make_hessian_pg_wblocked(bp, wgt=None, mask=None):
     # device arrays get baked as HLO constants and blow the
     # remote-compile payload (HTTP 413 measured at 4096^2)
     akeys = ("pos", "tid", "idx", "pm", "uvw_d", "sel", "w0s",
-             "uvw_full", "freq_d")
+             "uvw_full", "freq_d", "blive")
     arrs = {k: bp[k] for k in akeys}
     meta = {k: v for k, v in bp.items() if k not in akeys}
 
@@ -1417,13 +1449,13 @@ def stack_pg_plans_wblocked(dds, nband, *, nx, ny, epsilon=1e-7,
     arrs = dict(pos=stk("pos"), tid=stk("tid"), idx=stk("idx"),
                 pm=stk("pm"), uvw_d=stk("uvw_d"), sel=stk("sel"),
                 w0s=stk("w0s"), uvw_full=stk("uvw_full"),
-                freq_d=freq_d, wgt=wgt)
+                freq_d=freq_d, wgt=wgt, blive=stk("blive"))
     return dict(meta=meta, arrs=arrs, beam=beam, ndata=ndata, R=R,
                 nchan=nchan, p0=p0)
 
 
 _WBLK_AKEYS = ("pos", "tid", "idx", "pm", "uvw_d", "sel", "w0s",
-               "uvw_full", "freq_d", "wgt")
+               "uvw_full", "freq_d", "wgt", "blive")
 
 
 def _hessian_pg_cube_local_wblocked(x, arrs, beam, meta, interpret):
