@@ -34,7 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pfb_tpu.ops.pallas_fft import _cmm, _dotg_b1, _factor, _mm
+from pfb_tpu.ops.pallas_fft import (_cmm, _dotg_b1, _dotg_left0,
+                                    _factor)
 
 __all__ = ["fftx_c2c", "fft2_c2c_pruned", "cfft_supported"]
 
@@ -86,9 +87,10 @@ def _kx_kernel(xr_ref, xi_ref, w1r_, w1i_, w2r_, w2i_, or_ref, oi_ref,
     xr = xr_ref[...].reshape(n1_in, N2, L).transpose(1, 0, 2)
     xi = xi_ref[...].reshape(n1_in, N2, L).transpose(1, 0, 2)
     cr, ci = _cmm(_dotg_b1, w1r, w1i, xr, xi, prec)   # (N2, N1, L)
-    cr = cr.reshape(N2, N1 * L)
-    ci = ci.reshape(N2, N1 * L)
-    yr, yi = _cmm(_mm, w2r, w2i, cr, ci, prec)        # (K2, N1*L)
+    # stage 2 contracts the LEADING n2 dim directly ((K2, N2) x
+    # (N2, N1, L) -> (K2, N1, L)): the former (N2, N1*L) view merged a
+    # sublane dim into the lanes — a Mosaic relayout on every step
+    yr, yi = _cmm(_dotg_left0, w2r, w2i, cr, ci, prec)
     or_ref[...] = yr.reshape(or_ref.shape)
     oi_ref[...] = yi.reshape(oi_ref.shape)
 
