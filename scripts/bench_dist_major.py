@@ -85,7 +85,8 @@ def main():
     # memory O(4 x 8192^2) instead of the all-planes layout's
     # ~5.4 GB x 3 buffer generations that exceeded HBM at 4096^2)
     do_w = True
-    plane_block = 4 if on_tpu else None
+    plane_block = (int(os.environ.get("DM_PB", "4"))
+                   if on_tpu else None)
     uvw = rng.normal(scale=1000.0, size=(nrow, 3))
     uvw[:, 2] *= 0.02
     freqs = np.linspace(0.9e9, 1.1e9, nband * nchan)
