@@ -125,11 +125,14 @@ def image_data_products(uvw, freq, vis, wgt, mask, counts,
         # relay; same reason ops/dft.py splits)
         mr, mi = d2v(uvw, freq, jnp.asarray(model), cellx, celly,
                      x0=x0, y0=y0, split=True)
-        vis_np = np.asarray(vis)
-        rr = (jnp.asarray(np.ascontiguousarray(vis_np.real)) - mr) \
-            * mask
-        ri = (jnp.asarray(np.ascontiguousarray(vis_np.imag)) - mi) \
-            * mask
+        if isinstance(vis, np.ndarray):  # split host-side
+            vr_ = jnp.asarray(np.ascontiguousarray(vis.real))
+            vi_ = jnp.asarray(np.ascontiguousarray(vis.imag))
+        else:  # device array: .real/.imag are device ops (complex
+            # VALUES on device are fine; only transfers are not)
+            vr_, vi_ = jnp.real(vis), jnp.imag(vis)
+        rr = (vr_ - mr) * mask
+        ri = (vi_ - mi) * mask
         residual_vis = (rr, ri)
 
     if l2reweight_dof:
