@@ -135,5 +135,88 @@ def main():
     case(4, 8192, "8192^2 B=4")
 
 
+def pass1_variants():
+    """E_pass1: decompose the x-axis kernel's cost at 8192^2 B=4 —
+    full kernel vs stage1-only vs transpose-free (pre-permuted input
+    rows, n2-major) vs memcpy skeleton."""
+    import jax
+    from functools import partial
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from pfb_tpu.ops.pallas_cfft import _cfft_consts, _kx_kernel
+    from pfb_tpu.ops.pallas_fft import _cmm, _dotg_b1, _dotg_left0, \
+        _factor
+
+    N, P = 8192, 4
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.normal(size=(P, N, N)).astype(np.float32))
+    xi = jnp.asarray(rng.normal(size=(P, N, N)).astype(np.float32))
+    C = _cfft_consts(N, 1, False, True)
+    N1, N2 = _factor(N)
+    L = 128
+    Nout = N // 2
+    full = lambda shape: pl.BlockSpec(shape, lambda *_: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    strip_in = pl.BlockSpec((1, N, L), lambda p, j: (p, 0, j),
+                            memory_space=pltpu.VMEM)
+    kw = dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024))
+
+    def run(kern, nout, label, cs=C):
+        so = pl.BlockSpec((1, nout, L), lambda p, j: (p, 0, j),
+                          memory_space=pltpu.VMEM)
+
+        def f(xr, xi, s):
+            yr, yi = pl.pallas_call(
+                kern, grid=(P, N // L),
+                in_specs=[strip_in, strip_in] + [full(c.shape)
+                                                 for c in cs],
+                out_specs=(so, so),
+                out_shape=(jax.ShapeDtypeStruct((P, nout, N),
+                                                jnp.float32),) * 2,
+                **kw)(xr + s, xi, *cs)
+            return yr[:, 0] + yi[:, 0]
+        timeit(chain(f, xr, xi), label)
+
+    def k_full(xr_ref, xi_ref, w1r_, w1i_, w2r_, w2i_, or_, oi_):
+        _kx_kernel(xr_ref, xi_ref, w1r_, w1i_, w2r_, w2i_, or_, oi_,
+                   prec=None)
+
+    run(k_full, Nout, "8192 pass1 full")
+
+    def k_stage1(xr_ref, xi_ref, w1r_, w1i_, w2r_, w2i_, or_, oi_):
+        w1r, w1i = w1r_[...], w1i_[...]
+        N2_, N1_, n1_in = w1r.shape
+        L_ = xr_ref.shape[-1]
+        xr = xr_ref[...].reshape(n1_in, N2_, L_).transpose(1, 0, 2)
+        xi = xi_ref[...].reshape(n1_in, N2_, L_).transpose(1, 0, 2)
+        cr, ci = _cmm(_dotg_b1, w1r, w1i, xr, xi, None)
+        or_[...] = cr[:N2_ // 2].reshape(or_.shape)
+        oi_[...] = ci[:N2_ // 2].reshape(oi_.shape)
+
+    run(k_stage1, N1 * (N2 // 2), "8192 pass1 stage1-only")
+
+    def k_notr(xr_ref, xi_ref, w1r_, w1i_, w2r_, w2i_, or_, oi_):
+        # input arrives pre-permuted n2-major: (N2, N1, L) directly
+        w1r, w1i = w1r_[...], w1i_[...]
+        N2_, N1_, n1_in = w1r.shape
+        L_ = xr_ref.shape[-1]
+        xr = xr_ref[...].reshape(N2_, n1_in, L_)
+        xi = xi_ref[...].reshape(N2_, n1_in, L_)
+        cr, ci = _cmm(_dotg_b1, w1r, w1i, xr, xi, None)
+        yr, yi = _cmm(_dotg_left0, w2r_[...], w2i_[...], cr, ci, None)
+        or_[...] = yr.reshape(or_.shape)
+        oi_[...] = yi.reshape(oi_.shape)
+
+    run(k_notr, Nout, "8192 pass1 NO-transpose (permuted input)")
+
+    def k_skel(xr_ref, xi_ref, w1r_, w1i_, w2r_, w2i_, or_, oi_):
+        or_[...] = xr_ref[0, :Nout][None]
+        oi_[...] = xi_ref[0, :Nout][None]
+
+    run(k_skel, Nout, "8192 pass1 memcpy skeleton")
+
+
 if __name__ == "__main__":
     main()
+    pass1_variants()
