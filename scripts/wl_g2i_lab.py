@@ -217,6 +217,148 @@ def pass1_variants():
     run(k_skel, Nout, "8192 pass1 memcpy skeleton")
 
 
+def memcpy_variants():
+    """E_floor: what sets the 11.5 ms pass1 memcpy floor at 8192^2?
+    single-in/single-out vs 2x2 streams vs plane-batched blocks."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, P = 8192, 4
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.normal(size=(P, N, N)).astype(np.float32))
+    xi = jnp.asarray(rng.normal(size=(P, N, N)).astype(np.float32))
+    Nout = N // 2
+    kw = dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=110 * 1024 * 1024))
+
+    def k1io(x_ref, o_ref):
+        o_ref[...] = x_ref[:, :Nout]
+
+    def f_single(xr, xi, s):
+        y = pl.pallas_call(
+            k1io, grid=(P, N // 128),
+            in_specs=[pl.BlockSpec((1, N, 128),
+                                   lambda p, j: (p, 0, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, Nout, 128),
+                                   lambda p, j: (p, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((P, Nout, N), jnp.float32),
+            **kw)(xr + s)
+        return y[:, 0]
+
+    timeit(chain(f_single, xr, xi), "8192 memcpy 1-in/1-out")
+
+    def kbatch(x_ref, o_ref):
+        o_ref[...] = x_ref[:, :Nout]
+
+    def f_batch(xr, xi, s):
+        y = pl.pallas_call(
+            kbatch, grid=(N // 128,),
+            in_specs=[pl.BlockSpec((P, N, 128),
+                                   lambda j: (0, 0, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((P, Nout, 128),
+                                   lambda j: (0, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((P, Nout, N), jnp.float32),
+            **kw)(xr + s)
+        return y[:, 0]
+
+    timeit(chain(f_batch, xr, xi), "8192 memcpy plane-batched blocks")
+
+
+def pair_ilp_probe():
+    """E_pair: TIMING-ONLY probe of inter-entry ILP in the spread —
+    process two consecutive entries per grid step (results are WRONG
+    when the pair straddles tiles; only the wall time matters)."""
+    import jax
+    from functools import partial
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from pfb_tpu.ops import pgridder as pg
+
+    rng = np.random.default_rng(0)
+    nrow, nchan = 125_000, 8
+    uvw = rng.normal(scale=1000.0, size=(nrow, 3))
+    uvw[:, 2] *= 0.1
+    freq = np.linspace(0.9e9, 1.1e9, nchan)
+    umax = np.abs(uvw[:, :2]).max() * freq[-1] / 299792458.0
+    cell = 1.0 / (2.0 * umax * 2.0)
+    p1 = pg.pgrid_plan(uvw, freq, nx=1024, ny=1024, cellx=cell,
+                       celly=cell, epsilon=1e-5, do_wgridding=True)
+    E = p1["pos"].shape[0] // 2 * 2
+    pos2 = p1["pos"][:E].reshape(E // 2, 2, 8, p1["C"])
+    pos2 = jnp.concatenate([pos2[:, 0], pos2[:, 1]], axis=-1)
+    tid2 = p1["tid"][:E:2]
+    vr = rng.normal(size=(nrow, nchan)).astype(np.float32)
+    visp = jnp.asarray(
+        np.zeros((E // 2, 2, 2 * p1["C"]), np.float32))
+    k, beta, nw = p1["k"], p1["beta"], p1["nw"]
+    Thx, Thy, C = p1["txs"] + k, p1["tys"] + k, p1["C"]
+
+    def kern(tp_ref, pk_ref, vis_ref, out_ref, *, prec):
+        e = pl.program_id(0)
+        dt = out_ref.dtype
+        kh = k / 2.0
+        u = pk_ref[0, 0, :]          # (2C,) two entries' u
+        v = pk_ref[0, 1, :]
+        wf = pk_ref[0, 2, :]
+        xs = lax.broadcasted_iota(jnp.int32, (Thx, 2 * C),
+                                  0).astype(dt)
+        CUT = pg._es((xs - u[None, :]) / kh, beta, k)
+        ys = lax.broadcasted_iota(jnp.int32, (2 * C, Thy),
+                                  1).astype(dt)
+        CV = pg._es((ys - v[:, None]) / kh, beta, k)
+        ps = lax.broadcasted_iota(jnp.int32, (nw, 2 * C),
+                                  0).astype(dt)
+        CW = pg._es((ps - wf[None, :]) / kh, beta, k)
+        A = (CW[:, None, :] * CUT[None, :, :]).reshape(
+            nw * Thx, 2 * C)
+        vr_ = vis_ref[0, 0, :]
+        vi_ = vis_ref[0, 1, :]
+        CVv = jnp.concatenate([CV * vr_[:, None], CV * vi_[:, None]],
+                              axis=1)
+        res = lax.dot_general(A, CVv, (((1,), (0,)), ((), ())),
+                              precision=prec,
+                              preferred_element_type=dt)
+        res = res.reshape(nw, Thx, 2 * Thy)
+        out_ref[0, :, 0] += res[..., :Thy]
+        out_ref[1, :, 0] += res[..., Thy:]
+
+    ntiles = int(p1["ntx"]) * int(p1["nty"])
+
+    def f(pos2, visp, s):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(E // 2,),
+            in_specs=[pl.BlockSpec((1, 8, 2 * C),
+                                   lambda e, *_: (e, 0, 0)),
+                      pl.BlockSpec((1, 2, 2 * C),
+                                   lambda e, *_: (e, 0, 0))],
+            out_specs=pl.BlockSpec((2, nw, 1, Thx, Thy),
+                                   lambda e, t: (0, 0, t[e], 0, 0)),
+        )
+        Y = pl.pallas_call(
+            partial(kern, prec=lax.Precision.HIGHEST),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((2, nw, ntiles, Thx, Thy),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(tid2.astype(jnp.int32), pos2 + s, visp)
+        return Y[:, :, 0]
+
+    timeit(chain(f, pos2, visp),
+           f"1024 spread PAIRED entries ({E // 2} steps, timing-only)")
+
+
 if __name__ == "__main__":
-    main()
-    pass1_variants()
+    import sys as _s
+    if "--floor" in _s.argv:
+        memcpy_variants()
+        pair_ilp_probe()
+    else:
+        main()
+        pass1_variants()
