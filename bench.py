@@ -113,11 +113,14 @@ def main():
         # backtrack=False: fixed-iteration throughput measurement — a
         # backtracking line search would add data-dependent extra
         # matvecs and break comparability across runs
-        solve = make_pcg_bands_fused(hess.apply, tol=0.0,
-                                     maxit=niter, minit=niter,
-                                     backtrack=False)
+        solve = make_pcg_bands_fused(
+            hess.apply, tol=0.0, maxit=niter, minit=niter,
+            backtrack=False,
+            apply_cg=getattr(hess, "apply_cg", None),
+            cg_scale=getattr(hess, "cg_scale", None))
         x0 = jnp.zeros_like(b)
-        pcg_path = "fused"
+        pcg_path = "cg-fused" if hasattr(hess, "apply_cg") \
+            else "fused"
 
         def run_pcg():
             return solve(b, x0, hess.consts)

@@ -29,6 +29,7 @@ R.H W R. Semantics identical to ducc0 vis2dirty/dirty2vis (reference
 pfb/operators/gridder.py:10), validated against the exact-DFT oracle.
 """
 
+import os
 from functools import partial
 
 import jax
@@ -271,8 +272,15 @@ def _grid_kernel(tp_ref, pk_ref, vis_ref, out_ref, *, k,
     ep = jnp.maximum(e - 1, 0)
     first = jnp.logical_or(e == 0,
                            (tp_ref[e] >> 1) != (tp_ref[ep] >> 1))
+    live = (tp_ref[e] & 1) != 0
 
-    @pl.when(first)
+    # a first-visit PADDING entry must still zero its block (blocks
+    # are uninitialised memory); live first visits write the result
+    # DIRECTLY instead — the separate zero-then-accumulate pass was a
+    # full-block VPU write per tile, a large share of the per-entry
+    # cost at sparse (~1 entry/tile) coverage (round-4 paired-entry
+    # probe: 0.86 us/entry without the zeroing vs 2.7 with)
+    @pl.when(first & ~live)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -281,7 +289,7 @@ def _grid_kernel(tp_ref, pk_ref, vis_ref, out_ref, *, k,
     # body — at 4096^2 most tiles are empty and padding dominates the
     # entry stream (round-4 profiling: the kernel is per-entry
     # VPU-bound, so skipped entries are ~free)
-    @pl.when((tp_ref[e] & 1) != 0)
+    @pl.when(live)
     def _():
         dt = out_ref.dtype
         kh = k / 2.0
@@ -312,8 +320,16 @@ def _grid_kernel(tp_ref, pk_ref, vis_ref, out_ref, *, k,
                               precision=prec,
                               preferred_element_type=dt)
         res = res.reshape(nw, Thx, 2 * Thy)
-        out_ref[0, :, 0] += res[..., :Thy]
-        out_ref[1, :, 0] += res[..., Thy:]
+
+        @pl.when(first)
+        def _():
+            out_ref[0, :, 0] = res[..., :Thy]
+            out_ref[1, :, 0] = res[..., Thy:]
+
+        @pl.when(~first)
+        def _():
+            out_ref[0, :, 0] += res[..., :Thy]
+            out_ref[1, :, 0] += res[..., Thy:]
 
 
 def _grid_pallas(tid, pos, vispack, beta, k, nw, ntiles, Thx, Thy, C,
@@ -356,6 +372,18 @@ def _droll(a, shift, axis):
         return jnp.roll(a, shift, axis=axis)
 
 
+def _fold_geom(Thx, Thy, txs, tys):
+    """Extended-window sizes and the colour strides that make same-
+    colour windows provably disjoint: window x-span is [ax, ax+EX)
+    with ax in (xs-7, xs], so two tiles are x-disjoint when their
+    origins differ by >= EX+7; colours repeat every Sx tiles."""
+    EX = -(-(Thx + 8) // 8) * 8
+    EY = -(-(Thy + 128) // 128) * 128
+    Sx = max(1, -(-(EX + 7) // txs))
+    Sy = max(1, -(-(EY + 127) // tys))
+    return EX, EY, Sx, Sy
+
+
 def _fold_kernel(xs_ref, ys_ref, y_ref, bin_ref, bout_ref, win_ref,
                  sem_ref, *, Thx, Thy, EX, EY, nw2):
     del bin_ref  # aliased with bout_ref; all access goes through out
@@ -393,6 +421,98 @@ def _fold_kernel(xs_ref, ys_ref, y_ref, bin_ref, bout_ref, win_ref,
         wr.wait()
 
 
+def _fold_kernel_pipe(xs_ref, ys_ref, y_ref, bin_ref, bout_ref,
+                      win0, win1, rsem, wsem, pend_ref, *,
+                      Thx, Thy, EX, EY, nw2, txs, tys, Sx, Sy, NE):
+    del bin_ref  # aliased with bout_ref; all access goes through out
+    """Double-buffered DMA fold. Requires the compact slots in
+    COLOUR-major order (see ``_spread_fold``): consecutive live slots
+    of the same colour have disjoint windows, so write(e) can overlap
+    read(e+1) — the synchronous kernel's rd.wait/add/wr.wait chain
+    serialised every step on the DMA round trip (~26 ms of the 64 ms
+    per-w-block spread at 4096^2, round-4 lab). At a colour boundary
+    the outstanding writes are drained before the next read (pend_ref
+    SMEM flags keep every start matched by exactly one wait)."""
+    e = pl.program_id(0)
+
+    def rd(i, win, sem):
+        ax = (xs_ref[i] // 8) * 8
+        ay = (ys_ref[i] // 128) * 128
+        return pltpu.make_async_copy(
+            bout_ref.at[:, pl.ds(ax, EX), pl.ds(ay, EY)], win, sem)
+
+    def wr(i, win, sem):
+        ax = (xs_ref[i] // 8) * 8
+        ay = (ys_ref[i] // 128) * 128
+        return pltpu.make_async_copy(
+            win, bout_ref.at[:, pl.ds(ax, EX), pl.ds(ay, EY)], sem)
+
+    def color(i):
+        return ((xs_ref[i] // txs) % Sx) * Sy + (ys_ref[i] // tys) % Sy
+
+    live = xs_ref[e] >= 0
+
+    @pl.when(live & (e == 0))
+    def _():
+        pend_ref[0] = 0
+        pend_ref[1] = 0
+        rd(0, win0, rsem.at[0]).start()
+
+    def body(wb, wn, ib, inb):
+        rd(e, wb, rsem.at[ib]).wait()
+        blk = y_ref[...].reshape(nw2, Thx, Thy)
+        st = jnp.pad(blk, ((0, 0), (0, EX - Thx), (0, EY - Thy)))
+        ax = (xs_ref[e] // 8) * 8
+        ay = (ys_ref[e] // 128) * 128
+        st = _droll(st, xs_ref[e] - ax, 1)
+        st = _droll(st, ys_ref[e] - ay, 2)
+        wb[...] = wb[...] + st
+        wr(e, wb, wsem.at[ib]).start()
+        pend_ref[ib] = 1
+        if NE > 1:
+            en = jnp.minimum(e + 1, NE - 1)
+            nxt_live = (e + 1 < NE) & (xs_ref[en] >= 0)
+
+            @pl.when(nxt_live)
+            def _():
+                @pl.when(pend_ref[inb] == 1)
+                def _():
+                    wr(e - 1, wn, wsem.at[inb]).wait()
+                    pend_ref[inb] = 0
+
+                @pl.when(color(en) != color(e))
+                def _():
+                    wr(e, wb, wsem.at[ib]).wait()
+                    pend_ref[ib] = 0
+
+                rd(en, wn, rsem.at[inb]).start()
+
+            @pl.when(~nxt_live)
+            def _():
+                @pl.when(pend_ref[inb] == 1)
+                def _():
+                    wr(e - 1, wn, wsem.at[inb]).wait()
+                    pend_ref[inb] = 0
+
+                @pl.when(pend_ref[ib] == 1)
+                def _():
+                    wr(e, wb, wsem.at[ib]).wait()
+                    pend_ref[ib] = 0
+        else:
+            wr(e, wb, wsem.at[ib]).wait()
+            pend_ref[ib] = 0
+
+    par = lax.rem(e, jnp.asarray(2, e.dtype))
+
+    @pl.when(live & (par == 0))
+    def _():
+        body(win0, win1, 0, 1)
+
+    @pl.when(live & (par == 1))
+    def _():
+        body(win1, win0, 1, 0)
+
+
 def _fold_pallas(Yc, ltid, lflag, *, ntx, nty, txs, tys, k, Nx, Ny,
                  nw, interpret=False):
     """Compact-Y fold: (2nw, NE, Thx, Thy) live-tile blocks -> the
@@ -401,8 +521,7 @@ def _fold_pallas(Yc, ltid, lflag, *, ntx, nty, txs, tys, k, Nx, Ny,
     Thx, Thy) buffer — 4 GB and ~120 ms per w-block at 4096^2 (round-4
     lab) versus ~10 ms of actual data movement."""
     nw2, NE, Thx, Thy = Yc.shape
-    EX = -(-(Thx + 8) // 8) * 8
-    EY = -(-(Thy + 128) // 128) * 128
+    EX, EY, Sx, Sy = _fold_geom(Thx, Thy, txs, tys)
     # extended buffer bounds (window starts aligned down)
     MxE = ((ntx - 1) * txs // 8) * 8 + EX
     MyE = ((nty - 1) * tys // 128) * 128 + EY
@@ -412,8 +531,20 @@ def _fold_pallas(Yc, ltid, lflag, *, ntx, nty, txs, tys, k, Nx, Ny,
     ys = jnp.where(lflag > 0, (ltid % nty) * tys, 0).astype(jnp.int32)
 
     buf0 = jnp.zeros((nw2, MxE, MyE), Yc.dtype)
-    kern = partial(_fold_kernel, Thx=Thx, Thy=Thy, EX=EX, EY=EY,
-                   nw2=nw2)
+    if os.environ.get("PG_FOLD_SYNC", "0") == "1":
+        kern = partial(_fold_kernel, Thx=Thx, Thy=Thy, EX=EX, EY=EY,
+                       nw2=nw2)
+        scratch = [pltpu.VMEM((nw2, EX, EY), Yc.dtype),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        kern = partial(_fold_kernel_pipe, Thx=Thx, Thy=Thy, EX=EX,
+                       EY=EY, nw2=nw2, txs=txs, tys=tys, Sx=Sx,
+                       Sy=Sy, NE=NE)
+        scratch = [pltpu.VMEM((nw2, EX, EY), Yc.dtype),
+                   pltpu.VMEM((nw2, EX, EY), Yc.dtype),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SMEM((2,), jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(NE,),
@@ -421,8 +552,7 @@ def _fold_pallas(Yc, ltid, lflag, *, ntx, nty, txs, tys, k, Nx, Ny,
                                lambda e, *_: (0, e, 0, 0)),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.VMEM((nw2, EX, EY), Yc.dtype),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=scratch,
     )
     kw = dict(interpret=interpret)
     if not interpret:
@@ -504,8 +634,18 @@ def _spread_fold(vr, vi, wflat, tid, pos, idx, pm, uvw, freq, *, beta,
         # allocate a compact Y LARGER than the dense one
         NE = min(tid.shape[0], ntx * nty)
         tval = jnp.zeros((ntx * nty,), jnp.int32).at[tid].max(lv)
-        cum = jnp.cumsum(tval) - tval
-        ctid = cum[tid].astype(jnp.int32)
+        # compact slots in COLOUR-major order: tiles of one colour
+        # have pairwise-disjoint fold windows, which lets the DMA
+        # fold double-buffer (_fold_kernel_pipe). perm is static.
+        _, _, Sx, Sy = _fold_geom(txs + k, tys + k, txs, tys)
+        tt = np.arange(ntx * nty)
+        col = (tt // nty % Sx) * Sy + (tt % nty % Sy)
+        perm = jnp.asarray(np.lexsort((tt, col)).astype(np.int32))
+        tp_ = tval[perm]
+        cum = jnp.cumsum(tp_) - tp_
+        rank = jnp.zeros((ntx * nty,), jnp.int32).at[perm].set(
+            cum.astype(jnp.int32))
+        ctid = rank[tid]
         Yc = _grid_pallas(ctid, pos, vispack, beta, k, nw, NE, Thx,
                           Thy, C, interpret=interpret,
                           precision=precision, pflag=lv)

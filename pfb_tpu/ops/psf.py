@@ -184,6 +184,22 @@ def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
         matvec.apply = apply
         matvec.consts = {"hr": phrT, "hi": phiT, "beam": beam}
         matvec.real_transfer = use_real
+
+        if beam is None:
+            from pfb_tpu.ops.pallas_fft import \
+                psf_convolve_pallas_v3_cube_cg
+
+            def apply_cg(p_prev, r, beta, consts):
+                """CG-fused matvec (see make_pcg_bands_fused): one
+                pipeline call computes p = beta*p_prev - r, conv(p)
+                and the [p.conv(p), p.p] reductions; wsum/sigmainv
+                are folded in by the solver's update pass."""
+                return psf_convolve_pallas_v3_cube_cg(
+                    p_prev, r, beta, consts["hr"], consts["hi"], nx,
+                    ny, row_block=row_block, interpret=interpret)
+
+            matvec.apply_cg = apply_cg
+            matvec.cg_scale = (wsum, sigmainv if has_sig else None)
         return matvec
     else:
         from pfb_tpu.ops.mmfft import make_full_psfhat

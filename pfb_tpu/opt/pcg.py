@@ -358,7 +358,8 @@ def pcg_bands(A, b, x0=None, M=None, tol=1e-5, maxit=500, minit=100,
 
 def make_pcg_bands_fused(apply, M=None, tol=1e-5, maxit=500,
                          minit=100, backtrack=True, verbosity=0,
-                         report_freq=10, name="pcg"):
+                         report_freq=10, name="pcg", apply_cg=None,
+                         cg_scale=None):
     """Jit :func:`pcg_bands` around an operator of the form
     ``apply(x, consts)`` with the operator constants passed as runtime
     arguments: ``solve = make_pcg_bands_fused(hess.apply, ...)`` then
@@ -371,8 +372,59 @@ def make_pcg_bands_fused(apply, M=None, tol=1e-5, maxit=500,
     and an eager while_loop that closes over the device arrays turns
     them into loop operands that deoptimise the Pallas pipeline ~40x
     (measured on v5e). One compiled program, zero per-iteration host
-    work."""
+    work.
+
+    When ``apply_cg`` is given (``make_psf_convolve_pallas`` exposes
+    ``.apply_cg``/``.cg_scale``) and the fixed-iteration mode is
+    selected (``tol <= 0``, ``M is None``), the loop runs on the
+    CG-FUSED kernel pipeline: the direction update rides the K1
+    strips, the [p.Ap, p.p] reductions ride K3, and the only
+    remaining vector pass is the fused x/r update — the standalone
+    axpy/vdot passes cost ~11 ms on a 16.6 ms matvec at 4096^2 x 8
+    (round-3 VERDICT item 4). ``cg_scale = (wsum, sigmainv)`` folds
+    the operator's scaling into alpha and the r update. Identical
+    arithmetic to :func:`pcg_bands`'s fixed-iteration body."""
     import jax
+
+    if apply_cg is not None and tol <= 0 and M is None:
+        ws, sig = cg_scale if cg_scale is not None else (None, None)
+
+        @jax.jit
+        def solve_cg(b, x0, consts):
+            nband = b.shape[0]
+            r = apply(x0, consts) - b
+            rnorm0 = _band_vdot(r, r)
+            p0 = jnp.zeros_like(b)
+            beta0 = jnp.zeros((nband, 1), b.dtype)
+
+            def body(state, _):
+                x, r, p, rnorm, beta = state
+                pn, conv, pap2 = apply_cg(p, r, beta, consts)
+                papc = pap2[:, 0:1][..., None]      # (nband,1,1)
+                ppc = pap2[:, 1:2][..., None]
+                if ws is not None:
+                    papc = papc / ws
+                pAp = papc + sig * ppc if sig is not None else papc
+                alpha = jnp.where(
+                    pAp != 0,
+                    rnorm / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+                Ap = conv / ws if ws is not None else conv
+                if sig is not None:
+                    Ap = Ap + sig * pn
+                x = x + alpha * pn
+                r = r + alpha * Ap
+                rnorm_next = _band_vdot(r, r)
+                bet = jnp.where(
+                    rnorm != 0,
+                    rnorm_next / jnp.where(rnorm == 0, 1.0, rnorm),
+                    0.0)
+                return (x, r, pn, rnorm_next, bet[:, :, 0]), None
+
+            (x, _, _, _, _), _ = lax.scan(
+                body, (x0, r, p0, rnorm0, beta0), None, length=maxit)
+            return x
+
+        return solve_cg
 
     @jax.jit
     def solve(b, x0, consts):

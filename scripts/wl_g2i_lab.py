@@ -250,6 +250,68 @@ def memcpy_variants():
 
     timeit(chain(f_single, xr, xi), "8192 memcpy 1-in/1-out")
 
+    # contiguous row-strip blocks (1, S, N): full-width lane reads
+    # (32 KB bursts) instead of the 512 B strided chunks of the
+    # (1, N, 128) strips — the hypothesised fix for the 34%-of-peak
+    # strip floor
+    for S in (64, 128, 256):
+        def krow(x_ref, o_ref):
+            o_ref[...] = x_ref[..., :Nout]
+
+        def f_row(xr, xi, s, S=S):
+            y = pl.pallas_call(
+                krow, grid=(P, N // S),
+                in_specs=[pl.BlockSpec((1, S, N),
+                                       lambda p, j: (p, j, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, S, Nout),
+                                       lambda p, j: (p, j, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((P, N, Nout),
+                                               jnp.float32),
+                **kw)(xr + s)
+            return y[:, 0]
+
+        try:
+            timeit(chain(f_row, xr, xi),
+                   f"8192 memcpy contiguous rows S={S}")
+        except Exception as e:
+            print(f"8192 memcpy contiguous rows S={S}: "
+                  f"{type(e).__name__}: {str(e)[:90]}", flush=True)
+
+    # contiguous rows + in-VMEM lane-split/stack to (S*64, 128) and
+    # back — the relayout a lane-axis four-step needs (is it cheap?)
+    S = 128
+    N1s = N // 128
+
+    def ksplit(x_ref, o_ref):
+        x = x_ref[0]                       # (S, N)
+        parts = [x[:, j * 128:(j + 1) * 128] for j in range(N1s)]
+        st = jnp.concatenate(parts, axis=0)    # (N1s*S, 128)
+        st = st + 1.0
+        outp = [st[j * S:(j + 1) * S] for j in range(N1s // 2)]
+        o_ref[0] = jnp.concatenate(outp, axis=1)   # (S, Nout)
+
+    def f_split(xr, xi, s):
+        y = pl.pallas_call(
+            ksplit, grid=(P, N // S),
+            in_specs=[pl.BlockSpec((1, S, N),
+                                   lambda p, j: (p, j, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, S, Nout),
+                                   lambda p, j: (p, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((P, N, Nout), jnp.float32),
+            **kw)(xr + s)
+        return y[:, 0]
+
+    try:
+        timeit(chain(f_split, xr, xi),
+               "8192 contiguous rows + lane-split/stack S=128")
+    except Exception as e:
+        print(f"8192 lane-split/stack: {type(e).__name__}: "
+              f"{str(e)[:90]}", flush=True)
+
     def kbatch(x_ref, o_ref):
         o_ref[...] = x_ref[:, :Nout]
 

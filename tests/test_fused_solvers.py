@@ -164,3 +164,38 @@ def test_spotless_pallas_engine_fused(tmp_path, monkeypatch):
     # same algorithm, different FFT arithmetic order: close, not equal
     denom = np.abs(model_fft).max()
     assert np.abs(model_pl - model_fft).max() / denom < 1e-3
+
+
+def test_pcg_cg_fused_kernels_match_fixed_iter():
+    """The CG-fused kernel path (direction update in K1, [p.Ap, p.p]
+    reductions in K3, wsum/sigmainv folded into the update pass) is
+    the same arithmetic as pcg_bands' fixed-iteration body."""
+    import jax
+
+    from pfb_tpu.ops.psf import make_psf_convolve_pallas
+    from pfb_tpu.opt.pcg import make_pcg_bands_fused, pcg_bands
+
+    nband, nx = 2, 128
+    rng = np.random.default_rng(11)
+    xg = np.arange(2 * nx) - nx
+    xx, yy = np.meshgrid(xg, xg, indexing="ij")
+    psf = np.zeros((nband, 2 * nx, 2 * nx), np.float32)
+    for b in range(nband):
+        psf[b] = 0.4 * np.exp(-0.5 * (xx**2 + yy**2) / (3.0 + b) ** 2)
+        psf[b, nx, nx] += 0.6
+    ws = jnp.asarray(
+        np.array([1.0, 1.5], np.float32))[:, None, None]
+    conv = make_psf_convolve_pallas(jnp.asarray(psf), nx, nx,
+                                    sigmainv=1e-2, wsum=ws)
+    assert hasattr(conv, "apply_cg")
+    model = np.zeros((nband, nx, nx), np.float32)
+    model[:, nx // 3, nx // 2] = 1.0
+    b = conv(jnp.asarray(model))
+    x0 = jnp.zeros_like(b)
+    x_ref = np.asarray(pcg_bands(conv, b, x0=x0, tol=0.0, maxit=25))
+    solve = make_pcg_bands_fused(conv.apply, tol=0.0, maxit=25,
+                                 apply_cg=conv.apply_cg,
+                                 cg_scale=conv.cg_scale)
+    x_cg = np.asarray(solve(b, x0, conv.consts))
+    denom = np.abs(x_ref).max()
+    assert np.abs(x_cg - x_ref).max() / denom < 2e-5

@@ -116,3 +116,37 @@ def test_fused_pcg_fixed_iter_matches_eager(obs):
     d = float(jnp.abs(x1 - x2).max())
     s = float(jnp.abs(x2).max())
     assert d / s < 1e-5
+
+
+def test_cg_fused_pcg_matches_eager(obs):
+    """The CG-fused kernel pipeline (direction update in K1,
+    [p.Ap, p.p] reductions in K3) compiled on the chip gives the
+    fixed-iteration pcg_bands result."""
+    from pfb_tpu.ops.pgridder import vis2dirty_pg
+    from pfb_tpu.ops.psf import make_psf_convolve_pallas
+    from pfb_tpu.opt.pcg import make_pcg_bands_fused, \
+        pcg_bands_hostloop
+    nb, npx = 2, 512
+    ones = (np.ones_like(obs["vr"]) + 0j).astype(np.complex64)
+    psf = vis2dirty_pg(obs["uvw"], obs["freq"], ones, nx=2 * npx,
+                       ny=2 * npx, cellx=obs["cell"],
+                       celly=obs["cell"], epsilon=1e-5,
+                       do_wgridding=False)
+    psf_c = jnp.tile((psf / float(psf.max()))[None], (nb, 1, 1))
+    ws = jnp.asarray(np.array([1.0, 1.5],
+                              np.float32))[:, None, None]
+    conv = make_psf_convolve_pallas(psf_c, npx, npx, sigmainv=1e-1,
+                                    wsum=ws)
+    assert hasattr(conv, "apply_cg")
+    model = jnp.zeros((nb, npx, npx), jnp.float32)
+    model = model.at[:, npx // 2, npx // 2].set(1.0)
+    b = conv(model)
+    solve = make_pcg_bands_fused(conv.apply, tol=0.0, maxit=30,
+                                 apply_cg=conv.apply_cg,
+                                 cg_scale=conv.cg_scale)
+    x1 = solve(b, jnp.zeros_like(b), conv.consts)
+    x2 = pcg_bands_hostloop(lambda z: conv(z), b,
+                            tol=1e-30, maxit=30, minit=30)
+    d = float(jnp.abs(x1 - x2).max())
+    s = float(jnp.abs(x2).max())
+    assert d / s < 1e-4
