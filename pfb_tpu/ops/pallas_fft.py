@@ -433,7 +433,7 @@ def _k1t_cg_kernel(pr_ref, rr_ref, be_ref, wtr_, wti_, w2r_, w2i_,
     p = beta*p_prev - r IN the kernel (the standalone axpy pass of the
     CG iteration rides the strips K1 already streams), emits p and its
     x-spectrum."""
-    beta = be_ref[0, 0]
+    beta = be_ref[0, 0, 0]
     pp = pr_ref[...].reshape(pr_ref.shape[-2:])
     rr = rr_ref[...].reshape(rr_ref.shape[-2:])
     pn = beta * pp - rr
@@ -476,8 +476,8 @@ def _k3t_kernel(xr_ref, xi_ref, wtr_, wti_, w2r_, w2i_, or_ref, *,
 def _k3t_cg_kernel(xr_ref, xi_ref, p_ref, wtr_, wti_, w2r_, w2i_,
                    or_ref, pap_ref, *, N, L, prec=None):
     """CG-fused K3: besides the conv output, accumulates the CG
-    scalars [p . conv(p), p . p] per band into a (1, 2) output block
-    (constant block index over the lane-strip grid axis -> the
+    scalars [p . conv(p), p . p] per band into a (1, 1, 2) output
+    block (constant block index over the lane-strip grid axis -> the
     accumulator stays VMEM-resident per band and is flushed once)."""
     xr = xr_ref[...].reshape(xr_ref.shape[-2:])
     xi = xi_ref[...].reshape(xi_ref.shape[-2:])
@@ -493,8 +493,8 @@ def _k3t_cg_kernel(xr_ref, xi_ref, p_ref, wtr_, wti_, w2r_, w2i_,
     def _():
         pap_ref[...] = jnp.zeros_like(pap_ref)
 
-    pap_ref[0, 0] += pap
-    pap_ref[0, 1] += pp
+    pap_ref[0, 0, 0] += pap
+    pap_ref[0, 0, 1] += pp
 
 
 def v3_supported(nx, ny):
@@ -964,7 +964,10 @@ def psf_convolve_pallas_v3_cube_cg(p_prev, r, beta, Hsr, Hsi, nx, ny,
     per-band CG reductions [p.conv(p), p.p] (K3 epilogue) — the
     standalone axpy and vdot passes of a CG iteration ride the strips
     the kernels already stream (round-3 VERDICT item 4: ~11 ms/iter of
-    vector work on a 16.6 ms matvec). ``beta`` is (nband, 1) f32.
+    vector work on a 16.6 ms matvec). ``beta`` is (nband, 1, 1) f32
+    — the beta block's last two dims must EQUAL the array's (Mosaic's
+    divisible-by-(8,128)-or-equal rule rejects a (nband, 1) array
+    with (1, 1) blocks on the chip).
     Returns ``(p, conv, pap)`` with ``pap`` (nband, 2) =
     [p . conv(p), p . p]; the caller folds wsum/sigmainv into
     alpha and the r update (one fused XLA pass). Reference CG loop:
@@ -1000,7 +1003,7 @@ def psf_convolve_pallas_v3_cube_cg(p_prev, r, beta, Hsr, Hsi, nx, ny,
     hspec = lambda M: pl.BlockSpec((1, N1y, M, N2y),
                                    lambda b, i: (b, 0, i, 0),
                                    memory_space=pltpu.VMEM)
-    be_spec = pl.BlockSpec((1, 1), lambda b, j: (b, 0),
+    be_spec = pl.BlockSpec((1, 1, 1), lambda b, j: (b, 0, 0),
                            memory_space=pltpu.VMEM)
 
     pn, zr, zi = pl.pallas_call(
@@ -1037,7 +1040,7 @@ def psf_convolve_pallas_v3_cube_cg(p_prev, r, beta, Hsr, Hsi, nx, ny,
         **kw,
     )(zr, zi, *h_args, *CYt)
 
-    pap_spec = pl.BlockSpec((1, 2), lambda b, j: (b, 0),
+    pap_spec = pl.BlockSpec((1, 1, 2), lambda b, j: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     out, pap = pl.pallas_call(
         partial(_k3t_cg_kernel, N=NX, L=lane_block, prec=prec),
@@ -1046,7 +1049,7 @@ def psf_convolve_pallas_v3_cube_cg(p_prev, r, beta, Hsr, Hsi, nx, ny,
         + _const_specs_k3t(NX),
         out_specs=(in_strip(lane_block), pap_spec),
         out_shape=(jax.ShapeDtypeStruct((nband, nx, ny), jnp.float32),
-                   jax.ShapeDtypeStruct((nband, 2), jnp.float32)),
+                   jax.ShapeDtypeStruct((nband, 1, 2), jnp.float32)),
         **kw,
     )(wr, wi, pn, *CK3)
     return pn, out, pap

@@ -272,64 +272,53 @@ def _grid_kernel(tp_ref, pk_ref, vis_ref, out_ref, *, k,
     ep = jnp.maximum(e - 1, 0)
     first = jnp.logical_or(e == 0,
                            (tp_ref[e] >> 1) != (tp_ref[ep] >> 1))
-    live = (tp_ref[e] & 1) != 0
 
-    # a first-visit PADDING entry must still zero its block (blocks
-    # are uninitialised memory); live first visits write the result
-    # DIRECTLY instead — the separate zero-then-accumulate pass was a
-    # full-block VPU write per tile, a large share of the per-entry
-    # cost at sparse (~1 entry/tile) coverage (round-4 paired-entry
-    # probe: 0.86 us/entry without the zeroing vs 2.7 with)
-    @pl.when(first & ~live)
+    # NO live gate: a round-4 chip lab showed the whole-body
+    # pl.when(live) predication costs ~2.5x on every entry (the
+    # probe-structure kernel ran the SAME entries in 8.5 ms vs 20.9).
+    # Padding entries (shard-alignment no-ops, empty-tile fillers)
+    # are harmless without it: their kernel coordinates are -2k, the
+    # ES factors evaluate to exactly zero, and a first-visit padding
+    # entry then writes a zero block — which is precisely the
+    # initialisation the old zero-pass did. Since plans prune
+    # empty-tile entries (padding is 0-6% of the stream), computing
+    # them beats predicating everything.
+    dt = out_ref.dtype
+    kh = k / 2.0
+    u = pk_ref[0, 0, :]
+    v = pk_ref[0, 1, :]
+    wf = pk_ref[0, 2, :]
+    # Mosaic iota is integer-only; cast to the compute dtype after
+    xs = lax.broadcasted_iota(jnp.int32, (Thx, C), 0).astype(dt)
+    CUT = _es((xs - u[None, :]) / kh, beta, k)      # (Thx, C)
+    ys = lax.broadcasted_iota(jnp.int32, (C, Thy), 1).astype(dt)
+    CV = _es((ys - v[:, None]) / kh, beta, k)       # (C, Thy)
+    ps = lax.broadcasted_iota(jnp.int32, (nw, C), 0).astype(dt)
+    CW = _es((ps - wf[None, :]) / kh, beta, k) if nw > 1 else \
+        jnp.ones((nw, C), dt)                       # (nw, C)
+
+    # one matmul for BOTH components: out[p,x,y] factors as
+    # (CW CUT)[px, c] @ (val CV)[c, y]; the components share the
+    # A-matrix and stack along the OUTPUT lanes.
+    A = (CW[:, None, :] * CUT[None, :, :]).reshape(nw * Thx, C)
+    vr = vis_ref[0, 0, :]
+    vi = vis_ref[0, 1, :]
+    CVv = jnp.concatenate([CV * vr[:, None], CV * vi[:, None]],
+                          axis=1)                   # (C, 2*Thy)
+    res = lax.dot_general(A, CVv, (((1,), (0,)), ((), ())),
+                          precision=prec,
+                          preferred_element_type=dt)
+    res = res.reshape(nw, Thx, 2 * Thy)
+
+    @pl.when(first)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[0, :, 0] = res[..., :Thy]
+        out_ref[1, :, 0] = res[..., Thy:]
 
-    # padding entries (all-masked: one per EMPTY uv tile so its block
-    # is written, plus shard-alignment no-ops) skip the whole VPU/MXU
-    # body — at 4096^2 most tiles are empty and padding dominates the
-    # entry stream (round-4 profiling: the kernel is per-entry
-    # VPU-bound, so skipped entries are ~free)
-    @pl.when(live)
+    @pl.when(~first)
     def _():
-        dt = out_ref.dtype
-        kh = k / 2.0
-        u = pk_ref[0, 0, :]
-        v = pk_ref[0, 1, :]
-        wf = pk_ref[0, 2, :]
-        # Mosaic iota is integer-only; cast to the compute dtype after
-        xs = lax.broadcasted_iota(jnp.int32, (Thx, C), 0).astype(dt)
-        CUT = _es((xs - u[None, :]) / kh, beta, k)      # (Thx, C)
-        ys = lax.broadcasted_iota(jnp.int32, (C, Thy), 1).astype(dt)
-        CV = _es((ys - v[:, None]) / kh, beta, k)       # (C, Thy)
-        ps = lax.broadcasted_iota(jnp.int32, (nw, C), 0).astype(dt)
-        CW = _es((ps - wf[None, :]) / kh, beta, k) if nw > 1 else \
-            jnp.ones((nw, C), dt)                       # (nw, C)
-
-        # one matmul for BOTH components: out[p,x,y] factors as
-        # (CW CUT)[px, c] @ (val CV)[c, y]; the components share the
-        # A-matrix and stack along the OUTPUT lanes. Per-entry cost is
-        # dominated by MXU issue latency at M~144 (round-4 lab: ES
-        # eval ~1.5%, per-step fixed ~0.3 us, HIGHEST-vs-DEFAULT delta
-        # ~0.25 us/entry/2-passes) — fusing halves the issue count.
-        A = (CW[:, None, :] * CUT[None, :, :]).reshape(nw * Thx, C)
-        vr = vis_ref[0, 0, :]
-        vi = vis_ref[0, 1, :]
-        CVv = jnp.concatenate([CV * vr[:, None], CV * vi[:, None]],
-                              axis=1)                   # (C, 2*Thy)
-        res = lax.dot_general(A, CVv, (((1,), (0,)), ((), ())),
-                              precision=prec,
-                              preferred_element_type=dt)
-        res = res.reshape(nw, Thx, 2 * Thy)
-
-        @pl.when(first)
-        def _():
-            out_ref[0, :, 0] = res[..., :Thy]
-            out_ref[1, :, 0] = res[..., Thy:]
-
-        @pl.when(~first)
-        def _():
-            out_ref[0, :, 0] += res[..., :Thy]
-            out_ref[1, :, 0] += res[..., Thy:]
+        out_ref[0, :, 0] += res[..., :Thy]
+        out_ref[1, :, 0] += res[..., Thy:]
 
 
 def _grid_pallas(tid, pos, vispack, beta, k, nw, ntiles, Thx, Thy, C,

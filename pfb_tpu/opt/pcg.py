@@ -395,13 +395,13 @@ def make_pcg_bands_fused(apply, M=None, tol=1e-5, maxit=500,
             r = apply(x0, consts) - b
             rnorm0 = _band_vdot(r, r)
             p0 = jnp.zeros_like(b)
-            beta0 = jnp.zeros((nband, 1), b.dtype)
+            beta0 = jnp.zeros((nband, 1, 1), b.dtype)
 
             def body(state, _):
                 x, r, p, rnorm, beta = state
                 pn, conv, pap2 = apply_cg(p, r, beta, consts)
-                papc = pap2[:, 0:1][..., None]      # (nband,1,1)
-                ppc = pap2[:, 1:2][..., None]
+                papc = pap2[:, :, 0:1]              # (nband,1,1)
+                ppc = pap2[:, :, 1:2]
                 if ws is not None:
                     papc = papc / ws
                 pAp = papc + sig * ppc if sig is not None else papc
@@ -418,7 +418,7 @@ def make_pcg_bands_fused(apply, M=None, tol=1e-5, maxit=500,
                     rnorm != 0,
                     rnorm_next / jnp.where(rnorm == 0, 1.0, rnorm),
                     0.0)
-                return (x, r, pn, rnorm_next, bet[:, :, 0]), None
+                return (x, r, pn, rnorm_next, bet), None
 
             (x, _, _, _, _), _ = lax.scan(
                 body, (x0, r, p0, rnorm0, beta0), None, length=maxit)
