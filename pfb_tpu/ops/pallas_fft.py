@@ -488,13 +488,18 @@ def _k3t_cg_kernel(xr_ref, xi_ref, p_ref, wtr_, wti_, w2r_, w2i_,
     pap = jnp.sum(p2 * yr)
     pp = jnp.sum(p2 * p2)
     j = pl.program_id(1)
+    # Mosaic cannot store SCALARS to VMEM — build the (1, 1, 2)
+    # vector [pap, pp] with an iota select and store whole-block
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, 2), 2)
+    vals = jnp.where(lane == 0, pap, pp)
 
     @pl.when(j == 0)
     def _():
-        pap_ref[...] = jnp.zeros_like(pap_ref)
+        pap_ref[...] = vals
 
-    pap_ref[0, 0, 0] += pap
-    pap_ref[0, 0, 1] += pp
+    @pl.when(j != 0)
+    def _():
+        pap_ref[...] += vals
 
 
 def v3_supported(nx, ny):
