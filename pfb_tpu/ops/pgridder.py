@@ -511,21 +511,19 @@ def _fold_pallas(Yc, ltid, lflag, *, ntx, nty, txs, tys, k, Nx, Ny,
     lab) versus ~10 ms of actual data movement."""
     nw2, NE, Thx, Thy = Yc.shape
     EX, EY, Sx, Sy = _fold_geom(Thx, Thy, txs, tys)
-    # extended buffer bounds (window starts aligned down)
-    MxE = ((ntx - 1) * txs // 8) * 8 + EX
-    MyE = ((nty - 1) * tys // 128) * 128 + EY
+    pipe = os.environ.get("PG_FOLD_PIPE", "0") == "1"
+    h = k // 2
 
-    xs = jnp.where(lflag > 0, (ltid // nty) * txs,
-                   -1).astype(jnp.int32)   # sign carries the flag
-    ys = jnp.where(lflag > 0, (ltid % nty) * tys, 0).astype(jnp.int32)
-
-    buf0 = jnp.zeros((nw2, MxE, MyE), Yc.dtype)
-    if os.environ.get("PG_FOLD_SYNC", "0") == "1":
-        kern = partial(_fold_kernel, Thx=Thx, Thy=Thy, EX=EX, EY=EY,
-                       nw2=nw2)
-        scratch = [pltpu.VMEM((nw2, EX, EY), Yc.dtype),
-                   pltpu.SemaphoreType.DMA((2,))]
-    else:
+    if pipe:
+        # pipelined variant (measured neutral vs sync on v5e — kept
+        # for A/B): needs UNSHIFTED origins so same-colour windows
+        # stay provably disjoint; pays a full-grid roll afterwards
+        xs = jnp.where(lflag > 0, (ltid // nty) * txs,
+                       -1).astype(jnp.int32)  # sign carries the flag
+        ys = jnp.where(lflag > 0, (ltid % nty) * tys,
+                       0).astype(jnp.int32)
+        MxE = ((ntx - 1) * txs // 8) * 8 + EX
+        MyE = ((nty - 1) * tys // 128) * 128 + EY
         kern = partial(_fold_kernel_pipe, Thx=Thx, Thy=Thy, EX=EX,
                        EY=EY, nw2=nw2, txs=txs, tys=tys, Sx=Sx,
                        Sy=Sy, NE=NE)
@@ -534,6 +532,26 @@ def _fold_pallas(Yc, ltid, lflag, *, ntx, nty, txs, tys, k, Nx, Ny,
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SMEM((2,), jnp.int32)]
+    else:
+        # default sync fold with the -k/2 half-kernel ROLL FUSED into
+        # the window origins ((tx*txs - h) mod Nx): placement shifted
+        # mod the period + the wrap pass is exactly roll(g, -h) of the
+        # unshifted placement, and the full-grid roll was ~2 ms at
+        # 1024^2 / ~5 ms per 4096^2 w-block of pure HBM traffic
+        xs = jnp.where(
+            lflag > 0,
+            jnp.mod((ltid // nty) * txs - h, Nx),
+            -1).astype(jnp.int32)
+        ys = jnp.where(lflag > 0, jnp.mod((ltid % nty) * tys - h, Ny),
+                       0).astype(jnp.int32)
+        MxE = ((Nx - 1) // 8) * 8 + EX
+        MyE = ((Ny - 1) // 128) * 128 + EY
+        kern = partial(_fold_kernel, Thx=Thx, Thy=Thy, EX=EX, EY=EY,
+                       nw2=nw2)
+        scratch = [pltpu.VMEM((nw2, EX, EY), Yc.dtype),
+                   pltpu.SemaphoreType.DMA((2,))]
+
+    buf0 = jnp.zeros((nw2, MxE, MyE), Yc.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(NE,),
@@ -554,8 +572,9 @@ def _fold_pallas(Yc, ltid, lflag, *, ntx, nty, txs, tys, k, Nx, Ny,
         **kw)(xs, ys, Yc, buf0)
 
     # wrap the extended margins back mod (Nx, Ny) (static loop: tiny
-    # grids can wrap more than once), then shift by the half-kernel
-    # offset (extended coord e -> global e - k//2)
+    # grids can wrap more than once); the half-kernel shift (extended
+    # coord e -> global e - k//2) is fused into the window origins on
+    # the default path, or applied as a roll on the pipe path
     def wrap(g, N, axis):
         while g.shape[axis] > N:
             take = min(g.shape[axis] - N, N)
@@ -572,8 +591,9 @@ def _fold_pallas(Yc, ltid, lflag, *, ntx, nty, txs, tys, k, Nx, Ny,
         return g
 
     g = wrap(wrap(ext, Nx, 1), Ny, 2)
-    h = k // 2
-    return jnp.roll(g, (-h, -h), axis=(-2, -1))
+    if pipe:
+        return jnp.roll(g, (-h, -h), axis=(-2, -1))
+    return g
 
 
 def _shift_phases(uvw, freq, x0, y0):

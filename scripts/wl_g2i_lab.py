@@ -216,6 +216,67 @@ def pass1_variants():
 
     run(k_skel, Nout, "8192 pass1 memcpy skeleton")
 
+    # bf16x3 (manual Precision.HIGH): can the ~7 ms stage-2 HIGHEST
+    # cost halve without losing the eps=1e-5 regime? (Mosaic rejects
+    # the HIGH enum; 3 DEFAULT bf16 passes implement it by hand)
+    DE = jax.lax.Precision.DEFAULT
+
+    def _d3(dot, A, B):
+        ah = A.astype(jnp.bfloat16).astype(jnp.float32)
+        al = A - ah
+        bh = B.astype(jnp.bfloat16).astype(jnp.float32)
+        bl = B - bh
+        return (dot(ah, bh, DE) + dot(ah, bl, DE)
+                + dot(al, bh, DE))
+
+    def _cmm3(dot, wr_, wi_, xr_, xi_):
+        rr = _d3(dot, wr_, xr_) - _d3(dot, wi_, xi_)
+        ii = _d3(dot, wr_, xi_) + _d3(dot, wi_, xr_)
+        return rr, ii
+
+    def k_3x(xr_ref, xi_ref, w1r_, w1i_, w2r_, w2i_, or_, oi_):
+        w1r, w1i = w1r_[...], w1i_[...]
+        w2r, w2i = w2r_[...], w2i_[...]
+        N2_, N1_, n1_in = w1r.shape
+        L_ = xr_ref.shape[-1]
+        xr = xr_ref[...].reshape(n1_in, N2_, L_).transpose(1, 0, 2)
+        xi = xi_ref[...].reshape(n1_in, N2_, L_).transpose(1, 0, 2)
+        cr, ci = _cmm3(_dotg_b1, w1r, w1i, xr, xi)
+        yr, yi = _cmm3(_dotg_left0, w2r, w2i, cr, ci)
+        or_[...] = yr.reshape(or_.shape)
+        oi_[...] = yi.reshape(oi_.shape)
+
+    try:
+        run(k_3x, Nout, "8192 pass1 bf16x3 both stages")
+    except Exception as e:
+        print(f"8192 pass1 bf16x3: {type(e).__name__}: "
+              f"{str(e)[:90]}", flush=True)
+
+    # accuracy: bf16x3 vs HIGHEST on one strip batch
+    def once(kern, nout, cs=C):
+        so = pl.BlockSpec((1, nout, L), lambda p, j: (p, 0, j),
+                          memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern, grid=(P, N // L),
+            in_specs=[strip_in, strip_in] + [full(c.shape)
+                                             for c in cs],
+            out_specs=(so, so),
+            out_shape=(jax.ShapeDtypeStruct((P, nout, N),
+                                            jnp.float32),) * 2,
+            **kw)(xr, xi, *cs)
+
+    try:
+        ar, ai = once(k_full, Nout)
+        br, bi = once(k_3x, Nout)
+        num = float(jnp.max(jnp.abs(ar - br))
+                    + jnp.max(jnp.abs(ai - bi)))
+        den = float(jnp.max(jnp.abs(ar)) + jnp.max(jnp.abs(ai)))
+        print(f"8192 pass1 bf16x3 rel err vs HIGHEST: "
+              f"{num/den:.2e}", flush=True)
+    except Exception as e:
+        print(f"bf16x3 accuracy check: {type(e).__name__}: "
+              f"{str(e)[:90]}", flush=True)
+
 
 def memcpy_variants():
     """E_floor: what sets the 11.5 ms pass1 memcpy floor at 8192^2?
