@@ -985,6 +985,10 @@ def psf_convolve_pallas_v3_cube_cg(p_prev, r, beta, Hsr, Hsi, nx, ny,
     NY = N1y * N2y
     NX = 2 * nx
     N1x, N2x = _factor(NX)
+    assert Hsr.shape == (nband, N1y, NXH, N2y), (Hsr.shape, nband)
+    assert p_prev.shape == r.shape == (nband, nx, ny), \
+        (p_prev.shape, r.shape, nband, nx, ny)
+    assert beta.shape == (nband, 1, 1), beta.shape
     assert NXH == N1x * (N2x // 2 + 1), (NXH, N1x, N2x)
     assert NY == 2 * ny
     assert NXH % row_block == 0, (NXH, row_block)

@@ -39,6 +39,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Read once at import time: _fold_pallas runs under jit, so an env var
+# read at trace time would not participate in the jit cache key —
+# flipping it mid-process would silently keep the first-traced variant
+# (round-4 advisor finding).
+PG_FOLD_PIPE = os.environ.get("PG_FOLD_PIPE", "0") == "1"
+
 from pfb_tpu.ops.dft import LIGHTSPEED
 from pfb_tpu.ops.mmgridder import (_bin_to_tiles, _fold_tiles,
                                    _pad_tiles, _tile_geometry)
@@ -375,7 +381,6 @@ def _fold_geom(Thx, Thy, txs, tys):
 
 def _fold_kernel(xs_ref, ys_ref, y_ref, bin_ref, bout_ref, win_ref,
                  sem_ref, *, Thx, Thy, EX, EY, nw2):
-    del bin_ref  # aliased with bout_ref; all access goes through out
     """DMA read-modify-write fold: accumulate one live tile's halo'd
     (nw2, Thx, Thy) block into the extended grid at its true offset.
     Scalar prefetch is TWO packed arrays (xs with the live flag in the
@@ -387,6 +392,7 @@ def _fold_kernel(xs_ref, ys_ref, y_ref, bin_ref, bout_ref, win_ref,
     staging window. Steps run synchronously (wait-read, add,
     wait-write) — neighbouring tiles' windows overlap by the halo, so
     a later read must see the earlier write."""
+    del bin_ref  # aliased with bout_ref; all access goes through out
     e = pl.program_id(0)
 
     @pl.when(xs_ref[e] >= 0)
@@ -413,7 +419,6 @@ def _fold_kernel(xs_ref, ys_ref, y_ref, bin_ref, bout_ref, win_ref,
 def _fold_kernel_pipe(xs_ref, ys_ref, y_ref, bin_ref, bout_ref,
                       win0, win1, rsem, wsem, pend_ref, *,
                       Thx, Thy, EX, EY, nw2, txs, tys, Sx, Sy, NE):
-    del bin_ref  # aliased with bout_ref; all access goes through out
     """Double-buffered DMA fold. Requires the compact slots in
     COLOUR-major order (see ``_spread_fold``): consecutive live slots
     of the same colour have disjoint windows, so write(e) can overlap
@@ -422,6 +427,7 @@ def _fold_kernel_pipe(xs_ref, ys_ref, y_ref, bin_ref, bout_ref,
     per-w-block spread at 4096^2, round-4 lab). At a colour boundary
     the outstanding writes are drained before the next read (pend_ref
     SMEM flags keep every start matched by exactly one wait)."""
+    del bin_ref  # aliased with bout_ref; all access goes through out
     e = pl.program_id(0)
 
     def rd(i, win, sem):
@@ -511,7 +517,7 @@ def _fold_pallas(Yc, ltid, lflag, *, ntx, nty, txs, tys, k, Nx, Ny,
     lab) versus ~10 ms of actual data movement."""
     nw2, NE, Thx, Thy = Yc.shape
     EX, EY, Sx, Sy = _fold_geom(Thx, Thy, txs, tys)
-    pipe = os.environ.get("PG_FOLD_PIPE", "0") == "1"
+    pipe = PG_FOLD_PIPE
     h = k // 2
 
     if pipe:

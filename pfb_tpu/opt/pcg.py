@@ -394,10 +394,11 @@ def make_pcg_bands_fused(apply, M=None, tol=1e-5, maxit=500,
             nband = b.shape[0]
             r = apply(x0, consts) - b
             rnorm0 = _band_vdot(r, r)
+            rnorm0_safe = jnp.where(rnorm0 == 0, 1.0, rnorm0)
             p0 = jnp.zeros_like(b)
             beta0 = jnp.zeros((nband, 1, 1), b.dtype)
 
-            def body(state, _):
+            def body(state, k):
                 x, r, p, rnorm, beta = state
                 pn, conv, pap2 = apply_cg(p, r, beta, consts)
                 papc = pap2[:, :, 0:1]              # (nband,1,1)
@@ -418,10 +419,15 @@ def make_pcg_bands_fused(apply, M=None, tol=1e-5, maxit=500,
                     rnorm != 0,
                     rnorm_next / jnp.where(rnorm == 0, 1.0, rnorm),
                     0.0)
+                _progress(name, k, rnorm_next / rnorm0_safe,
+                          report_freq, verbosity)
                 return (x, r, pn, rnorm_next, bet), None
 
-            (x, _, _, _, _), _ = lax.scan(
-                body, (x0, r, p0, rnorm0, beta0), None, length=maxit)
+            (x, _, _, rnorm, _), _ = lax.scan(
+                body, (x0, r, p0, rnorm0, beta0),
+                jnp.arange(maxit))
+            _summary(name, jnp.asarray(maxit), rnorm / rnorm0_safe,
+                     verbosity)
             return x
 
         return solve_cg

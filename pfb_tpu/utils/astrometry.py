@@ -3,8 +3,12 @@
 Equivalent of pfb/utils/astrometry.py: the reference recomputes UVW with
 casacore measures (fixvis-style, astrometry.py:19-103); here the same
 textbook chain (antenna ITRF/ENU -> hour angle -> uvw) is implemented
-directly. Ephemeris targets (get_coordinates for e.g. the Sun) need an
-ephemeris service and are stubbed.
+directly. Ephemeris targets (``get_coordinates``) are computed from
+built-in low-precision analytic ephemerides — supported bodies: Sun,
+Moon, Mercury, Venus, Mars, Jupiter, Saturn, Uranus, Neptune (the
+reference resolves arbitrary bodies via astropy,
+/root/reference/pfb/utils/astrometry.py:104-137; anything outside this
+list raises).
 """
 
 import numpy as np

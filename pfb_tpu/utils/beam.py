@@ -67,6 +67,35 @@ def jim_beam(l_deg, m_deg, freq_hz, band="l"):
     return v * v
 
 
+_KATBEAM = {}
+
+
+def _katbeam_eval(l_deg, m_deg, freq_hz, band):
+    """Exact katbeam JimBeam evaluation when the package is present
+    (reference beam.py:107-117), else None so the caller falls back to
+    :func:`jim_beam`. The measured per-pol coefficient tables live
+    ONLY inside katbeam's model strings ('MKAT-AA-{L,UHF}-JIM-2020');
+    they are not published in a citable numeric form that could be
+    vendored here without fabricating values, so offline the published
+    -beamwidth analytic model is the supported stand-in and
+    tests/test_beam_models.py cross-validates against katbeam whenever
+    it is importable. Users with measured beams should pass an .npz
+    (same contract as the reference)."""
+    if band not in _KATBEAM:
+        try:
+            from katbeam import JimBeam  # optional dependency
+            name = {"l": "MKAT-AA-L-JIM-2020",
+                    "uhf": "MKAT-AA-UHF-JIM-2020"}[band]
+            _KATBEAM[band] = JimBeam(name)
+        except ImportError:
+            _KATBEAM[band] = None
+    jb = _KATBEAM[band]
+    if jb is None:
+        return None
+    return jb.I(np.asarray(l_deg, float), np.asarray(m_deg, float),
+                freq_hz / 1e6)
+
+
 def interp_beam(freq, nx, ny, cell_deg, btype="kbl", l0=0.0, m0=0.0,
                 dish_diameter=13.5, utime=None, radec=None, lat=None,
                 lst0=0.0):
@@ -103,9 +132,13 @@ def interp_beam(freq, nx, ny, cell_deg, btype="kbl", l0=0.0, m0=0.0,
         bt = btype.lower().replace("-", "_") if isinstance(
             btype, str) else btype
         if bt in ("kbl", "kb_l", "katbeam_l"):
-            return jim_beam(llg, mmg, freq, band="l")
+            kb = _katbeam_eval(llg, mmg, freq, band="l")
+            return kb if kb is not None else jim_beam(
+                llg, mmg, freq, band="l")
         if bt in ("kbuhf", "kb_uhf", "katbeam_uhf"):
-            return jim_beam(llg, mmg, freq, band="uhf")
+            kb = _katbeam_eval(llg, mmg, freq, band="uhf")
+            return kb if kb is not None else jim_beam(
+                llg, mmg, freq, band="uhf")
         if bt == "cos3":
             return cos3_beam(llg, mmg, freq,
                              dish_diameter=dish_diameter)

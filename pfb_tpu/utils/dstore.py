@@ -228,27 +228,39 @@ def update_ds(path, index, arrays=None, attrs=None):
 
 
 def _read_array(adir):
-    """Read one zarr v2 array (uncompressed; multi-chunk supported)."""
+    """Read one zarr v2 array (multi-chunk supported). Compressed
+    chunks (blosc/zlib/gzip/bz2/lzma/zstd/lz4 + shuffle/delta filters
+    — the reference's ``xds_to_zarr`` writes blosc-lz4-shuffle by
+    default, /root/reference/pfb/workers/init.py:79-81) are decoded by
+    the pure-python :mod:`pfb_tpu.utils.codecs` layer."""
+    from pfb_tpu.utils import codecs
+
     meta = json.load(open(adir / ".zarray"))
-    if meta.get("compressor") is not None or meta.get("filters"):
-        raise NotImplementedError(
-            f"{adir}: compressed zarr chunks not supported by this "
-            "pure-numpy reader")
+    compressor = meta.get("compressor")
+    filters = meta.get("filters")
     shape = tuple(meta["shape"])
     chunks = tuple(meta["chunks"])
     dt = np.dtype(meta["dtype"])
     order = meta.get("order", "C")
+
+    def _decode(raw, nitems):
+        raw = codecs.decompress_chunk(raw, compressor,
+                                      nbytes=nitems * dt.itemsize)
+        raw = codecs.decode_filters(raw, filters, dt)
+        return raw
+
     if not shape:
-        raw = open(adir / "0", "rb").read()
+        raw = _decode(open(adir / "0", "rb").read(), 1)
         return np.frombuffer(raw, dtype=dt).reshape(())
     out = np.zeros(shape, dtype=dt)
     if out.size == 0:
         return out
     grid = [max(-(-s // c), 1) for s, c in zip(shape, chunks)]
     sep = meta.get("dimension_separator", ".")
+    csize = int(np.prod(chunks))
     for idx in np.ndindex(*grid):
         key = sep.join(str(i) for i in idx)
-        raw = open(adir / key, "rb").read()
+        raw = _decode(open(adir / key, "rb").read(), csize)
         block = np.frombuffer(raw, dtype=dt).reshape(chunks,
                                                      order=order)
         sl = tuple(slice(i * c, min((i + 1) * c, s))

@@ -73,3 +73,20 @@ def test_jim_beam_vs_katbeam_if_available():
             ref = jb.I(ll.flatten(), mm.flatten(), freqMHz=f / 1e6)
             got = jim_beam(ll, mm, f, band=band).flatten()
             assert np.abs(got - ref).max() < 1e-3
+
+
+def test_interp_beam_uses_katbeam_when_available():
+    """When katbeam is importable, interp_beam's 'kbl'/'kbuhf' path
+    must evaluate JimBeam itself (runtime parity, not just test-time
+    cross-validation). Offline, _katbeam_eval must return None and
+    the analytic fallback engage."""
+    from pfb_tpu.utils.beam import _katbeam_eval
+    got = _katbeam_eval(np.zeros((2, 2)), np.zeros((2, 2)), 1.28e9,
+                        band="l")
+    try:
+        from katbeam import JimBeam  # noqa: F401
+        assert got is not None and got.shape == (2, 2)
+        assert np.allclose(got, JimBeam("MKAT-AA-L-JIM-2020").I(
+            np.zeros((2, 2)), np.zeros((2, 2)), 1280.0))
+    except ImportError:
+        assert got is None
