@@ -390,7 +390,7 @@ def make_pcg_bands_fused(apply, M=None, tol=1e-5, maxit=500,
         ws, sig = cg_scale if cg_scale is not None else (None, None)
 
         @jax.jit
-        def solve_cg(b, x0, consts):
+        def _solve_cg_jit(b, x0, consts):
             nband = b.shape[0]
             r = apply(x0, consts) - b
             rnorm0 = _band_vdot(r, r)
@@ -426,8 +426,17 @@ def make_pcg_bands_fused(apply, M=None, tol=1e-5, maxit=500,
             (x, _, _, rnorm, _), _ = lax.scan(
                 body, (x0, r, p0, rnorm0, beta0),
                 jnp.arange(maxit))
-            _summary(name, jnp.asarray(maxit), rnorm / rnorm0_safe,
-                     verbosity)
+            return x, jnp.max(rnorm / rnorm0_safe)
+
+        def solve_cg(b, x0, consts):
+            # The summary is printed HOST-side from the returned eps:
+            # jax.debug.print is a host callback, which the axon TPU
+            # relay does not support — in-loop _progress (verbosity
+            # >= 2) therefore only works on CPU backends.
+            x, eps = _solve_cg_jit(b, x0, consts)
+            if verbosity >= 1:
+                print(f"{name}: done at iter {maxit}  "
+                      f"eps {float(eps):.3e}")
             return x
 
         return solve_cg
