@@ -995,318 +995,10 @@ def dirty2vis_pg(uvw, freq, image, cellx, celly, *, epsilon=1e-7,
             1j * np.asarray(fi).astype(np.float64))
 
 
-def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
-                        epsilon=1e-7, sigma=2.0, capacity=128,
-                        x0=0.0, y0=0.0, plane_block=8, dtype=None,
-                        w_params=None, Rb_to=None, nentries_to=None,
-                        nblocks_to=None, tile_u=None, tile_v=None):
-    """W-plane-BLOCKED plan set: the w geometry is split into blocks
-    of ``plane_block`` planes and each block gets a standard
-    :func:`pgrid_plan` over the rows whose kernel span intersects it,
-    with the block's plane offset folded into its w0. The blocked
-    adjoint/forward scan the blocks sequentially, so grid memory is
-    O(plane_block x padded grid) instead of O(nw x padded grid) —
-    the all-planes layout needs ~5.4 GB x 3 buffer generations at
-    4096^2 (> v5e HBM); this is the ducc0-style bounded-memory w
-    stack. The ES kernel's own support mask zeroes taps outside a
-    block, so the spread/degrid kernels run UNCHANGED; rows selected
-    into a block whose taps fall outside contribute exactly nothing.
-
-    Returns a dict with stacked per-block plan arrays
-    (pos/tid/idx/pm), per-block padded row selections (``sel``,
-    sentinel = nrow), per-block w0s, and the template plan ``p0``.
-
-    ``w_params``/``Rb_to``/``nentries_to``/``nblocks_to`` override the
-    derived geometry/shapes so plan sets built for different datasets
-    share one compiled program (see stack_pg_plans_wblocked).
-    """
-    k, beta = kernel_params(epsilon)
-    uvw_np = np.asarray(uvw)
-    freq_np = np.asarray(freq)
-    nrow, nchan = uvw_np.shape[0], freq_np.shape[0]
-    if w_params is not None:
-        nw, w0, dw = w_params
-    else:
-        nw, w0, dw = w_geometry(uvw_np, freq_np, nx, ny, cellx, celly,
-                                x0, y0, sigma, k, True)
-    # tile geometry must be UNIFORM across blocks (and across stacked
-    # datasets — stack_pg_plans_wblocked passes it down): select once
-    # from the full row set, not per padded block
-    if tile_u is None and tile_v is None and \
-            nrow * nchan >= (1 << 18):
-        Nx_, Ny_ = _grid_setup(nx, ny, cellx, celly, sigma)
-        tile_u, tile_v = _auto_tiles(uvw_np, freq_np, Nx_, Ny_,
-                                     cellx, celly, k, capacity)
-    B = int(plane_block)
-    nblocks = max(1, -(-nw // B))
-    if nblocks_to is not None:
-        assert nblocks_to >= nblocks, (nblocks_to, nblocks)
-        nblocks = int(nblocks_to)
-
-    # per-row plane-position extrema over channels
-    scale = freq_np / LIGHTSPEED
-    wf = (uvw_np[:, 2:3] * scale[None, :] - w0) / dw  # (nrow, nchan)
-    lo = wf.min(axis=1) - k / 2.0
-    hi = wf.max(axis=1) + k / 2.0
-
-    sels = []
-    for b in range(nblocks):
-        p_lo, p_hi = b * B, b * B + B - 1
-        sels.append(np.where((hi >= p_lo) & (lo <= p_hi))[0])
-    Rb = max(max(s.size for s in sels), 1)
-    from pfb_tpu.ops.gridder import row_bucket
-    Rb = row_bucket(Rb)
-    if Rb_to is not None:
-        assert Rb_to >= Rb, (Rb_to, Rb)
-        Rb = int(Rb_to)
-
-    plans = []
-    sel_pad = np.full((nblocks, Rb), nrow, np.int64)
-    w0s = np.zeros(nblocks)
-    for b, s in enumerate(sels):
-        sel_pad[b, :s.size] = s
-        w0s[b] = w0 + b * B * dw
-        u = np.zeros((Rb, 3))
-        u[:s.size] = uvw_np[s]
-        plans.append(pgrid_plan(
-            u, freq_np, nx=nx, ny=ny, cellx=cellx, celly=celly,
-            epsilon=epsilon, do_wgridding=True, sigma=sigma,
-            capacity=capacity, x0=x0, y0=y0, tile_u=tile_u,
-            tile_v=tile_v, w_params=(B, w0s[b], dw), dtype=dtype))
-    nent = max(p["nentries"] for p in plans)
-    if nentries_to is not None:
-        assert nentries_to >= nent, (nentries_to, nent)
-        nent = int(nentries_to)
-    for b, s in enumerate(sels):
-        if plans[b]["nentries"] != nent:
-            u = np.zeros((Rb, 3))
-            u[:s.size] = uvw_np[s]
-            plans[b] = pgrid_plan(
-                u, freq_np, nx=nx, ny=ny, cellx=cellx, celly=celly,
-                epsilon=epsilon, do_wgridding=True, sigma=sigma,
-                capacity=capacity, x0=x0, y0=y0, tile_u=tile_u,
-                tile_v=tile_v, w_params=(B, w0s[b], dw), dtype=dtype,
-                nentries_to=nent)
-    p0 = plans[0]
-
-    def stk(key):
-        return jnp.stack([p[key] for p in plans])
-
-    # per-block live flag: blocks with no selected rows (narrow w
-    # distributions leave most plane blocks empty for most datasets)
-    # are lax.cond-skipped by the blocked impls — the FFTs are the
-    # per-block floor, ~130 ms at 8192^2 B=4 regardless of row count
-    blive = np.array([s.size > 0 for s in sels], np.bool_)
-    return dict(p0=p0, B=B, nblocks=nblocks, nw=nw, w0=w0, dw=dw,
-                nrow=nrow, nchan=nchan, Rb=Rb,
-                sel=jnp.asarray(sel_pad.astype(np.int32)),
-                w0s=jnp.asarray(w0s.astype(p0["rdtype"])),
-                blive=jnp.asarray(blive),
-                pos=stk("pos"), tid=stk("tid"), idx=stk("idx"),
-                pm=stk("pm"), uvw_d=stk("uvw_d"),
-                uvw_full=jnp.asarray(uvw_np.astype(p0["rdtype"])),
-                freq_d=p0["freq_d"])
 
 
-def _adjoint_wblocked_impl(bp, vr, vi, wflat, interpret):
-    """Blocked adjoint: scan over plane blocks; each step spreads the
-    block's rows with the fused kernel and accumulates the block's
-    plane images (w0 enters traced, so every block shares one
-    compiled scan body)."""
-    p0 = bp["p0"]
-    B = bp["B"]
-    dw = float(bp["dw"])
-    nchan = bp["nchan"]
-    rdt = p0["rdtype"]
-    # sentinel row (index nrow) carries zeros
-    z = jnp.zeros((1, nchan), rdt)
-    vrp = jnp.concatenate([vr.astype(rdt), z])
-    vip = jnp.concatenate([vi.astype(rdt), z])
-    wp = None if wflat is None else jnp.concatenate(
-        [wflat.astype(rdt), z])
-    # grid-correction/screen constants hoisted OUT of the block scan
-    # (w0-independent; the cw quadrature alone cost ~20 ms per scan
-    # step at 4096^2 — round-4 g2i lab)
-    from pfb_tpu.ops.wgridder import gi_consts
-    gic = gi_consts(p0["nx"], p0["ny"], p0["cellx"], p0["celly"],
-                    p0["k"], p0["beta"], p0["Nx"], p0["Ny"], True, dw,
-                    p0["x0"], p0["y0"], rdtype=rdt)
-
-    def live_step(args):
-        pos, tid, idx, pm, uvw_b, sel, w0b = args
-        vrb = vrp[sel]
-        vib = vip[sel]
-        wb = None if wp is None else wp[sel]
-        folded = _spread_fold(
-            vrb, vib, wb, tid, pos, idx, pm, uvw_b, bp["freq_d"],
-            beta=p0["beta"], k=p0["k"], nw=B, ntx=p0["ntx"],
-            nty=p0["nty"], txs=p0["txs"], tys=p0["tys"], C=p0["C"],
-            x0=p0["x0"], y0=p0["y0"], Nx=p0["Nx"], Ny=p0["Ny"],
-            interpret=interpret)
-        return _grid_to_image(folded[:B], folded[B:], p0["nx"],
-                              p0["ny"], p0["cellx"], p0["celly"],
-                              p0["k"], p0["beta"], p0["Nx"], p0["Ny"],
-                              True, B, w0b, dw, False, p0["x0"],
-                              p0["y0"], consts=gic)
-
-    def step(acc, args):
-        lb = args[-1]
-        # empty plane blocks contribute nothing — skip their FFTs
-        img = lax.cond(
-            lb, live_step,
-            lambda a: jnp.zeros((p0["nx"], p0["ny"]), rdt), args[:-1])
-        return acc + img, None
-
-    blv = bp.get("blive")
-    if blv is None:
-        blv = jnp.ones((bp["nblocks"],), bool)
-    xs = (bp["pos"], bp["tid"], bp["idx"], bp["pm"], bp["uvw_d"],
-          bp["sel"], bp["w0s"], blv)
-    img0 = jnp.zeros((p0["nx"], p0["ny"]), rdt)
-    img, _ = lax.scan(step, img0, xs)
-    return img
 
 
-def _forward_wblocked_impl(bp, image, interpret):
-    """Blocked forward (degrid): scan over plane blocks; each step
-    renders the block's planes, DMA-gathers its rows' windows and
-    accumulates into the global (nrow, nchan) components."""
-    p0 = bp["p0"]
-    B = bp["B"]
-    dw = float(bp["dw"])
-    k = p0["k"]
-    kh = k / 2.0
-    nrow, nchan = bp["nrow"], bp["nchan"]
-    rdt = p0["rdtype"]
-    Nx, Ny = p0["Nx"], p0["Ny"]
-    txs, tys, C = p0["txs"], p0["tys"], p0["C"]
-    Thx, Thy = txs + k, tys + k
-    ThxA = -(-(Thx + 7) // 8) * 8
-    ThyA = -(-(Thy + 127) // 128) * 128
-    image = image.astype(rdt)
-    from pfb_tpu.ops.wgridder import gi_consts
-    gic = gi_consts(p0["nx"], p0["ny"], p0["cellx"], p0["celly"], k,
-                    p0["beta"], Nx, Ny, True, dw, p0["x0"], p0["y0"],
-                    rdtype=rdt)
-
-    def live_step(args):
-        pos, tid, idx, pm, sel, w0b = args
-        gr, gi = _image_to_grid(image, p0["nx"], p0["ny"],
-                                p0["cellx"], p0["celly"], k,
-                                p0["beta"], Nx, Ny, True, B, w0b, dw,
-                                False, p0["x0"], p0["y0"], split=True,
-                                consts=gic)
-        ger = jnp.pad(gr, ((0, 0), (0, ThxA), (0, ThyA)), mode="wrap")
-        gei = jnp.pad(gi, ((0, 0), (0, ThxA), (0, ThyA)), mode="wrap")
-        sx = pos[:, 5, 0].astype(jnp.int32)
-        sy = pos[:, 6, 0].astype(jnp.int32)
-        out = _degrid_pallas(tid, sx // 8, sy // 128, pos, ger, gei,
-                             p0["beta"], k, B, ThxA, ThyA, C,
-                             interpret=interpret, pm=pm)
-        accr, acci = out[:, 0, :], out[:, 1, :]
-        nvis_b = bp["Rb"] * nchan
-        fr = jnp.zeros((nvis_b,), rdt).at[idx.reshape(-1)].add(
-            (accr * pm).reshape(-1)).reshape(bp["Rb"], nchan)
-        fi = jnp.zeros((nvis_b,), rdt).at[idx.reshape(-1)].add(
-            (acci * pm).reshape(-1)).reshape(bp["Rb"], nchan)
-        return fr, fi
-
-    def step(acc, args):
-        lb = args[-1]
-        args = args[:-1]
-        sel = args[4]
-        # empty plane blocks skip the whole FFT+degrid body (the FFTs
-        # are a ~130 ms floor at 8192^2 B=4 regardless of row count;
-        # narrow w distributions leave most blocks empty)
-        fr, fi = lax.cond(
-            lb, live_step,
-            lambda a: (jnp.zeros((bp["Rb"], nchan), rdt),
-                       jnp.zeros((bp["Rb"], nchan), rdt)), args)
-        ar, ai = acc
-        ar = ar.at[sel].add(fr)
-        ai = ai.at[sel].add(fi)
-        return (ar, ai), None
-
-    acc0 = (jnp.zeros((nrow + 1, nchan), rdt),
-            jnp.zeros((nrow + 1, nchan), rdt))
-    blv = bp.get("blive")
-    if blv is None:
-        blv = jnp.ones((bp["nblocks"],), bool)
-    xs = (bp["pos"], bp["tid"], bp["idx"], bp["pm"], bp["sel"],
-          bp["w0s"], blv)
-    (fr, fi), _ = lax.scan(step, acc0, xs)
-    fr, fi = fr[:nrow], fi[:nrow]
-    if p0["x0"] or p0["y0"]:
-        # global centre shift on the TRUE uvw rows
-        uvw_full = bp.get("uvw_full")
-        cs, sn = _shift_phases(uvw_full, bp["freq_d"], p0["x0"],
-                               p0["y0"])
-        fr, fi = fr * cs + fi * sn, fi * cs - fr * sn
-    return fr, fi
-
-
-def make_adjoint_pg_wblocked(bp, wgt=None, mask=None):
-    """Jitted adjoint through the w-blocked plan set, with the stacked
-    plan arrays as jit ARGUMENTS. Calling _adjoint_wblocked_impl
-    eagerly re-traces the whole block scan every call (~20 s of host
-    tracing at 1M-row plans) — use this wrapper anywhere the adjoint
-    runs more than once."""
-    p0 = bp["p0"]
-    rdt = p0["rdtype"]
-    w = None
-    if wgt is not None:
-        w = jnp.asarray(np.asarray(wgt).astype(rdt))
-    if mask is not None:
-        m = jnp.asarray(np.asarray(mask).astype(rdt))
-        w = m if w is None else w * m
-    interpret = jax.default_backend() != "tpu"
-    akeys = ("pos", "tid", "idx", "pm", "uvw_d", "sel", "w0s",
-             "uvw_full", "freq_d", "blive")
-    arrs = {k: bp[k] for k in akeys}
-    meta = {k: v for k, v in bp.items() if k not in akeys}
-
-    @jax.jit
-    def adj_j(vr, vi, w, arrs):
-        bpx = dict(meta, **arrs)
-        return _adjoint_wblocked_impl(bpx, vr, vi, w, interpret)
-
-    def adjoint(vr, vi):
-        return adj_j(vr.astype(rdt), vi.astype(rdt), w, arrs)
-
-    return adjoint
-
-
-def make_hessian_pg_wblocked(bp, wgt=None, mask=None):
-    """Device-resident R.H W R through the w-blocked plan set: one
-    jitted program (two block scans), grid memory bounded at
-    O(plane_block x padded grid)."""
-    p0 = bp["p0"]
-    rdt = p0["rdtype"]
-    w = None
-    if wgt is not None:
-        w = jnp.asarray(np.asarray(wgt).astype(rdt))
-    if mask is not None:
-        m = jnp.asarray(np.asarray(mask).astype(rdt))
-        w = m if w is None else w * m
-    interpret = jax.default_backend() != "tpu"
-    # the stacked plan arrays enter as jit ARGUMENTS — closed-over
-    # device arrays get baked as HLO constants and blow the
-    # remote-compile payload (HTTP 413 measured at 4096^2)
-    akeys = ("pos", "tid", "idx", "pm", "uvw_d", "sel", "w0s",
-             "uvw_full", "freq_d", "blive")
-    arrs = {k: bp[k] for k in akeys}
-    meta = {k: v for k, v in bp.items() if k not in akeys}
-
-    @jax.jit
-    def matvec_j(x, w, arrs):
-        bpx = dict(meta, **arrs)
-        fr, fi = _forward_wblocked_impl(bpx, x, interpret)
-        return _adjoint_wblocked_impl(bpx, fr, fi, w, interpret)
-
-    def matvec(x):
-        return matvec_j(x.astype(rdt), w, arrs)
-
-    return matvec
 
 
 def w_geometry_union(dss, nx, ny, cellx, celly, x0, y0, sigma, k,
@@ -1492,163 +1184,8 @@ def _hessian_pg_cube_local(x, st_arrays, beam, p0, interpret):
     return out
 
 
-def stack_pg_plans_wblocked(dds, nband, *, nx, ny, epsilon=1e-7,
-                            plane_block=8, use_beam=True,
-                            mask_image=None, capacity=128):
-    """Stacked (nband, ndata, ...) w-plane-BLOCKED plan sets with one
-    shared static geometry (union w grid, common row bucket, block
-    count, block row bucket and entry count), so the dataset-reduced
-    Hessian runs as a single compiled program with grid memory bounded
-    at O(plane_block x padded grid) — the stacked twin of
-    :func:`pgrid_plan_wblocked` for the distributed exact residual at
-    4096^2+ with w-gridding ON (the all-planes stacked layout exceeds
-    v5e HBM there, BASELINE.md)."""
-    from pfb_tpu.ops.gridder import row_bucket
-
-    by_band = [[] for _ in range(nband)]
-    for ds in dds:
-        by_band[ds["bandid"]].append(ds)
-    ndata = max(len(g) for g in by_band)
-    R = row_bucket(max(ds["UVW"].shape[0] for ds in dds))
-    nchan = max(ds["FREQ"].shape[0] for ds in dds)
-    cell = float(dds[0]["cell_rad"])
-    x0 = float(dds[0].get("x0", 0.0))
-    y0 = float(dds[0].get("y0", 0.0))
-    for ds in dds:
-        assert float(ds["cell_rad"]) == cell, "mixed cell sizes"
-        assert float(ds.get("x0", 0.0)) == x0, "mixed phase centres"
-        assert float(ds.get("y0", 0.0)) == y0, "mixed phase centres"
-
-    k, _beta = kernel_params(epsilon)
-    wp = w_geometry_union(
-        [(ds["UVW"], ds["FREQ"]) for ds in dds], nx, ny, cell, cell,
-        x0, y0, 2.0, k, True)
-
-    def pad_ds(ds):
-        uvw = np.zeros((R, 3))
-        frq = np.ones(nchan)
-        wgt = np.zeros((R, nchan))
-        if ds is not None:
-            nr, nc = ds["UVW"].shape[0], ds["FREQ"].shape[0]
-            uvw[:nr] = ds["UVW"]
-            frq[:nc] = ds["FREQ"]
-            wgt[:nr, :nc] = np.asarray(ds["WEIGHT"]) * \
-                np.asarray(ds["MASK"])
-        return uvw, frq, wgt
-
-    padded = [[pad_ds(g[d] if d < len(g) else None)
-               for d in range(ndata)] for g in by_band]
-
-    # uniform tile geometry across datasets/bands: select once from
-    # the pooled rows (per-dataset auto-selection would desync the
-    # stacked plan shapes and p0's kernel geometry)
-    all_uvw = np.concatenate([np.asarray(ds["UVW"]) for ds in dds])
-    if all_uvw.shape[0] * nchan >= (1 << 18):
-        Nx_, Ny_ = _grid_setup(nx, ny, cell, cell, 2.0)
-        tu, tv = _auto_tiles(all_uvw, np.asarray(dds[0]["FREQ"]),
-                             Nx_, Ny_, cell, cell, k, capacity)
-    else:
-        tu = tv = None
-
-    def build(u, f, Rb_to=None, nent_to=None):
-        return pgrid_plan_wblocked(
-            u, f, nx=nx, ny=ny, cellx=cell, celly=cell,
-            epsilon=epsilon, plane_block=plane_block,
-            capacity=capacity, x0=x0, y0=y0, w_params=wp,
-            Rb_to=Rb_to, nentries_to=nent_to, tile_u=tu, tile_v=tv)
-
-    bps = [[build(u, f) for (u, f, _) in row_] for row_ in padded]
-    Rb = max(bp["Rb"] for row_ in bps for bp in row_)
-    nent = max(bp["p0"]["nentries"] for row_ in bps for bp in row_)
-    nblocks = bps[0][0]["nblocks"]
-    for b in range(nband):
-        for d in range(ndata):
-            bp = bps[b][d]
-            if bp["Rb"] != Rb or bp["p0"]["nentries"] != nent:
-                u, f, _ = padded[b][d]
-                bps[b][d] = build(u, f, Rb_to=Rb, nent_to=nent)
-            assert bps[b][d]["nblocks"] == nblocks
-
-    bp0 = bps[0][0]
-    p0 = bp0["p0"]
-    rdt = p0["rdtype"]
-
-    def stk(key):
-        return jnp.stack([jnp.stack([bps[b][d][key]
-                                     for d in range(ndata)])
-                          for b in range(nband)])
-
-    beam = None
-    has_beam = use_beam and any("BEAM" in ds for ds in dds)
-    if has_beam or mask_image is not None:
-        beam = np.ones((nband, ndata, nx, ny))
-        for b, group in enumerate(by_band):
-            for d in range(ndata):
-                bm = 1.0
-                if d < len(group) and use_beam and "BEAM" in group[d]:
-                    bm = np.asarray(group[d]["BEAM"])
-                if mask_image is not None:
-                    bm = bm * np.asarray(mask_image)
-                beam[b, d] = bm
-        beam = jnp.asarray(beam.astype(rdt))
-
-    wgt = jnp.asarray(np.stack(
-        [np.stack([w for (_, _, w) in row_]) for row_ in padded])
-        .astype(rdt))
-    freq_d = jnp.asarray(np.stack(
-        [np.stack([f for (_, f, _) in row_]) for row_ in padded])
-        .astype(rdt))
-    meta = dict(p0=p0, B=bp0["B"], nblocks=nblocks, nw=bp0["nw"],
-                w0=bp0["w0"], dw=bp0["dw"], nrow=R, nchan=nchan,
-                Rb=Rb)
-    arrs = dict(pos=stk("pos"), tid=stk("tid"), idx=stk("idx"),
-                pm=stk("pm"), uvw_d=stk("uvw_d"), sel=stk("sel"),
-                w0s=stk("w0s"), uvw_full=stk("uvw_full"),
-                freq_d=freq_d, wgt=wgt, blive=stk("blive"))
-    return dict(meta=meta, arrs=arrs, beam=beam, ndata=ndata, R=R,
-                nchan=nchan, p0=p0)
 
 
-_WBLK_AKEYS = ("pos", "tid", "idx", "pm", "uvw_d", "sel", "w0s",
-               "uvw_full", "freq_d", "wgt", "blive")
-
-
-def _hessian_pg_cube_local_wblocked(x, arrs, beam, meta, interpret):
-    """Dataset-reduced R.H W R over stacked w-blocked plan sets as one
-    lax.scan over the flattened (band, dataset) axis; each step runs
-    the blocked forward + adjoint (their internal block scans bound
-    grid memory to plane_block planes)."""
-    pos = arrs[0]
-    nb, ndata = pos.shape[:2]
-
-    def flat(a):
-        return a.reshape((nb * ndata,) + a.shape[2:])
-
-    bid = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), ndata)
-
-    def one(acc, args):
-        b = args[0]
-        named = dict(zip(_WBLK_AKEYS, args[1:1 + len(_WBLK_AKEYS)]))
-        wgt_d = named.pop("wgt")
-        bm = args[-1] if beam is not None else None
-        bp = dict(meta, **named)
-        x_b = lax.dynamic_index_in_dim(x, b, keepdims=False)
-        xin = x_b * bm if bm is not None else x_b
-        fr, fi = _forward_wblocked_impl(bp, xin, interpret)
-        conv = _adjoint_wblocked_impl(bp, fr, fi, wgt_d, interpret)
-        if bm is not None:
-            conv = conv * bm
-        acc = lax.dynamic_update_index_in_dim(
-            acc, lax.dynamic_index_in_dim(acc, b, keepdims=False)
-            + conv, b, 0)
-        return acc, None
-
-    xs = (bid,) + tuple(flat(arrs[i])
-                        for i in range(len(_WBLK_AKEYS)))
-    if beam is not None:
-        xs = xs + (flat(beam),)
-    out, _ = lax.scan(one, jnp.zeros_like(x), xs)
-    return out
 
 
 def make_hessian_pg_stacked(dds, nband, wsum, nx, ny, sigmainv=0.0,
@@ -1707,3 +1244,21 @@ def make_hessian_pg(plan, wgt=None, mask=None, engine="pallas"):
         return _adjoint_from_plan(p, fr, fi, w, interpret)
 
     return matvec
+
+
+# The w-blocked engine moved to ops/pg_stream.py in round 5 (global
+# entry stream + per-block entry maps); re-exported lazily (PEP 562)
+# so existing import sites keep working without a circular import
+# (pg_stream itself imports this module's kernels/helpers).
+_PG_STREAM_EXPORTS = frozenset((
+    "_WBLK_AKEYS", "_adjoint_wblocked_impl", "_forward_wblocked_impl",
+    "_hessian_pg_cube_local_wblocked", "make_adjoint_pg_wblocked",
+    "make_hessian_pg_wblocked", "pgrid_plan_wblocked",
+    "stack_pg_plans_wblocked"))
+
+
+def __getattr__(name):
+    if name in _PG_STREAM_EXPORTS:
+        from pfb_tpu.ops import pg_stream
+        return getattr(pg_stream, name)
+    raise AttributeError(name)

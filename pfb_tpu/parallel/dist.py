@@ -796,8 +796,8 @@ def _make_hessian_dds_dist_pg(mesh, dds, nband, wsum, nx, ny,
     cube = P("band", None, None)
 
     if plane_block and do_wgridding:
-        from pfb_tpu.ops.pgridder import (
-            _WBLK_AKEYS, _hessian_pg_cube_local_wblocked,
+        from pfb_tpu.ops.pg_stream import (
+            _WBLK_STACK_KEYS, _hessian_pg_cube_local_wblocked,
             stack_pg_plans_wblocked)
 
         st = stack_pg_plans_wblocked(
@@ -809,8 +809,8 @@ def _make_hessian_dds_dist_pg(mesh, dds, nband, wsum, nx, ny,
         meta = st["meta"]
 
         def local(x, *args):
-            arrs = args[:len(_WBLK_AKEYS)]
-            beam = args[len(_WBLK_AKEYS)] if has_beam else None
+            arrs = args[:len(_WBLK_STACK_KEYS)]
+            beam = args[len(_WBLK_STACK_KEYS)] if has_beam else None
             conv = _hessian_pg_cube_local_wblocked(x, arrs, beam,
                                                    meta, interpret)
             out = conv / wsum
@@ -818,7 +818,7 @@ def _make_hessian_dds_dist_pg(mesh, dds, nband, wsum, nx, ny,
                 out = out + x * sigmainv**2
             return out
 
-        args = [st["arrs"][k] for k in _WBLK_AKEYS]
+        args = [st["arrs"][k] for k in _WBLK_STACK_KEYS]
         if has_beam:
             args.append(st["beam"])
     else:
