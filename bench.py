@@ -22,11 +22,86 @@ synchronisation is forced with a scalar readback (see
 
 import json
 import os
+import tempfile
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import numpy as np
+
+
+def chip_parity():
+    """On-chip correctness certificate alongside the throughput
+    numbers (round-4 VERDICT item 7: bench.py certified speed only, so
+    a numerical regression on chip would not be caught by the driver's
+    bench loop). Runs a small init -> grid -> spotless pipeline in f32
+    on the attached accelerator and applies the two reference spotless
+    assertions (tests/test_spotless.py:264-265 model2comps fit
+    round-trip, :322-325 transfer-model re-grid residual
+    consistency)."""
+    import numpy as np
+
+    from pfb_tpu.models.comps import eval_coeffs_to_cube
+    from pfb_tpu.utils.ms import simulate_ms
+    from pfb_tpu.workers.grid import _grid
+    from pfb_tpu.workers.init import _init
+    from pfb_tpu.workers.model2comps import _model2comps
+    from pfb_tpu.workers.spotless import _spotless
+
+    opts = dict(niter=2, rmsfactor=0.1, gamma=1.0, bases="self,db1",
+                nlevels=2, l1reweight_from=2, pd_tol=5e-4,
+                pd_maxit=300, verbose=0)
+    with tempfile.TemporaryDirectory() as tmp:
+        ms = os.path.join(tmp, "t.npz")
+        out = os.path.join(tmp, "o")
+        simulate_ms(ms, nant=9, ntime=4, nchan=2, nsource=3,
+                    fov_deg=0.25, seed=7, gains=False)
+        xds = _init(ms=ms, write=False, channels_per_image=1,
+                    precision="single")
+        dds = _grid(xdsi=xds, output_filename=out, suffix="main",
+                    field_of_view=0.25, robustness=0.0, psf=True,
+                    residual=False)
+        rec, resid = _spotless(ddsi=[dict(d) for d in dds],
+                               output_filename=out + "spot", **opts)
+        rec = np.asarray(rec, np.float64)
+        resid = np.asarray(resid, np.float64)
+        nband = rec.shape[0]
+        wsum = np.sum([d["WSUM"][0] for d in dds])
+        dirty_mfs = np.sum([np.asarray(d["DIRTY"], np.float64)
+                            for d in dds], axis=0) / wsum
+
+        for ds in dds:
+            ds["MODEL"] = rec[ds["bandid"]]
+        mds = _model2comps(ddsi=dds, output_filename=out + "m",
+                           nbasisf=nband, fit_mode="Legendre")
+        freqs_out = np.unique([ds["freq_out"] for ds in dds])
+        times_out = np.unique([ds["time_out"] for ds in dds])
+        nxy = rec.shape[-2:]
+        fit = eval_coeffs_to_cube(
+            times_out, freqs_out, nxy[0], nxy[1],
+            mds["coefficients"], mds["location_x"],
+            mds["location_y"], mds["parametrisation"], mds["params"],
+            mds["texpr"], mds["fexpr"])
+        fit = np.asarray(fit)[0].reshape(rec.shape)
+        peak = float(np.abs(rec).max())
+        fit_err = float(np.abs(fit - rec).max() / peak)
+
+        dds_t = _grid(xdsi=xds, output_filename=out + "t",
+                      suffix="main", field_of_view=0.25,
+                      robustness=0.0, psf=False, residual=True,
+                      transfer_model_from=mds)
+        res_t = np.zeros_like(resid)
+        for ds in dds_t:
+            res_t[ds["bandid"]] += np.asarray(ds["RESIDUAL"],
+                                              np.float64) / wsum
+        rscale = float(np.abs(dirty_mfs).max())
+        consist_err = float(np.abs(res_t - resid).max() / rscale)
+    return {"fit_roundtrip_rel": fit_err,
+            "residual_consistency_rel": consist_err,
+            # reference CPU/f64 asserts exact allclose; the on-chip
+            # f32 gate (BASELINE.md round-4 chip measurements: 2.6e-18
+            # and 8.8e-8)
+            "ok": bool(fit_err < 1e-5 and consist_err < 1e-4)}
 
 
 def main():
@@ -270,6 +345,13 @@ def main():
         except Exception as e:  # pragma: no cover - device-dependent
             result["gridder4096_error"] = \
                 f"{type(e).__name__}: {str(e)[:120]}"
+
+    if on_accel:
+        try:
+            result["parity"] = chip_parity()
+        except Exception as e:  # pragma: no cover - device-dependent
+            result["parity"] = {
+                "error": f"{type(e).__name__}: {str(e)[:120]}"}
 
     print(json.dumps(result))
 

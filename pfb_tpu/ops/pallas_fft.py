@@ -1064,6 +1064,121 @@ def psf_convolve_pallas_v3_cube_cg(p_prev, r, beta, Hsr, Hsi, nx, ny,
     return pn, out, pap
 
 
+def _stage_kw(interpret, vmem_mb):
+    kw = dict(interpret=interpret)
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024)
+    return kw
+
+
+def psf_v3_stage_k1(x, nx, lane_block=128, interpret=False,
+                    vmem_mb=100, precision="default"):
+    """K1 of the v3 pipeline on a (possibly column-sharded) cube:
+    ``x`` (nband, nx, nyl) -> (zr, zi) each (nband, NXH, nyl). The
+    X-direction transform is whole per lane strip, so a shard owning
+    only nyl of the ny columns runs K1 unmodified — the distributed
+    composition (parallel/dist.py:_space_pallas_conv_local) inserts
+    all_to_all transposes between the stages."""
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    nband, nx_, nyl = x.shape
+    assert nx_ == nx and nyl % lane_block == 0, (x.shape, lane_block)
+    NX = 2 * nx
+    N1x, N2x = _factor(NX)
+    NXH = N1x * (N2x // 2 + 1)
+    CK1 = consts_k1t_for(NX)
+    in_strip = pl.BlockSpec((1, nx, lane_block),
+                            lambda b, j: (b, 0, j),
+                            memory_space=pltpu.VMEM)
+    h_strip = pl.BlockSpec((1, NXH, lane_block),
+                           lambda b, j: (b, 0, j),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_k1t_kernel, N=NX, L=lane_block, prec=prec),
+        grid=(nband, nyl // lane_block),
+        in_specs=[in_strip] + _const_specs_k1t(NX),
+        out_specs=(h_strip, h_strip),
+        out_shape=(jax.ShapeDtypeStruct((nband, NXH, nyl),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((nband, NXH, nyl),
+                                        jnp.float32)),
+        **_stage_kw(interpret, vmem_mb),
+    )(x, *CK1)
+
+
+def psf_v3_stage_k2(zr, zi, Hsr, Hsi, row_block=128, interpret=False,
+                    vmem_mb=100, precision="default"):
+    """K2 of the v3 pipeline on a (possibly row-sharded) spectrum:
+    ``zr``/``zi`` (nband, NXHl, ny) x-spectrum rows against the
+    matching H rows (nband, N1y, NXHl, N2y) -> (wr, wi). Row blocks
+    are independent, so a shard owning NXHl of the (padded) NXH rows
+    runs K2 unmodified; zero-padded H rows yield zero output rows."""
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    nband, NXHl, ny = zr.shape
+    N1y, N2y = Hsr.shape[1], Hsr.shape[3]
+    NY = N1y * N2y
+    assert NY == 2 * ny, (NY, ny)
+    assert Hsr.shape == (nband, N1y, NXHl, N2y), (Hsr.shape, zr.shape)
+    assert NXHl % row_block == 0, (NXHl, row_block)
+    CYt = consts_lane_tw_for(NY)
+    rows_half = pl.BlockSpec((1, row_block, ny),
+                             lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((1, N1y, row_block, N2y),
+                         lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM)
+    if Hsi is None:
+        k2 = partial(_k2tr_kernel, N=NY, M=row_block, prec=prec)
+        h_in = [hspec]
+        h_args = (Hsr,)
+    else:
+        k2 = partial(_k2t_kernel, N=NY, M=row_block, prec=prec)
+        h_in = [hspec] * 2
+        h_args = (Hsr, Hsi)
+    return pl.pallas_call(
+        k2,
+        grid=(nband, NXHl // row_block),
+        in_specs=[rows_half] * 2 + h_in + _const_specs_lane_tw(NY),
+        out_specs=(rows_half, rows_half),
+        out_shape=(jax.ShapeDtypeStruct((nband, NXHl, ny),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((nband, NXHl, ny),
+                                        jnp.float32)),
+        **_stage_kw(interpret, vmem_mb),
+    )(zr, zi, *h_args, *CYt)
+
+
+def psf_v3_stage_k3(wr, wi, nx, lane_block=128, interpret=False,
+                    vmem_mb=100, precision="default"):
+    """K3 of the v3 pipeline on a (possibly column-sharded) spectrum:
+    ``wr``/``wi`` (nband, NXH, nyl) -> (nband, nx, nyl)."""
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    nband, NXH, nyl = wr.shape
+    NX = 2 * nx
+    N1x, N2x = _factor(NX)
+    assert NXH == N1x * (N2x // 2 + 1), (NXH, N1x, N2x)
+    assert nyl % lane_block == 0, (nyl, lane_block)
+    CK3 = consts_k3t_for(NX)
+    h_strip = pl.BlockSpec((1, NXH, lane_block),
+                           lambda b, j: (b, 0, j),
+                           memory_space=pltpu.VMEM)
+    out_strip = pl.BlockSpec((1, nx, lane_block),
+                             lambda b, j: (b, 0, j),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_k3t_kernel, N=NX, L=lane_block, prec=prec),
+        grid=(nband, nyl // lane_block),
+        in_specs=[h_strip] * 2 + _const_specs_k3t(NX),
+        out_specs=out_strip,
+        out_shape=jax.ShapeDtypeStruct((nband, nx, nyl),
+                                       jnp.float32),
+        **_stage_kw(interpret, vmem_mb),
+    )(wr, wi, *CK3)
+
+
 @partial(jax.jit, static_argnames=("nx", "ny", "lane_block",
                                    "row_block", "interpret",
                                    "vmem_mb", "precision"))

@@ -101,6 +101,36 @@ def prep_pallas_hessian(psf, nx, ny, real_transfer="auto"):
     return phrT, phiT, row_block
 
 
+def v3_space_supported(nx, ny, nspace):
+    """Shape constraints of the space-sharded v3 pipeline: v3 itself,
+    plus ny splittable into nspace lane-aligned column shards and nx
+    splittable into nspace row shards."""
+    from pfb_tpu.ops.pallas_fft import v3_supported
+    return (v3_supported(nx, ny) and ny % (nspace * 128) == 0
+            and nx % nspace == 0)
+
+
+def prep_pallas_hessian_space(psf, nx, ny, nspace,
+                              real_transfer="auto"):
+    """Transfer-function operands for the SPACE-SHARDED v3 pipeline
+    (parallel/dist.py:_space_pallas_conv_local): the v3 operands with
+    the NXH row axis zero-padded to a multiple of nspace*128 so the
+    all_to_all between K1 and K2 splits evenly into K2-row-block-
+    aligned shards. Shard the returned arrays
+    P('band', None, 'space', None). Returns (Hsr, Hsi-or-None, NXH)
+    with NXH the unpadded row count K3 consumes."""
+    phrT, phiT, _ = prep_pallas_hessian(psf, nx, ny,
+                                        real_transfer=real_transfer)
+    NXH = phrT.shape[2]
+    step = nspace * 128
+    NXH_pad = -(-NXH // step) * step
+    pad = [(0, 0), (0, 0), (0, NXH_pad - NXH), (0, 0)]
+    phrT = jnp.pad(phrT, pad)
+    if phiT is not None:
+        phiT = jnp.pad(phiT, pad)
+    return phrT, phiT, NXH
+
+
 def make_psf_convolve_pallas(psf, nx, ny, beam=None, sigmainv=0.0,
                              wsum=None, real_transfer="auto"):
     """PSF-Hessian matvec on the fused Pallas FFT pipeline

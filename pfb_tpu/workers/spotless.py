@@ -353,11 +353,15 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
     if nspace > 1:
         assert nx % nspace == 0, \
             f"nx {nx} not divisible by mesh space axis {nspace}"
-        if engine != "fft":
-            log.info("spotless-dist: space sharding forces "
-                     "engine='fft' (the PD gradient runs the "
-                     "distributed-rFFT2 convolve)")
-            engine = "fft"
+        if engine == "pallas":
+            from pfb_tpu.ops.psf import v3_space_supported
+            if not v3_space_supported(nx, ny, nspace):
+                log.info(
+                    f"spotless-dist: space-sharded engine='pallas' "
+                    f"unsupported for image ({nx}, {ny}) on "
+                    f"{nspace} space shards (needs ny divisible by "
+                    f"nspace*128) — falling back to engine='fft'")
+                engine = "fft"
 
     dirty, model, residual, psf, psfhat, beam, wsums, dual = dds2cubes(
         dds, nband, apparent=False)
@@ -445,16 +449,35 @@ def _spotless_dist(mesh=None, ddsi=None, output_filename=None,
 
     if nspace > 1:
         # PD backward step over ('band','space'): sharded dual cube +
-        # distributed-rFFT2 gradient; hargs becomes the space-prepped
-        # PSFHAT (engine was forced to 'fft' above)
-        pd = primal_dual_space_dist(mesh, psi, ny_psf, nu=nbasis,
-                                    tol=pd_tol, maxit=pd_maxit,
-                                    positivity=positivity, gamma=gamma,
-                                    rmsfactor=rmsfactor, alpha=alpha)
-        pd_h = jax.device_put(
-            prep_psfhat_space(jnp.asarray(psfhat), nspace),
-            jax.NamedSharding(mesh, jax.sharding.PartitionSpec(
-                "band", None, "space")))
+        # space-distributed gradient — the v3 Pallas pipeline with
+        # all_to_all stage transposes when engine='pallas'
+        # (parallel/dist.py:_space_pallas_conv_local), else the
+        # distributed-rFFT2 convolve
+        if engine == "pallas":
+            from pfb_tpu.ops.psf import prep_pallas_hessian_space
+            hr_s, hi_s, _ = prep_pallas_hessian_space(
+                psf, nx, ny, nspace)
+            hsp = jax.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(
+                    "band", None, "space", None))
+            pd_h = (jax.device_put(hr_s, hsp),) if hi_s is None \
+                else (jax.device_put(hr_s, hsp),
+                      jax.device_put(hi_s, hsp))
+            del hr_s, hi_s
+            pd = primal_dual_space_dist(
+                mesh, psi, nu=nbasis, tol=pd_tol, maxit=pd_maxit,
+                positivity=positivity, gamma=gamma,
+                rmsfactor=rmsfactor, alpha=alpha, engine="pallas",
+                nx=nx, ny=ny, nh=len(pd_h))
+        else:
+            pd = primal_dual_space_dist(
+                mesh, psi, ny_psf, nu=nbasis, tol=pd_tol,
+                maxit=pd_maxit, positivity=positivity, gamma=gamma,
+                rmsfactor=rmsfactor, alpha=alpha)
+            pd_h = jax.device_put(
+                prep_psfhat_space(jnp.asarray(psfhat), nspace),
+                jax.NamedSharding(mesh, jax.sharding.PartitionSpec(
+                    "band", None, "space")))
     else:
         pd = primal_dual_dist(mesh, psi, nu=nbasis, tol=pd_tol,
                               maxit=pd_maxit, positivity=positivity,

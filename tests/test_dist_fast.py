@@ -223,3 +223,108 @@ def test_hessian_dds_dist_pg_wblocked_matches(multids):
     # blocked plans split planes at block boundaries; identical ES
     # quadrature, so agreement is to fp accumulation order
     assert np.abs(got - ref).max() <= 1e-9 * np.abs(ref).max()
+
+
+def _psf256(nband=2, nx=256):
+    nxp = 2 * nx
+    x = np.arange(nxp) - nxp // 2
+    xx, yy = np.meshgrid(x, x, indexing="ij")
+    psf = np.zeros((nband, nxp, nxp), np.float32)
+    for b in range(nband):
+        psf[b] = 0.4 * np.exp(-0.5 * (xx**2 + yy**2) / (2.0 + b)**2)
+        psf[b, nxp // 2, nxp // 2] += 0.6
+        psf[b, nxp // 2 + 3, nxp // 2 + 1] += 0.02
+    return psf
+
+
+def test_hessian_space_dist_pallas_matches_local():
+    """Space-distributed v3 Pallas convolve (K1 -> a2a -> K2 -> a2a ->
+    K3 with the NXH axis padded to the shard multiple) == the local v3
+    cube (round-4 VERDICT item 2: the Pallas engine used to downgrade
+    to 'fft' whenever space_shards > 1)."""
+    from pfb_tpu.ops.psf import (make_psf_convolve_pallas,
+                                 prep_pallas_hessian_space,
+                                 v3_space_supported)
+    from pfb_tpu.parallel.dist import hessian_psf_space_dist
+    from pfb_tpu.parallel.mesh import make_mesh
+
+    nband, nx, ps = 2, 256, 2
+    assert v3_space_supported(nx, nx, ps)
+    psf = _psf256(nband, nx)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(nband, nx, nx)).astype(np.float32)
+
+    local = make_psf_convolve_pallas(jnp.asarray(psf), nx, nx)
+    ref = np.asarray(local(jnp.asarray(x)))
+
+    mesh = make_mesh(nband=nband, nspace=ps,
+                     devices=jax.devices()[:nband * ps])
+    hr, hi, _ = prep_pallas_hessian_space(jnp.asarray(psf), nx, nx,
+                                          ps)
+    hargs = (hr,) if hi is None else (hr, hi)
+    hsh = jax.NamedSharding(mesh, jax.sharding.PartitionSpec(
+        "band", None, "space", None))
+    hargs = tuple(jax.device_put(h, hsh) for h in hargs)
+    xs = jax.device_put(jnp.asarray(x), jax.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("band", "space", None)))
+    f = hessian_psf_space_dist(mesh, method="pallas", nx=nx, ny=nx,
+                               nh=len(hargs))
+    got = np.asarray(f(xs, *hargs))
+    assert_allclose(got, ref, rtol=1e-6, atol=1e-6 * np.abs(ref).max())
+
+
+def test_pd_space_dist_pallas_matches_fft():
+    """Space-sharded primal-dual with the Pallas v3 gradient tracks
+    the distributed-rFFT2 gradient through a few iterations (f32
+    kernels vs f64 FFT -> loose tolerance)."""
+    from pfb_tpu.ops.psi import make_psi
+    from pfb_tpu.parallel.dist import (prep_psfhat_space,
+                                       primal_dual_space_dist)
+    from pfb_tpu.parallel.mesh import make_mesh
+    from pfb_tpu.ops.psf import prep_pallas_hessian_space
+    from pfb_tpu.ops.fft import make_psfhat
+
+    nband, nx, ps = 2, 256, 2
+    psf = _psf256(nband, nx).astype(np.float64)
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(nband, nx, nx)).astype(np.float32)
+    x0 = np.zeros((nband, nx, nx), np.float32)
+    psi = make_psi(nx, nx, ("self", "db1"), 2)
+    dual0 = np.zeros((nband, psi.nbasis, psi.Nymax, psi.Nxmax),
+                     np.float32)
+    l1w = np.ones((psi.nbasis, psi.Nymax, psi.Nxmax), np.float32)
+    mesh = make_mesh(nband=nband, nspace=ps,
+                     devices=jax.devices()[:nband * ps])
+    cube = jax.NamedSharding(mesh, jax.sharding.PartitionSpec(
+        "band", "space", None))
+    coeff = jax.NamedSharding(mesh, jax.sharding.PartitionSpec(
+        "band", None, "space", None))
+    xd = jax.device_put(jnp.asarray(x0), cube)
+    dd = jax.device_put(jnp.asarray(data), cube)
+    vd = jax.device_put(jnp.asarray(dual0), coeff)
+
+    psfhat = make_psfhat(jnp.asarray(psf))
+    php = jax.device_put(
+        prep_psfhat_space(psfhat, ps),
+        jax.NamedSharding(mesh, jax.sharding.PartitionSpec(
+            "band", None, "space")))
+    kw = dict(nu=psi.nbasis, tol=0.0, maxit=6, positivity=1,
+              gamma=1.0)
+    pd_f = primal_dual_space_dist(mesh, psi, 2 * nx, **kw)
+    xf, vf, _, _ = pd_f(xd, vd, dd, php, jnp.asarray(l1w),
+                        jnp.float32(1e-3), jnp.float32(2.0))
+
+    hr, hi, _ = prep_pallas_hessian_space(jnp.asarray(psf), nx, nx,
+                                          ps)
+    hsh = jax.NamedSharding(mesh, jax.sharding.PartitionSpec(
+        "band", None, "space", None))
+    hargs = tuple(jax.device_put(h, hsh)
+                  for h in ((hr,) if hi is None else (hr, hi)))
+    pd_p = primal_dual_space_dist(mesh, psi, engine="pallas", nx=nx,
+                                  ny=nx, nh=len(hargs), **kw)
+    xp, vp, _, _ = pd_p(xd, vd, dd, hargs, jnp.asarray(l1w),
+                        jnp.float32(1e-3), jnp.float32(2.0))
+    scale = np.abs(np.asarray(xf)).max()
+    assert scale > 0
+    assert np.abs(np.asarray(xp) - np.asarray(xf)).max() < 1e-4 * scale \
+        + 1e-5
