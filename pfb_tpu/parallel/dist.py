@@ -174,12 +174,33 @@ def hessian_psf_space_dist(mesh, lastsize=None, sigmainv=0.0,
     return jax.jit(fn)
 
 
-def _space_fft_conv_local(x, psfhat_p, lastsize, sigmainv=0.0):
+def _space_fft_conv_local(x, psfhat_p, lastsize, sigmainv=0.0,
+                          nsplit=None):
     """Shard-local body of the distributed-rFFT2 PSF convolve (see
     :func:`hessian_psf_space_dist`). Runs inside a shard_map over
     ('band', 'space'); x: (nbl, nxl, ny) locally-owned image rows,
     psfhat_p: (nbl, nxp, nyw_l) locally-owned spectral columns from
-    :func:`prep_psfhat_space`."""
+    :func:`prep_psfhat_space`.
+
+    ``nsplit`` pipelines the local band block through the collective
+    boundaries in chunks (default: 2 when more than one band is
+    local): chunk i+1's transforms are independent of chunk i's
+    all_to_all, so XLA's latency-hiding scheduler can run ICI
+    transfers under FFT compute instead of the strict
+    a2a -> compute -> a2a serialisation (BASELINE.json north star:
+    "collectives overlapped with FFT compute"; degenerate single-chunk
+    and single-chip paths are unchanged)."""
+    nbl = x.shape[0]
+    if nsplit is None:
+        nsplit = 2 if nbl % 2 == 0 and nbl > 1 else 1
+    if nsplit > 1:
+        parts = [
+            _space_fft_conv_local(x[i::nsplit],
+                                  psfhat_p[i::nsplit], lastsize,
+                                  sigmainv=sigmainv, nsplit=1)
+            for i in range(nsplit)]
+        out = jnp.stack(parts, axis=1).reshape(x.shape)
+        return out
     nyp = lastsize
     nyw = nyp // 2 + 1
     nxl, ny = x.shape[-2:]
@@ -208,7 +229,7 @@ def _space_fft_conv_local(x, psfhat_p, lastsize, sigmainv=0.0):
 
 
 def _space_pallas_conv_local(xl, hargs, nx, ny, sigmainv=0.0,
-                             interpret=False):
+                             interpret=False, nsplit=None):
     """Shard-local body of the space-distributed v3 Pallas convolve
     (see :func:`hessian_psf_space_dist` method="pallas"). Runs inside
     a shard_map over ('band', 'space'); xl: (nbl, nxl, ny) owned image
@@ -218,10 +239,27 @@ def _space_pallas_conv_local(xl, hargs, nx, ny, sigmainv=0.0,
 
     Stage/sharding walk: rows -> (a2a) columns -> K1 -> pad NXH ->
     (a2a) spectrum rows -> K2 -> (a2a) columns -> K3 -> (a2a) rows.
+
+    ``nsplit`` band-chunks the pipeline (default 2 when the local
+    band count allows) so chunk i+1's Pallas stages are independent
+    of chunk i's all_to_alls — XLA's latency-hiding scheduler can
+    overlap the ICI transposes with kernel compute (see
+    :func:`_space_fft_conv_local`).
     """
     from pfb_tpu.ops.pallas_fft import (psf_v3_stage_k1,
                                         psf_v3_stage_k2,
                                         psf_v3_stage_k3)
+    nbl = xl.shape[0]
+    if nsplit is None:
+        nsplit = 2 if nbl % 2 == 0 and nbl > 1 else 1
+    if nsplit > 1:
+        parts = [
+            _space_pallas_conv_local(
+                xl[i::nsplit], tuple(h[i::nsplit] for h in hargs),
+                nx, ny, sigmainv=sigmainv, interpret=interpret,
+                nsplit=1)
+            for i in range(nsplit)]
+        return jnp.stack(parts, axis=1).reshape(xl.shape)
     Hsr = hargs[0]
     Hsi = hargs[1] if len(hargs) > 1 else None
     NXH_l = Hsr.shape[2]
