@@ -276,11 +276,15 @@ def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
 
     w0s = w0 + np.arange(nblocks) * B * dw
     woff = (np.arange(nblocks) * B).astype(np.int32)[:, None]
+    # epsilon-aware cfft stage precision: split-f32 (three bf16 MXU
+    # passes vs HIGHEST's six, ops/pallas_cfft.py:_dot_split3) when
+    # the requested gridding accuracy tolerates its ~1e-5 stage error
+    cfft_prec = "split" if epsilon >= 1e-5 else None
     p0 = dict(k=k, beta=float(beta), Nx=Nx, Ny=Ny, ntx=ntx, nty=nty,
               txs=txs, tys=tys, C=C, nx=nx, ny=ny, cellx=cellx,
               celly=celly, x0=x0, y0=y0, rdtype=dtype, nw=B,
               w0=float(w0), dw=float(dw), nentries=NEg,
-              nrow=nrow, nchan=nchan)
+              nrow=nrow, nchan=nchan, cfft_prec=cfft_prec)
     return dict(
         p0=p0, B=B, nblocks=nblocks, nw=nw, w0=float(w0),
         dw=float(dw), nrow=nrow, nchan=nchan, NEg=NEg, NEb=NEb,
@@ -675,7 +679,8 @@ def _adjoint_wblocked_impl(bp, vr, vi, wflat, interpret):
                               p0["ny"], p0["cellx"], p0["celly"], k,
                               p0["beta"], p0["Nx"], p0["Ny"], True, B,
                               w0b, dw, False, p0["x0"], p0["y0"],
-                              consts=gic)
+                              consts=gic,
+                              cfft_precision=p0.get("cfft_prec"))
 
     def step(acc, args):
         lb = args[-1]
@@ -720,7 +725,8 @@ def _forward_wblocked_impl(bp, image, interpret):
                                 p0["cellx"], p0["celly"], k,
                                 p0["beta"], Nx, Ny, True, B, w0b, dw,
                                 False, p0["x0"], p0["y0"], split=True,
-                                consts=gic)
+                                consts=gic,
+                                cfft_precision=p0.get("cfft_prec"))
         ger = jnp.pad(gr, ((0, 0), (0, ThxA), (0, ThyA)),
                       mode="wrap")
         gei = jnp.pad(gi, ((0, 0), (0, ThxA), (0, ThyA)),

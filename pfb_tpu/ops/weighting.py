@@ -58,10 +58,25 @@ def compute_counts(uvw, freq, mask, nx, ny, cellx, celly, k=6):
         # outer product over the stencil: (row, chan, k, k)
         vals = (m[..., None, None] * xval[..., :, None] *
                 yval[..., None, :])
-        xi = jnp.broadcast_to(x_idx[..., :, None], vals.shape)
-        yi = jnp.broadcast_to(y_idx[..., None, :], vals.shape)
-        counts = counts.at[xi.reshape(-1), yi.reshape(-1)].add(
-            vals.reshape(-1), mode="drop")
+        # ONE windowed scatter-add of (k, k) stencil blocks instead of
+        # row*chan*k^2 scalar scatter indices (TPU scatter cost is per
+        # INDEX: the elementwise form measured seconds at 1M rows).
+        # The grid is padded by k so every in-play window is fully in
+        # bounds — margins collect the out-of-grid taps and are
+        # sliced off, which is EXACTLY the per-tap mode="drop"
+        # semantics (taps of far-out points are all out of bounds, so
+        # FILL_OR_DROP dropping their whole window changes nothing).
+        corners = jnp.stack(
+            [u_idx - ko2 + k, v_idx - ko2 + k],
+            axis=-1).reshape(-1, 2)
+        cpad = jnp.zeros((nx + 2 * k, ny + 2 * k), dtype)
+        cpad = jax.lax.scatter_add(
+            cpad, corners, vals.reshape(-1, k, k),
+            jax.lax.ScatterDimensionNumbers(
+                update_window_dims=(1, 2), inserted_window_dims=(),
+                scatter_dims_to_operand_dims=(0, 1)),
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+        counts = cpad[k:k + nx, k:k + ny]
     else:
         u_idx = jnp.floor(ug).astype(jnp.int32)
         v_idx = jnp.floor(vg).astype(jnp.int32)

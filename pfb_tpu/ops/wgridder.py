@@ -346,10 +346,12 @@ def gi_consts(nx, ny, cellx, celly, k, beta, Nx, Ny, do_w, dw,
 
 @partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny", "nw",
                                    "do_w", "divide_by_n", "x0", "y0",
-                                   "wchunk", "fft_engine"))
+                                   "wchunk", "fft_engine",
+                                   "cfft_precision"))
 def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
                    nw, w0, dw, divide_by_n, x0=0.0, y0=0.0, wchunk=4,
-                   fft_engine="auto", consts=None):
+                   fft_engine="auto", consts=None,
+                   cfft_precision=None):
     rdtype = gr.dtype
     cfft_interp = _resolve_cfft(fft_engine, rdtype, nx, ny, Nx, Ny)
 
@@ -387,7 +389,8 @@ def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
             from pfb_tpu.ops.pallas_cfft import fft2_c2c_pruned
             ir, ii = fft2_c2c_pruned(gr, gi, Nx=Nx, Ny=Ny,
                                      inverse=True, pruned_out=True,
-                                     interpret=cfft_interp)
+                                     interpret=cfft_interp,
+                                     precision=cfft_precision)
             tpi = jnp.asarray(2.0 * jnp.pi, rdtype)
             c0 = jnp.cos(tpi * w0 * nm1)
             s0 = jnp.sin(tpi * w0 * nm1)
@@ -456,7 +459,8 @@ def _grid_to_image(gr, gi, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
         from pfb_tpu.ops.pallas_cfft import fft2_c2c_pruned
         ir, _ = fft2_c2c_pruned(gr[:1], gi[:1], Nx=Nx, Ny=Ny,
                                 inverse=True, pruned_out=True,
-                                interpret=cfft_interp)
+                                interpret=cfft_interp,
+                                     precision=cfft_precision)
         img = ir[0]
     else:
         img, _ = plane_images(gr[0], gi[0])
@@ -502,11 +506,12 @@ def dirty2vis_wgrid(uvw, freq, image, cellx, celly, x0=0.0, y0=0.0, *,
 
 @partial(jax.jit, static_argnames=("nx", "ny", "k", "Nx", "Ny", "nw",
                                    "do_w", "divide_by_n", "x0", "y0",
-                                   "split", "wchunk", "fft_engine"))
+                                   "split", "wchunk", "fft_engine",
+                                   "cfft_precision"))
 def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
                    nw, w0, dw, divide_by_n, x0=0.0, y0=0.0,
                    split=False, wchunk=4, fft_engine="auto",
-                   consts=None):
+                   consts=None, cfft_precision=None):
     """split=True returns (real, imag) grids as two real arrays (the
     native representation — complex is only assembled on request for
     the wgrid backend's _interp)."""
@@ -559,7 +564,8 @@ def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
             _, (prs, pis) = lax.scan(one_c, (c0, s0), None, length=nw)
             gr, gi = fft2_c2c_pruned(prs, pis, Nx=Nx, Ny=Ny,
                                      inverse=False, pruned_in=True,
-                                     interpret=cfft_interp)
+                                     interpret=cfft_interp,
+                                     precision=cfft_precision)
         elif rdtype == jnp.float32:
             # phasor-rotation recurrence (see _grid_to_image): phase
             # here is e^{-2 pi i w_p (n-1)} = (c_p, -s_p)
@@ -595,7 +601,8 @@ def _image_to_grid(image, nx, ny, cellx, celly, k, beta, Nx, Ny, do_w,
         gr, gi = fft2_c2c_pruned(img[None], jnp.zeros_like(img)[None],
                                  Nx=Nx, Ny=Ny, inverse=False,
                                  pruned_in=True,
-                                 interpret=cfft_interp)
+                                 interpret=cfft_interp,
+                                     precision=cfft_precision)
     else:
         gr, gi = plane_grids(img[None], jnp.zeros_like(img)[None])
 

@@ -28,9 +28,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 from pfb_tpu.ops.pgridder import (_adjoint_from_plan, _grid_to_image,
-                                  _spread_fold, pgrid_plan,
-                                  pgrid_plan_wblocked,
-                                  _adjoint_wblocked_impl)
+                                  _spread_fold, pgrid_plan)
 
 NREP = 8
 
@@ -130,59 +128,9 @@ def main():
 
     timeit(chain(g2i, folded), "1024 grid_to_image")
 
-    # ---------- 4096^2, w-blocked ----------
-    bp = pgrid_plan_wblocked(uvw, freq, nx=4096, ny=4096, cellx=cell,
-                             celly=cell, epsilon=1e-5, plane_block=4)
-    stats(bp["p0"], "4096 block-0 plan")
-    print(f"4096: nblocks={bp['nblocks']} nw={bp['nw']} Rb={bp['Rb']} "
-          f"(nrow={bp['nrow']})", flush=True)
-    sel = np.asarray(bp["sel"])
-    print("  rows/block:", [int((sel[b] < bp["nrow"]).sum())
-                            for b in range(bp["nblocks"])], flush=True)
-
-    akeys = ("pos", "tid", "idx", "pm", "uvw_d", "sel", "w0s",
-             "uvw_full", "freq_d")
-    arrs = {k: bp[k] for k in akeys}
-
-    def adj4(arrs, vr_, vi_, s):
-        bp2 = dict(bp)
-        bp2.update(arrs)
-        return _adjoint_wblocked_impl(bp2, vr_ + s, vi_, None, False)
-
-    timeit(chain(adj4, arrs, vr, vi), "4096 w-on adjoint (full)")
-
-    p0 = bp["p0"]
-    B = bp["B"]
-    z = jnp.zeros((1, bp["nchan"]), jnp.float32)
-    vrp = jnp.concatenate([vr, z])
-    vip = jnp.concatenate([vi, z])
-
-    def sf4(arrs, vrp_, vip_, s):
-        b = 2  # a middle block
-        selb = arrs["sel"][b]
-        return _spread_fold(
-            vrp_[selb] + s, vip_[selb], None, arrs["tid"][b],
-            arrs["pos"][b], arrs["idx"][b], arrs["pm"][b],
-            arrs["uvw_d"][b], arrs["freq_d"],
-            beta=p0["beta"], k=p0["k"], nw=B, ntx=p0["ntx"],
-            nty=p0["nty"], txs=p0["txs"], tys=p0["tys"], C=p0["C"],
-            x0=p0["x0"], y0=p0["y0"], Nx=p0["Nx"], Ny=p0["Ny"],
-            interpret=False)
-
-    timeit(chain(sf4, arrs, vrp, vip), "4096 one-block spread+fold")
-
-    folded4 = jax.jit(sf4)(arrs, vrp, vip, jnp.float32(0.0))
-    w0b2 = float(np.asarray(bp["w0s"])[2])
-    dwb = float(np.asarray(bp["dw"]))
-
-    def g2i4(folded4, s):
-        return _grid_to_image(folded4[:B] + s, folded4[B:], p0["nx"],
-                              p0["ny"], p0["cellx"], p0["celly"],
-                              p0["k"], p0["beta"], p0["Nx"], p0["Ny"],
-                              True, B, w0b2, dwb, False, p0["x0"],
-                              p0["y0"])
-
-    timeit(chain(g2i4, folded4), "4096 one-block grid_to_image (B=4)")
+    # The w-blocked profiling moved to
+    # scripts/profile_pg_bench.py (round 5: the blocked plan layout
+    # changed to the global-stream design in ops/pg_stream.py).
 
 
 if __name__ == "__main__":

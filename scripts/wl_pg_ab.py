@@ -158,150 +158,10 @@ def main():
         del xr, xi
 
     # ---------------- E_fold (4096 block 2) ----------------
-    bp = pg.pgrid_plan_wblocked(uvw, freq, nx=4096, ny=4096,
-                                cellx=cell, celly=cell, epsilon=1e-5,
-                                plane_block=4)
-    p0 = bp["p0"]
-    B = bp["B"]
-    z = jnp.zeros((1, bp["nchan"]), jnp.float32)
-    vrp = jnp.concatenate([vr, z])
-    vip = jnp.concatenate([vi, z])
-    Thx, Thy = p0["txs"] + p0["k"], p0["tys"] + p0["k"]
-    ntiles = p0["ntx"] * p0["nty"]
-    b2 = {k: bp[k][2] for k in ("pos", "tid", "idx", "pm", "uvw_d",
-                                "sel")}
-    print(f"block2: nentries={b2['pos'].shape[0]} ntiles={ntiles} "
-          f"Y={8*ntiles*Thx*Thy*4/1e9:.2f} GB", flush=True)
-
-    def pack(arrs, s):
-        selb = arrs["sel"]
-        vrb = vrp[selb] + s
-        vib = vip[selb]
-        vr_, vi_ = vrb.reshape(-1), vib.reshape(-1)
-        return jnp.stack([vr_[arrs["idx"]] * arrs["pm"],
-                          vi_[arrs["idx"]] * arrs["pm"]], axis=1)
-
-    def kern_only(arrs, s):
-        vp = pack(arrs, s)
-        Y = pg._grid_pallas(arrs["tid"], arrs["pos"], vp, p0["beta"],
-                            p0["k"], B, ntiles, Thx, Thy, p0["C"])
-        return Y[:, :, 0]  # touch a slice only
-
-    def kern_mask(arrs, s):
-        vp = pack(arrs, s)
-        Y = pg._grid_pallas(arrs["tid"], arrs["pos"], vp, p0["beta"],
-                            p0["k"], B, ntiles, Thx, Thy, p0["C"])
-        lv = (jnp.sum(arrs["pm"], axis=1) > 0).astype(jnp.int32)
-        tval = jnp.zeros((ntiles,), jnp.int32).at[
-            arrs["tid"]].max(lv) > 0
-        Y = jnp.where(tval[None, :, None, None], Y, 0.0)
-        return Y[:, :, 0]
-
-    def kern_fold(arrs, s):
-        vp = pack(arrs, s)
-        Y = pg._grid_pallas(arrs["tid"], arrs["pos"], vp, p0["beta"],
-                            p0["k"], B, ntiles, Thx, Thy, p0["C"])
-        lv = (jnp.sum(arrs["pm"], axis=1) > 0).astype(jnp.int32)
-        tval = jnp.zeros((ntiles,), jnp.int32).at[
-            arrs["tid"]].max(lv) > 0
-        Y = jnp.where(tval[None, :, None, None], Y, 0.0)
-        return _fold_tiles(Y.reshape(2 * B, p0["ntx"], p0["nty"],
-                                     Thx, Thy), p0["ntx"], p0["nty"],
-                           p0["txs"], p0["tys"], p0["k"], p0["Nx"],
-                           p0["Ny"])
-
-    timeit(chain(kern_only, b2), "4096 block2 kernel only")
-    timeit(chain(kern_fold, b2), "4096 block2 kernel+mask+fold(xla)")
-
-    def sf_mode(mode):
-        def f(arrs, s):
-            selb = arrs["sel"]
-            return pg._spread_fold(
-                vrp[selb] + s, vip[selb], None, arrs["tid"],
-                arrs["pos"], arrs["idx"], arrs["pm"], arrs["uvw_d"],
-                bp["freq_d"], beta=p0["beta"], k=p0["k"], nw=B,
-                ntx=p0["ntx"], nty=p0["nty"], txs=p0["txs"],
-                tys=p0["tys"], C=p0["C"], x0=p0["x0"], y0=p0["y0"],
-                Nx=p0["Nx"], Ny=p0["Ny"], interpret=False, fold=mode)
-        return f
-
-    timeit(chain(sf_mode("dma"), b2), "4096 block2 spread_fold DMA")
-    a = jax.jit(sf_mode("dma"))(b2, jnp.float32(0.0))
-    c = jax.jit(sf_mode("xla"))(b2, jnp.float32(0.0))
-    err = float(jnp.max(jnp.abs(a - c)) / (1e-30 + jnp.max(jnp.abs(c))))
-    print(f"  dma-vs-xla fold rel err: {err:.2e}", flush=True)
-
-    # 1024^2 comparison
-    p1 = pg.pgrid_plan(uvw, freq, nx=1024, ny=1024, cellx=cell,
-                       celly=cell, epsilon=1e-5, do_wgridding=True)
-
-    def sf1(mode):
-        def f(s):
-            return pg._spread_fold(
-                vr + s, vi, None, p1["tid"], p1["pos"], p1["idx"],
-                p1["pm"], p1["uvw_d"], p1["freq_d"], beta=p1["beta"],
-                k=p1["k"], nw=p1["nw"], ntx=p1["ntx"], nty=p1["nty"],
-                txs=p1["txs"], tys=p1["tys"], C=p1["C"], x0=p1["x0"],
-                y0=p1["y0"], Nx=p1["Nx"], Ny=p1["Ny"],
-                interpret=False, fold=mode)
-        return f
-
-    timeit(chain(sf1("xla")), "1024 spread_fold XLA")
-    timeit(chain(sf1("dma")), "1024 spread_fold DMA")
-
-    # ---------------- E_es: ES-eval share of the spread ----------
-    # replace _es with a 2-op linear stand-in (keeps shapes/marts);
-    # the delta vs the real kernel is the VPU-transcendental share
-    fill = float(np.asarray(p1["pm"]).sum() / p1["pm"].size)
-    print(f"1024 plan: nentries={p1['pos'].shape[0]} "
-          f"fill={fill:.2f}", flush=True)
-    real_es = pg._es
-    try:
-        pg._es = lambda x, beta, k: 0.25 * x + 0.5
-        timeit(chain(sf1("dma")), "1024 spread_fold DMA (es=linear)")
-    finally:
-        pg._es = real_es
-
-    # ---------------- E_C: capacity 256 ----------------
-    p2 = pg.pgrid_plan(uvw, freq, nx=1024, ny=1024, cellx=cell,
-                       celly=cell, epsilon=1e-5, do_wgridding=True,
-                       capacity=256)
-    print(f"1024 plan C=256: nentries={p2['pos'].shape[0]}",
-          flush=True)
-
-    def sf2(s):
-        return pg._spread_fold(
-            vr + s, vi, None, p2["tid"], p2["pos"], p2["idx"],
-            p2["pm"], p2["uvw_d"], p2["freq_d"], beta=p2["beta"],
-            k=p2["k"], nw=p2["nw"], ntx=p2["ntx"], nty=p2["nty"],
-            txs=p2["txs"], tys=p2["tys"], C=p2["C"], x0=p2["x0"],
-            y0=p2["y0"], Nx=p2["Nx"], Ny=p2["Ny"],
-            interpret=False, fold="dma")
-
-    timeit(chain(sf2), "1024 spread_fold DMA C=256")
-
-    # ---------------- E_skel: all-padding skeleton ----------------
-    # pflag=0 everywhere -> the kernel skips every body and only
-    # zero-writes blocks on tile change: isolates per-step pipeline
-    # overhead from the compute chain, at both scales.
-    def skel(tid, pos, vp, nw_, ntiles_, thx, thy, cc, label):
-        z = jnp.zeros((pos.shape[0],), jnp.int32)
-
-        def f(s):
-            Y = pg._grid_pallas(tid, pos + s, vp, p0["beta"],
-                                p0["k"], nw_, ntiles_, thx, thy,
-                                cc, pflag=z)
-            return Y[:, :, 0]
-        return timeit(chain(f), label)
-
-    vp1 = jnp.zeros((p1["pos"].shape[0], 2, p1["C"]), jnp.float32)
-    skel(p1["tid"], p1["pos"], vp1, p1["nw"],
-         p1["ntx"] * p1["nty"], p1["txs"] + p1["k"],
-         p1["tys"] + p1["k"], p1["C"],
-         f"1024 spread SKELETON ({p1['pos'].shape[0]} entries)")
-    vpb = jnp.zeros((b2["pos"].shape[0], 2, p0["C"]), jnp.float32)
-    skel(b2["tid"], b2["pos"], vpb, B, ntiles, Thx, Thy, p0["C"],
-         f"4096 block2 spread SKELETON ({b2['pos'].shape[0]} entries)")
+    # The E_fold 4096^2 w-block section was removed in round 5: the
+    # blocked plan layout changed to the global-stream design
+    # (ops/pg_stream.py); see scripts/profile_pg_bench.py for the
+    # current bench-scale decomposition.
 
 
 if __name__ == "__main__":

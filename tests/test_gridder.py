@@ -195,3 +195,49 @@ def test_hessian_dds_ragged_channels(tmp_path):
     got = np.asarray(hess(x))
     ref = np.asarray(hessian_dds(x, dds, wsum, use_beam=False))
     np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_counts_windowed_scatter_matches_elementwise(obs):
+    """The windowed-scatter ES counts (one (k,k) update per vis) must
+    reproduce the per-tap scatter exactly, INCLUDING points whose
+    stencil pokes over the grid edge (the padded margins implement
+    per-tap drop semantics)."""
+    nx = 32  # small grid so edge stencils occur
+    cell = 1.0 / (2 * np.abs(obs.uvw[:, :2]).max() * obs.freq.max()
+                  / LIGHTSPEED)
+    mask = np.ones((obs.uvw.shape[0], obs.freq.size), np.uint8)
+    k = 6
+    got = np.asarray(compute_counts(
+        jnp.asarray(obs.uvw), jnp.asarray(obs.freq),
+        jnp.asarray(mask), nx, nx, cell, cell, k=k))
+
+    # independent per-tap numpy reference with drop semantics
+    u_cell = 1.0 / (nx * cell)
+    umax = abs(-1.0 / cell / 2.0 - u_cell / 2.0)
+    normfreq = obs.freq / LIGHTSPEED
+    ug = (obs.uvw[:, 0:1] * normfreq[None, :] + umax) / u_cell
+    vg = (obs.uvw[:, 1:2] * normfreq[None, :] + umax) / u_cell
+    ko2 = k // 2
+    ref = np.zeros((nx, nx))
+
+    def es(x):
+        arg = np.maximum((1.0 - x) * (1.0 + x), 0.0)
+        return np.where(np.abs(x) <= 1.0,
+                        np.exp(2.3 * k * (np.sqrt(arg) - 1.0)), 0.0)
+
+    for r in range(ug.shape[0]):
+        for c in range(ug.shape[1]):
+            ui = int(np.round(ug[r, c]))
+            vi = int(np.round(vg[r, c]))
+            for i in range(-ko2, ko2):
+                xi = ui + i
+                if not (0 <= xi < nx):
+                    continue
+                xv = es((xi - ug[r, c] + 0.5) / ko2)
+                for j in range(-ko2, ko2):
+                    yi = vi + j
+                    if not (0 <= yi < nx):
+                        continue
+                    ref[xi, yi] += xv * es((yi - vg[r, c] + 0.5) / ko2)
+    # some stencil must actually hit the edge for this test to count
+    assert_allclose(got, ref, rtol=1e-5, atol=1e-6 * max(ref.max(), 1))

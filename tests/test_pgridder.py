@@ -130,3 +130,31 @@ def test_wblocked_matches_unblocked(obs, shift):
     np.testing.assert_allclose(np.asarray(h_blk(xr)),
                                np.asarray(h_ref(xr)), rtol=1e-9,
                                atol=1e-10)
+
+
+def test_wblocked_split_precision_accuracy(obs):
+    """epsilon >= 1e-5 plans select the split-f32 cfft stage dots
+    (three bf16 MXU passes; ops/pallas_cfft.py:_dot_split3). The
+    blocked adjoint must stay within the requested gridding accuracy
+    of the HIGHEST-precision unblocked path."""
+    from pfb_tpu.ops.pgridder import (_adjoint_wblocked_impl,
+                                      _adjoint_from_plan, pgrid_plan,
+                                      pgrid_plan_wblocked)
+    nx, cell = image_size_for(obs, fov_deg=0.2)
+    nx = min(nx, 64)
+    rng = np.random.default_rng(4)
+    nrow, nchan = obs.uvw.shape[0], obs.freq.size
+    vr = rng.normal(size=(nrow, nchan))
+    vi = rng.normal(size=(nrow, nchan))
+    bp = pgrid_plan_wblocked(obs.uvw, obs.freq, nx=nx, ny=nx,
+                             cellx=cell, celly=cell, epsilon=1e-5,
+                             plane_block=3)
+    assert bp["p0"]["cfft_prec"] == "split"
+    p = pgrid_plan(obs.uvw, obs.freq, nx=nx, ny=nx, cellx=cell,
+                   celly=cell, epsilon=1e-5, do_wgridding=True)
+    got = np.asarray(_adjoint_wblocked_impl(
+        bp, jnp.asarray(vr), jnp.asarray(vi), None, True))
+    ref = np.asarray(_adjoint_from_plan(
+        p, jnp.asarray(vr), jnp.asarray(vi), None, True))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 3e-5
