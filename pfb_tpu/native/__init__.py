@@ -74,6 +74,11 @@ def get_lib():
         i64, dbl, dbl, ctypes.c_int, i64, i64, p_i64, p_i64, i64,
         p_dbl, p_i32, p_i32, p_dbl]
     lib.pg_plan_fill.restype = ctypes.c_int
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.pg_compute_counts.argtypes = [
+        p_dbl, i64, p_dbl, i64, p_u8, i64, i64, dbl, dbl,
+        ctypes.c_int, p_dbl]
+    lib.pg_compute_counts.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -106,3 +111,21 @@ def pg_plan_native(uvw, freq, *, Nx, Ny, cellx, celly, txs, tys, ntx,
                      txs, tys, ntx, nty, w0, dw, nw, C, k, counts,
                      offsets, nentries, pos, tid, idx, pm)
     return pos, tid, idx, pm
+
+
+def pg_counts_native(uvw, freq, mask, nx, ny, cellx, celly, k=6):
+    """Native ES-stencil uv counts (the reference's numba
+    _compute_counts as C++; pfb/utils/weighting.py:43-103), or None
+    when no native library is available. Identical per-tap drop
+    semantics to ops.weighting.compute_counts."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    uvw = np.ascontiguousarray(uvw, np.float64)
+    freq = np.ascontiguousarray(freq, np.float64)
+    mask = np.ascontiguousarray(np.asarray(mask) != 0, np.uint8)
+    out = np.zeros(int(nx) * int(ny), np.float64)
+    lib.pg_compute_counts(uvw, uvw.shape[0], freq, freq.shape[0],
+                          mask, int(nx), int(ny), float(cellx),
+                          float(celly), int(k), out)
+    return out.reshape(int(nx), int(ny))

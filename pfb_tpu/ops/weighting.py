@@ -58,31 +58,89 @@ def compute_counts(uvw, freq, mask, nx, ny, cellx, celly, k=6):
         # outer product over the stencil: (row, chan, k, k)
         vals = (m[..., None, None] * xval[..., :, None] *
                 yval[..., None, :])
-        # ONE windowed scatter-add of (k, k) stencil blocks instead of
-        # row*chan*k^2 scalar scatter indices (TPU scatter cost is per
-        # INDEX: the elementwise form measured seconds at 1M rows).
-        # The grid is padded by k so every in-play window is fully in
-        # bounds — margins collect the out-of-grid taps and are
-        # sliced off, which is EXACTLY the per-tap mode="drop"
-        # semantics (taps of far-out points are all out of bounds, so
-        # FILL_OR_DROP dropping their whole window changes nothing).
-        corners = jnp.stack(
-            [u_idx - ko2 + k, v_idx - ko2 + k],
-            axis=-1).reshape(-1, 2)
-        cpad = jnp.zeros((nx + 2 * k, ny + 2 * k), dtype)
-        cpad = jax.lax.scatter_add(
-            cpad, corners, vals.reshape(-1, k, k),
-            jax.lax.ScatterDimensionNumbers(
-                update_window_dims=(1, 2), inserted_window_dims=(),
-                scatter_dims_to_operand_dims=(0, 1)),
-            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
-        counts = cpad[k:k + nx, k:k + ny]
+        xi = jnp.broadcast_to(x_idx[..., :, None], vals.shape)
+        yi = jnp.broadcast_to(y_idx[..., None, :], vals.shape)
+        counts = counts.at[xi.reshape(-1), yi.reshape(-1)].add(
+            vals.reshape(-1), mode="drop")
+        # A windowed (k, k)-block lax.scatter_add was tried here
+        # (round-5): numerically identical on a k-padded grid, but the
+        # TPU backend's compile of 2D-update-window scatters hangs for
+        # tens of minutes at production sizes. Production weighting
+        # runs the HOST path below (the reference's compute_counts is
+        # a CPU numba kernel too); this device path serves small /
+        # device-resident callers.
     else:
         u_idx = jnp.floor(ug).astype(jnp.int32)
         v_idx = jnp.floor(vg).astype(jnp.int32)
         counts = counts.at[u_idx.reshape(-1), v_idx.reshape(-1)].add(
             m.reshape(-1), mode="drop")
     return counts
+
+
+def compute_counts_host(uvw, freq, mask, nx, ny, cellx, celly, k=6,
+                        row_chunk=65536):
+    """Numpy twin of :func:`compute_counts` for the grid/fastim
+    workers' once-per-run weighting pass: a chunked flat-index
+    np.bincount (C-speed) over the (row, chan, k, k) stencil values.
+    The reference's counts kernel is likewise CPU code
+    (pfb/utils/weighting.py:43-103, numba prange); the device scatter
+    path is per-index-bound on TPU and its windowed-scatter variant
+    stalls the TPU compiler at production sizes (round-5 lab).
+    Identical per-tap drop semantics: out-of-grid taps are discarded.
+    ~1 s at 1M rows x 8 chan on the host."""
+    uvw = np.asarray(uvw)
+    freq = np.asarray(freq)
+    mask = np.asarray(mask)
+    from pfb_tpu.native import pg_counts_native
+    nat = pg_counts_native(uvw, freq, mask, nx, ny, cellx, celly, k=k)
+    if nat is not None:
+        return nat
+    dtype = np.float64
+    u_cell = 1.0 / (nx * cellx)
+    umax = np.abs(-1.0 / cellx / 2.0 - u_cell / 2.0)
+    v_cell = 1.0 / (ny * celly)
+    vmax = np.abs(-1.0 / celly / 2.0 - v_cell / 2.0)
+    normfreq = freq / LIGHTSPEED
+    counts = np.zeros(nx * ny, dtype)
+    ko2 = k // 2
+    offs = np.arange(-ko2, ko2)
+
+    def es(x):
+        arg = np.maximum((1.0 - x) * (1.0 + x), 0.0)
+        return np.where(np.abs(x) <= 1.0,
+                        np.exp(2.3 * k * (np.sqrt(arg) - 1.0)), 0.0)
+
+    nrow = uvw.shape[0]
+    for r0 in range(0, nrow, row_chunk):
+        sl = slice(r0, min(r0 + row_chunk, nrow))
+        ug = (uvw[sl, 0:1] * normfreq[None, :] + umax) / u_cell
+        vg = (uvw[sl, 1:2] * normfreq[None, :] + vmax) / v_cell
+        m = mask[sl].astype(dtype)
+        if k:
+            u_idx = np.round(ug).astype(np.int64)
+            v_idx = np.round(vg).astype(np.int64)
+            x_idx = u_idx[..., None] + offs
+            xval = es((x_idx - ug[..., None] + 0.5) / ko2)
+            y_idx = v_idx[..., None] + offs
+            yval = es((y_idx - vg[..., None] + 0.5) / ko2)
+            vals = (m[..., None, None] * xval[..., :, None]
+                    * yval[..., None, :])
+            xi = np.broadcast_to(x_idx[..., :, None], vals.shape)
+            yi = np.broadcast_to(y_idx[..., None, :], vals.shape)
+            ok = ((xi >= 0) & (xi < nx) & (yi >= 0)
+                  & (yi < ny)).ravel()
+            flat = (xi.ravel()[ok] * ny + yi.ravel()[ok])
+            counts += np.bincount(flat, weights=vals.ravel()[ok],
+                                  minlength=nx * ny)
+        else:
+            u_idx = np.floor(ug).astype(np.int64)
+            v_idx = np.floor(vg).astype(np.int64)
+            ok = ((u_idx >= 0) & (u_idx < nx) & (v_idx >= 0)
+                  & (v_idx < ny)).ravel()
+            flat = (u_idx.ravel()[ok] * ny + v_idx.ravel()[ok])
+            counts += np.bincount(flat, weights=m.ravel()[ok],
+                                  minlength=nx * ny)
+    return counts.reshape(nx, ny)
 
 
 @partial(jax.jit, static_argnames=("nx", "ny"))

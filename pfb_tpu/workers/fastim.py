@@ -212,8 +212,10 @@ def _fastim(ms=None, output_filename=None, product="I", suffix="fds",
                 (l2reweight_dof + ressq / ovar)
 
         if robustness is not None:
-            counts = compute_counts(uvw_j, freq_j, jnp.asarray(mask),
-                                    nx, ny, cell_rad, cell_rad)
+            from pfb_tpu.ops.weighting import compute_counts_host
+            counts = jnp.asarray(compute_counts_host(
+                np.asarray(uvw[rows]), np.asarray(freq[csel]), mask,
+                nx, ny, cell_rad, cell_rad))
             if filter_extreme_counts_flag:
                 counts = jnp.asarray(filter_extreme_counts(
                     np.asarray(counts), level=filter_level,

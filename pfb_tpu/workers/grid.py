@@ -153,11 +153,12 @@ def _grid(xdsi=None, output_filename=None, product="I", suffix="main",
                                        (ds["ra"], ds["dec"]))
 
         if robustness is not None:
-            from pfb_tpu.ops.gridder import pad_rows, row_bucket
-            uvw_p, mask_p = pad_rows(row_bucket(uvw.shape[0]), uvw,
-                                     mask)
-            counts = compute_counts(uvw_p, freq, mask_p, nx, ny,
-                                    cell_rad, cell_rad)
+            # host counts: a once-per-run pass; the device scatter is
+            # per-index-bound on TPU (ops/weighting.py notes)
+            from pfb_tpu.ops.weighting import compute_counts_host
+            counts = jnp.asarray(compute_counts_host(
+                np.asarray(uvw), np.asarray(freq), np.asarray(mask),
+                nx, ny, cell_rad, cell_rad))
             if filter_extreme_counts_flag:
                 counts = jnp.asarray(filter_extreme_counts(
                     np.asarray(counts), level=filter_level,

@@ -241,3 +241,21 @@ def test_counts_windowed_scatter_matches_elementwise(obs):
                     ref[xi, yi] += xv * es((yi - vg[r, c] + 0.5) / ko2)
     # some stencil must actually hit the edge for this test to count
     assert_allclose(got, ref, rtol=1e-5, atol=1e-6 * max(ref.max(), 1))
+
+
+def test_counts_host_matches_device(obs):
+    """The host bincount counts (production weighting path) must match
+    the jitted device scatter exactly."""
+    from pfb_tpu.ops.weighting import compute_counts_host
+    nx = 48
+    cell = 1.0 / (2 * np.abs(obs.uvw[:, :2]).max() * obs.freq.max()
+                  / LIGHTSPEED)
+    mask = np.ones((obs.uvw.shape[0], obs.freq.size), np.uint8)
+    for k in (6, 0):
+        dev = np.asarray(compute_counts(
+            jnp.asarray(obs.uvw), jnp.asarray(obs.freq),
+            jnp.asarray(mask), nx, nx, cell, cell, k=k))
+        host = compute_counts_host(obs.uvw, obs.freq, mask, nx, nx,
+                                   cell, cell, k=k, row_chunk=37)
+        assert_allclose(host, dev, rtol=1e-6,
+                        atol=1e-9 * max(dev.max(), 1))
