@@ -234,9 +234,13 @@ def simulate_ms(path, nant=7, ntime=8, nchan=4, nsource=10, fov_deg=1.0,
     def degrid_cube(cube):
         out = np.zeros((nrow, nchan), dtype=np.complex128)
         for c in range(nchan):
-            out[:, c:c + 1] = to_host(dirty2vis_dft(
+            # split=True: even assembling vr + 1j*vi on device uploads
+            # a complex constant, which the axon TPU relay cannot
+            # transfer in either direction
+            vr, vi = dirty2vis_dft(
                 jnp.asarray(obs.uvw), jnp.asarray(obs.freq[c:c + 1]),
-                jnp.asarray(cube[c]), cell_rad, cell_rad))
+                jnp.asarray(cube[c]), cell_rad, cell_rad, split=True)
+            out[:, c:c + 1] = to_host(vr) + 1j * to_host(vi)
         return out
 
     if fullpol:
