@@ -214,7 +214,7 @@ def _block_maps(utid, pmin, pmax, sxy_g, nblocks, B, ntx, nty, txs,
 
 
 def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
-                        epsilon=1e-7, sigma=2.0, capacity=128,
+                        epsilon=1e-7, sigma=2.0, capacity=None,
                         x0=0.0, y0=0.0, plane_block=8, dtype=None,
                         w_params=None, shapes_to=None, tile_u=None,
                         tile_v=None):
@@ -234,6 +234,12 @@ def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
     else:
         nw, w0, dw = w_geometry(uvw_np, freq_np, nx, ny, cellx, celly,
                                 x0, y0, sigma, k, True)
+    if capacity is None:
+        # wide entries amortise the per-step kernel overhead when
+        # tiles hold many visibilities: C=256 measured 596 vs 622 ms
+        # on the 4096^2 w-ON bench adjoint (round-5 A/B); small
+        # problems keep C=128 (less padding waste)
+        capacity = 256 if nrow * nchan >= (1 << 22) else 128
     if tile_u is None and tile_v is None and \
             nrow * nchan >= (1 << 18):
         tile_u, tile_v = _auto_tiles(uvw_np, freq_np, Nx, Ny, cellx,
@@ -822,7 +828,7 @@ def make_hessian_pg_wblocked(bp, wgt=None, mask=None):
 
 def stack_pg_plans_wblocked(dds, nband, *, nx, ny, epsilon=1e-7,
                             plane_block=8, use_beam=True,
-                            mask_image=None, capacity=128):
+                            mask_image=None, capacity=None):
     """Stacked (nband, ndata, ...) global-stream w-blocked plans with
     one shared static geometry (union w grid, common NEg/NEb/NT/block
     count), so the dataset-reduced Hessian runs as a single compiled
@@ -837,6 +843,10 @@ def stack_pg_plans_wblocked(dds, nband, *, nx, ny, epsilon=1e-7,
     ndata = max(len(g) for g in by_band)
     R = row_bucket(max(ds["UVW"].shape[0] for ds in dds))
     nchan = max(ds["FREQ"].shape[0] for ds in dds)
+    if capacity is None:
+        # one capacity for the whole stack (per-dataset auto-selection
+        # would desync the stacked plan shapes), from the padded size
+        capacity = 256 if R * nchan >= (1 << 22) else 128
     cell = float(dds[0]["cell_rad"])
     x0 = float(dds[0].get("x0", 0.0))
     y0 = float(dds[0].get("y0", 0.0))

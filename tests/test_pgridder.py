@@ -158,3 +158,25 @@ def test_wblocked_split_precision_accuracy(obs):
         p, jnp.asarray(vr), jnp.asarray(vi), None, True))
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() / scale < 3e-5
+
+
+def test_wblocked_capacity256_matches(obs):
+    """capacity=256 packed entries (auto-selected at production vis
+    counts) produce identical gridding to capacity=128."""
+    from pfb_tpu.ops.pgridder import (_adjoint_wblocked_impl,
+                                      pgrid_plan_wblocked)
+    nx, cell = image_size_for(obs, fov_deg=0.2)
+    nx = min(nx, 64)
+    rng = np.random.default_rng(5)
+    nrow, nchan = obs.uvw.shape[0], obs.freq.size
+    vr = rng.normal(size=(nrow, nchan))
+    vi = rng.normal(size=(nrow, nchan))
+    outs = []
+    for cap in (128, 256):
+        bp = pgrid_plan_wblocked(obs.uvw, obs.freq, nx=nx, ny=nx,
+                                 cellx=cell, celly=cell, epsilon=1e-7,
+                                 plane_block=3, capacity=cap)
+        outs.append(np.asarray(_adjoint_wblocked_impl(
+            bp, jnp.asarray(vr), jnp.asarray(vi), None, True)))
+    scale = np.abs(outs[0]).max()
+    assert np.abs(outs[1] - outs[0]).max() / scale < 1e-12
