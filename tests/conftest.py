@@ -33,3 +33,11 @@ else:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: end-to-end pipelines dominating suite wall time — "
+        "skip with `-m 'not slow'` for a fast iteration loop "
+        "(release gates run everything)")

@@ -13,6 +13,8 @@ from pfb_tpu.workers.init import _init
 from pfb_tpu.workers.klean import _klean
 from pfb_tpu.workers.spotless import _spotless
 
+pytestmark = pytest.mark.slow
+
 pmp = pytest.mark.parametrize
 
 

@@ -15,6 +15,8 @@ from pfb_tpu.workers.grid import _grid
 from pfb_tpu.workers.init import _init
 from pfb_tpu.workers.klean import _klean
 
+pytestmark = pytest.mark.slow
+
 pmp = pytest.mark.parametrize
 
 

@@ -14,6 +14,8 @@ from pfb_tpu.workers.grid import _grid
 from pfb_tpu.workers.init import _init
 from pfb_tpu.workers.spotless import _spotless, _spotless_dist
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def pipeline4(tmp_path_factory):
