@@ -250,8 +250,16 @@ def pgrid_plan_wblocked(uvw, freq, *, nx, ny, cellx, celly,
     C = capacity
     if dtype is None:
         dtype = jnp.zeros(0).dtype
-    B = int(plane_block)
+    # plane_block is the caller's grid-memory bound (planes per
+    # block). Shrink B to the actual plane count (narrow w
+    # distributions fold into one block — each block pays full-grid
+    # FFT passes regardless of its entry count) and even the blocks
+    # out (same block count, fewer padded planes, never exceeding the
+    # caller's bound): nw=11 at plane_block=8 -> two blocks of 6
+    # instead of 8+3.
+    B = min(int(plane_block), nw)
     nblocks = max(1, -(-nw // B))
+    B = -(-nw // nblocks)
     if shapes_to is not None and "nblocks" in shapes_to:
         assert shapes_to["nblocks"] >= nblocks
         nblocks = int(shapes_to["nblocks"])
