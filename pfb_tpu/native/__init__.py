@@ -79,6 +79,15 @@ def get_lib():
         p_dbl, i64, p_dbl, i64, p_u8, i64, i64, dbl, dbl,
         ctypes.c_int, p_dbl]
     lib.pg_compute_counts.restype = ctypes.c_int
+    lib.pg_gs_count.argtypes = [
+        p_dbl, i64, p_dbl, i64, dbl, dbl, i64, i64, i64, i64, i64,
+        i64, dbl, dbl, ctypes.c_int, p_i64]
+    lib.pg_gs_count.restype = ctypes.c_int
+    lib.pg_gs_fill.argtypes = [
+        p_dbl, i64, p_dbl, i64, dbl, dbl, i64, i64, i64, i64, i64,
+        i64, dbl, dbl, ctypes.c_int, i64, i64, p_i64, p_i64, p_i64,
+        i64, p_dbl, p_i32, p_dbl, p_i32, p_i64, p_i64, p_i64]
+    lib.pg_gs_fill.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -129,3 +138,43 @@ def pg_counts_native(uvw, freq, mask, nx, ny, cellx, celly, k=6):
                           mask, int(nx), int(ny), float(cellx),
                           float(celly), int(k), out)
     return out.reshape(int(nx), int(ny))
+
+
+def pg_gs_plan_native(uvw, freq, *, Nx, Ny, cellx, celly, txs, tys,
+                      ntx, nty, w0, dw, nw, C, k):
+    """Native global-stream plan builder (the heavy half of
+    pg_stream._pg_plan_gs: per-vis coords, (tile, w) sort, entry
+    packing). Returns (pos, gidx, gpm, utid, pmin, pmax, sxy)
+    bit-identical to the numpy path, or None without a toolchain."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    uvw = np.ascontiguousarray(uvw, np.float64)
+    freq = np.ascontiguousarray(freq, np.float64)
+    nrow, nchan = uvw.shape[0], freq.shape[0]
+    ntiles = ntx * nty
+    counts = np.zeros(ntiles, np.int64)
+    lib.pg_gs_count(uvw, nrow, freq, nchan, cellx, celly, Nx, Ny,
+                    txs, tys, ntx, nty, w0, dw, nw, counts)
+    vis_offsets = np.zeros(ntiles, np.int64)
+    np.cumsum(counts[:-1], out=vis_offsets[1:])
+    entries_per = -(-counts // C)  # 0 for empty tiles
+    entry_offsets = np.zeros(ntiles, np.int64)
+    np.cumsum(entries_per[:-1], out=entry_offsets[1:])
+    NEg = int(entries_per.sum())
+    pos = np.zeros((NEg + 1, 8, C), np.float64)
+    gidx = np.zeros((NEg + 1, C), np.int32)
+    gpm = np.zeros((NEg + 1, C), np.float64)
+    utid = np.zeros(NEg, np.int32)
+    pmin = np.zeros(NEg, np.int64)
+    pmax = np.zeros(NEg, np.int64)
+    sxy = np.zeros(NEg, np.int64)
+    lib.pg_gs_fill(uvw, nrow, freq, nchan, cellx, celly, Nx, Ny,
+                   txs, tys, ntx, nty, w0, dw, nw, C, k, counts,
+                   vis_offsets, entry_offsets, NEg,
+                   pos.reshape(-1), gidx.reshape(-1),
+                   gpm.reshape(-1), utid, pmin, pmax, sxy)
+    # null entry (matches _pg_plan_gs)
+    pos[NEg, 0:2] = -2.0 * k
+    pos[NEg, 3:5] = -2.0 * k
+    return pos, gidx, gpm, utid.astype(np.int64), pmin, pmax, sxy

@@ -73,6 +73,18 @@ def _pg_plan_gs(uvw_np, freq_np, Nx, Ny, cellx, celly, txs, tys, ntx,
     flat vis indices, gpm mask, utid (NEg,) tile ids, and per-entry
     first/last w-tap indices (pmin, pmax). The last row is the NULL
     entry (coords -2k, zero mask) that per-block maps pad with."""
+    # native C++ builder (two counting-sort passes + per-tile stable
+    # w-sorts + entry packing, pfb_tpu/native/plan.cc:pg_gs_fill):
+    # bit-identical output, ~10x the numpy lexsort path at 1M rows;
+    # numpy fallback when no toolchain is available
+    from pfb_tpu.native import pg_gs_plan_native
+    nat = pg_gs_plan_native(uvw_np, freq_np, Nx=Nx, Ny=Ny,
+                            cellx=cellx, celly=celly, txs=txs,
+                            tys=tys, ntx=ntx, nty=nty, w0=w0, dw=dw,
+                            nw=nw, C=C, k=k)
+    if nat is not None:
+        return nat
+
     scale = freq_np / LIGHTSPEED
     ug = (uvw_np[:, 0:1] * scale[None, :]) * cellx * Nx
     vg = (uvw_np[:, 1:2] * scale[None, :]) * celly * Ny

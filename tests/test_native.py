@@ -64,3 +64,55 @@ def test_pgrid_plan_uses_native_and_fallback(monkeypatch):
     for key in ("pos", "tid", "idx", "pm"):
         assert np.array_equal(np.asarray(p1[key]), np.asarray(p2[key]))
     assert p1["nentries"] == p2["nentries"]
+
+
+def test_gs_plan_native_bit_identical():
+    """The native global-stream plan builder (pg_gs_count/pg_gs_fill)
+    must reproduce the numpy lexsort path bit-for-bit (same contract
+    as pg_plan_native for the unblocked planner)."""
+    import numpy as np
+
+    from pfb_tpu.native import get_lib, pg_gs_plan_native
+    from pfb_tpu.ops import pg_stream as gs
+    from pfb_tpu.ops.mmgridder import _tile_geometry
+    from pfb_tpu.ops.pgridder import w_geometry
+    from pfb_tpu.ops.wgridder import _grid_setup, kernel_params
+
+    if get_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    nrow, nchan, nx = 5000, 3, 256
+    uvw = rng.normal(scale=100.0, size=(nrow, 3))
+    uvw[:, 2] *= 0.15
+    freq = np.linspace(0.9e9, 1.1e9, nchan)
+    umax = np.abs(uvw[:, :2]).max() * freq[-1] / 299792458.0
+    cell = 1.0 / (2.0 * umax * 2.0)
+    k, _ = kernel_params(1e-5)
+    Nx, Ny = _grid_setup(nx, nx, cell, cell, 2.0)
+    nw, w0, dw = w_geometry(uvw, freq, nx, nx, cell, cell, 0, 0, 2.0,
+                            k, True)
+    txs, tys = _tile_geometry(Nx, Ny, k, None, None)
+    ntx, nty = -(-Nx // txs), -(-Ny // tys)
+    args = dict(Nx=Nx, Ny=Ny, cellx=cell, celly=cell, txs=txs,
+                tys=tys, ntx=ntx, nty=nty, w0=w0, dw=dw, nw=nw,
+                C=128, k=k)
+    nat = pg_gs_plan_native(uvw, freq, **args)
+    ref = gs._pg_plan_gs.__wrapped__(uvw, freq, Nx, Ny, cell, cell,
+                                     txs, tys, ntx, nty, w0, dw, nw,
+                                     128, k) \
+        if hasattr(gs._pg_plan_gs, "__wrapped__") else None
+    if ref is None:
+        # call the numpy body by disabling the native fast path
+        import pfb_tpu.native as N
+        lib, tried = N._lib, N._lib_tried
+        N._lib, N._lib_tried = None, True
+        try:
+            ref = gs._pg_plan_gs(uvw, freq, Nx, Ny, cell, cell, txs,
+                                 tys, ntx, nty, w0, dw, nw, 128, k)
+        finally:
+            N._lib, N._lib_tried = lib, tried
+    for name, a, b in zip(("pos", "gidx", "gpm", "utid", "pmin",
+                           "pmax", "sxy"), nat, ref):
+        assert np.array_equal(np.asarray(a, np.float64),
+                              np.asarray(b, np.float64)), name
